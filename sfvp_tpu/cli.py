@@ -1,0 +1,76 @@
+"""Command-line entry point — the analog of the reference's ``main()``
+(ref main.cpp:457-690), with every hardcoded constant exposed as a flag
+(defaults = reference values).
+
+Example:
+    python -m sfvp_tpu.cli --steps 32 --out cornell.png
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .config import CameraConfig, RenderConfig
+from .render.driver import Renderer
+from .scene import cornell_box_path, load_obj
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sfvp", description=__doc__)
+    p.add_argument("--obj", default=None, help="OBJ scene path (default: bundled Cornell Box)")
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=32, help="progressive steps to run")
+    p.add_argument("--spp", type=int, default=32, help="samples per step")
+    p.add_argument("--max-depth", type=int, default=8)
+    p.add_argument("--spp-chunk", type=int, default=1)
+    p.add_argument("--sampling", choices=["uniform", "cosine"], default="uniform")
+    p.add_argument("--rr", action="store_true", help="enable Russian roulette")
+    p.add_argument("--nee", action="store_true", help="enable next-event estimation")
+    p.add_argument("--traversal", choices=["auto", "brute", "bvh"], default="auto")
+    p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default="auto")
+    p.add_argument("--out", default="render.png")
+    p.add_argument("--srgb", action="store_true", help="sRGB-encode the PNG (default: unorm clamp like the reference swapchain)")
+    p.add_argument("--frame-every", type=int, default=0, help="write intermediate PNG every N steps")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--log", default=None, help="JSONL metrics sink")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = RenderConfig(
+        width=args.width,
+        height=args.height,
+        spp_per_step=args.spp,
+        max_depth=args.max_depth,
+        spp_chunk=args.spp_chunk,
+        sampling=args.sampling,
+        use_rr=args.rr,
+        use_nee=args.nee,
+        traversal=args.traversal,
+        backend=args.backend,
+        camera=CameraConfig(),
+    )
+    scene = load_obj(args.obj or cornell_box_path())
+    r = Renderer(cfg, scene)
+    if args.resume and args.checkpoint:
+        r.resume(args.checkpoint)
+    r.run(
+        steps=args.steps,
+        out=args.out,
+        frame_every=args.frame_every,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        log_path=args.log,
+        srgb=args.srgb,
+        progress=not args.quiet,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

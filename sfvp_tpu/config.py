@@ -1,0 +1,113 @@
+"""Render configuration.
+
+The reference (yknishidate/single-file-vulkan-pathtracing) hardcodes every
+knob as a compile-time constant; those constants are the de-facto spec and
+are the defaults here:
+
+- resolution 1024x1024            (ref main.cpp:16-17)
+- 32 samples per frame            (ref shaders/raygen.rgen:43)
+- max path depth 8                (ref shaders/raygen.rgen:62)
+- tmin 0.001 / tmax 10000         (ref shaders/raygen.rgen:72-73)
+- sky emission (0.7, 0.6, 0.5)    (ref shaders/miss.rmiss:10)
+- uniform-hemisphere sampling, pdf = 1/(2*pi)  (ref shaders/raygen.rgen:23-30,79)
+- camera origin (0,-1,5), target plane z=2     (ref shaders/raygen.rgen:55-56)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera expressed as: ray target = center + d.x*right + d.y*up,
+    direction = normalize(target - origin), with d in NDC [-1,1]^2.
+
+    Defaults reproduce the reference frustum exactly
+    (ref shaders/raygen.rgen:55-57): origin (0,-1,5),
+    target (d.x, d.y - 1, 2)  ==  center (0,-1,2) + d.x*(1,0,0) + d.y*(0,1,0).
+    """
+
+    origin: Tuple[float, float, float] = (0.0, -1.0, 5.0)
+    center: Tuple[float, float, float] = (0.0, -1.0, 2.0)
+    right: Tuple[float, float, float] = (1.0, 0.0, 0.0)
+    up: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+
+    @staticmethod
+    def look_at(origin, target, up=(0.0, 1.0, 0.0), fov_y_deg=60.0, aspect=1.0):
+        """General constructor: build the (center, right, up) frame from a
+        classic look-at + vertical field of view."""
+        import math
+
+        import numpy as np
+
+        o = np.asarray(origin, np.float64)
+        tgt = np.asarray(target, np.float64)
+        fwd = tgt - o
+        fwd = fwd / np.linalg.norm(fwd)
+        upv = np.asarray(up, np.float64)
+        r = np.cross(fwd, upv)
+        r = r / np.linalg.norm(r)
+        u = np.cross(r, fwd)
+        half_h = math.tan(math.radians(fov_y_deg) / 2.0)
+        half_w = half_h * aspect
+        center = o + fwd
+        return CameraConfig(
+            origin=tuple(map(float, o)),
+            center=tuple(map(float, center)),
+            right=tuple(map(float, r * half_w)),
+            up=tuple(map(float, u * half_h)),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 1024
+    height: int = 1024
+    spp_per_step: int = 32          # samples per progressive step ("frame")
+    max_depth: int = 8              # path segments per sample
+    t_min: float = 0.001
+    t_max: float = 10000.0
+    sky_emission: Tuple[float, float, float] = (0.7, 0.6, 0.5)
+    camera: CameraConfig = CameraConfig()
+
+    # sampling: "uniform" = reference parity (pdf 1/2pi, ref raygen.rgen:23-30);
+    # "cosine" = cosine-weighted importance sampling (faster convergence,
+    # identical converged image).
+    sampling: str = "uniform"
+
+    # Extensions the reference does NOT have (ref raygen.rgen:62-84 is naive
+    # PT). Off by default == parity mode.
+    use_nee: bool = False            # next-event estimation
+    use_rr: bool = False             # Russian roulette
+    rr_start_depth: int = 3
+
+    # Execution knobs (do not affect the image in expectation).
+    spp_chunk: int = 1               # samples folded into one ray wave
+    traversal: str = "auto"          # "auto" | "brute" | "bvh"
+    backend: str = "auto"            # "auto" | "jnp" | "pallas"
+    bvh_leaf_size: int = 4
+    # "auto": brute force for small scenes, BVH beyond this many triangles.
+    brute_force_max_tris: int = 256
+
+    def spp_chunks(self):
+        if self.spp_per_step % self.spp_chunk != 0:
+            raise ValueError(
+                f"spp_per_step={self.spp_per_step} must be divisible by "
+                f"spp_chunk={self.spp_chunk}"
+            )
+        return self.spp_per_step // self.spp_chunk
+
+    def config_hash(self) -> str:
+        """Stable hash of everything that affects the accumulated image;
+        stored in checkpoints so resume can refuse a mismatched config."""
+        d = dataclasses.asdict(self)
+        # execution knobs don't change the image in expectation, but sampling
+        # streams differ per chunking, so keep spp_chunk in the hash.
+        d.pop("backend", None)
+        d.pop("traversal", None)
+        blob = json.dumps(d, sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]

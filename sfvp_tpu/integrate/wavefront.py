@@ -1,0 +1,196 @@
+"""Wavefront path-tracing integrator.
+
+This is the TPU-native reformulation of the reference's per-pixel megakernel
+(ref shaders/raygen.rgen:41-91): instead of one GPU thread looping over
+samples and bounces, a *wave* of rays (pixels x spp_chunk samples) advances
+in lockstep through trace -> shade phases under ``lax.scan``; terminated
+lanes are masked. Everything is static-shaped and jit-compiles to fused XLA.
+
+Parity-mode semantics preserved exactly (see SURVEY.md §7 quirks):
+  - color += weight * emission on EVERY segment, including the miss segment
+    (sky (0.7,0.6,0.5), ref shaders/miss.rmiss:10)
+  - emissive hits do NOT terminate the path; only a miss (or the depth cap)
+    does (ref shaders/miss.rmiss:11, closesthit.rchit never sets done)
+  - uniform hemisphere sampling, weight *= brdf * cos(theta) * 2*pi
+    (ref shaders/raygen.rgen:78-80)
+  - hit position from barycentrics (ref shaders/closesthit.rchit:56-57),
+    geometric normal = -normalize(cross(e01, e02)) (rchit:43-48)
+  - progressive accumulation new = (color + old*frame)/(frame+1)
+    (ref shaders/raygen.rgen:88-90) — kept in f32 here instead of the
+    reference's rgba8 round-trip (intentional improvement)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import rng, sampling
+from ..camera import generate_rays
+from ..config import RenderConfig
+from ..kernels.intersect import Hit, trace_brute_jnp
+
+TWO_PI = np.float32(2.0 * np.pi)
+PI = np.float32(np.pi)
+INV_PI = np.float32(1.0 / np.pi)
+
+
+class RenderState(NamedTuple):
+    accum: jnp.ndarray         # (H, W, 3) f32 running mean over steps
+    frame: jnp.ndarray         # ()      i32 progressive step counter
+    mrays: jnp.ndarray         # ()      f32 cumulative traced segments / 1e6
+
+
+def init_state(height: int, width: int) -> RenderState:
+    return RenderState(
+        accum=jnp.zeros((height, width, 3), jnp.float32),
+        frame=jnp.zeros((), jnp.int32),
+        mrays=jnp.zeros((), jnp.float32),
+    )
+
+
+def _normalize(v):
+    return v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+
+
+def shade_inputs(scene, hit: Hit):
+    """Gather per-hit shading data, mirroring the closest-hit shader
+    (ref shaders/closesthit.rchit:50-65)."""
+    prim = jnp.maximum(hit.prim, 0)
+    v0 = scene.v0[prim]
+    v1 = scene.v1[prim]
+    v2 = scene.v2[prim]
+    w = 1.0 - hit.u - hit.v
+    position = (
+        v0 * w[..., None] + v1 * hit.u[..., None] + v2 * hit.v[..., None]
+    )
+    normal = -_normalize(jnp.cross(v1 - v0, v2 - v0))
+    diffuse = scene.diffuse[prim]
+    emission = scene.emission[prim]
+    return position, normal, diffuse, emission
+
+
+def make_render_step(
+    cfg: RenderConfig,
+    scene,
+    trace_fn: Optional[Callable] = None,
+    global_shape: Optional[tuple] = None,
+):
+    """Build ``render_step(state, row0) -> state`` for a (local) image of
+    shape taken from ``state.accum``.
+
+    ``row0`` is the global row offset of this accumulator shard (0 when
+    unsharded); ``global_shape=(H, W)`` defaults to the config's — rays are
+    generated in GLOBAL pixel coordinates so sharded and unsharded renders of
+    the same config produce bitwise-identical pixels.
+    """
+    if trace_fn is None:
+        trace_fn = trace_brute_jnp
+    gh, gw = global_shape if global_shape is not None else (cfg.height, cfg.width)
+    spp = cfg.spp_per_step
+    chunk = cfg.spp_chunk
+    n_chunks = cfg.spp_chunks()
+    sky = jnp.asarray(cfg.sky_emission, jnp.float32)
+    uniform = cfg.sampling == "uniform"
+    t_min = np.float32(cfg.t_min)
+    t_max = np.float32(cfg.t_max)
+
+    def depth_body(carry, depth_idx):
+        o, d, weight, seed, done, color, segs = carry
+        active = jnp.logical_not(done)
+        hit = trace_fn(o, d, scene, t_min, t_max, active=active)
+        miss = hit.prim < 0
+        position, normal, diffuse, emission = shade_inputs(scene, hit)
+        emission = jnp.where(miss[..., None], sky, emission)
+
+        color = color + jnp.where(active[..., None], weight * emission, 0.0)
+
+        r1, seed = rng.rand(seed)
+        r2, seed = rng.rand(seed)
+        if uniform:
+            new_dir = sampling.sample_direction_uniform(r1, r2, normal)
+            cos_t = jnp.sum(new_dir * normal, axis=-1)
+            # brdf = Kd/pi (rchit:61); weight *= brdf*cos/(1/2pi)
+            scale = (diffuse * INV_PI) * (cos_t * TWO_PI)[..., None]
+        else:
+            new_dir = sampling.sample_direction_cosine(r1, r2, normal)
+            # pdf = cos/pi cancels the cosine: weight *= Kd
+            scale = diffuse
+
+        cont = active & jnp.logical_not(miss)
+        if cfg.use_rr:
+            # Russian roulette (extension; OFF in parity mode): from
+            # rr_start_depth on, continue with probability p and compensate.
+            p = jnp.clip(jnp.max(weight * scale, axis=-1), 0.05, 0.95)
+            r_rr, seed = rng.rand(seed)
+            rr_on = depth_idx >= cfg.rr_start_depth
+            survive = jnp.logical_not(rr_on) | (r_rr < p)
+            scale = jnp.where(rr_on[..., None] if jnp.ndim(rr_on) else rr_on,
+                              scale / p[..., None], scale)
+            cont = cont & survive
+
+        o = jnp.where(cont[..., None], position, o)
+        d = jnp.where(cont[..., None], new_dir, d)
+        weight = jnp.where(cont[..., None], weight * scale, weight)
+        done = jnp.logical_not(cont)
+        segs = segs + jnp.sum(active.astype(jnp.float32))
+        return (o, d, weight, seed, done, color, segs), None
+
+    def chunk_body(carry, chunk_idx, px, py, frame):
+        color_sum, segs = carry
+        n = px.shape[0]
+        s_ids = chunk_idx * chunk + jnp.arange(chunk, dtype=jnp.uint32)
+        seed = rng.sample_seed(
+            px[None, :], py[None, :], s_ids[:, None], frame, spp
+        )  # (C, N)
+        r1, seed = rng.rand(seed)
+        r2, seed = rng.rand(seed)
+        pxc = jnp.broadcast_to(px[None, :], (chunk, n))
+        pyc = jnp.broadcast_to(py[None, :], (chunk, n))
+        o, d = generate_rays(pxc, pyc, r1, r2, cfg.camera, gw, gh)
+
+        m = chunk * n
+        o = o.reshape(m, 3)
+        d = d.reshape(m, 3)
+        seed = seed.reshape(m)
+        weight = jnp.ones((m, 3), jnp.float32)
+        done = jnp.zeros((m,), bool)
+        color = jnp.zeros((m, 3), jnp.float32)
+
+        (o, d, weight, seed, done, color, segs), _ = jax.lax.scan(
+            depth_body,
+            (o, d, weight, seed, done, color, segs),
+            jnp.arange(cfg.max_depth, dtype=jnp.int32),
+        )
+        color_sum = color_sum + color.reshape(chunk, n, 3).sum(axis=0)
+        return (color_sum, segs), None
+
+    def render_step(state: RenderState, row0=0) -> RenderState:
+        h, w = state.accum.shape[0], state.accum.shape[1]
+        py = (
+            jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
+            + jnp.asarray(row0, jnp.int32)
+        )
+        px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
+
+        frame = state.frame
+        init = (jnp.zeros((h * w, 3), jnp.float32), jnp.zeros((), jnp.float32))
+        (color_sum, segs), _ = jax.lax.scan(
+            partial(chunk_body, px=px, py=py, frame=frame),
+            init,
+            jnp.arange(n_chunks, dtype=jnp.uint32),
+        )
+        color = (color_sum / np.float32(spp)).reshape(h, w, 3)
+        f = frame.astype(jnp.float32)
+        accum = (color + state.accum * f) / (f + 1.0)
+        return RenderState(
+            accum=accum,
+            frame=frame + 1,
+            mrays=state.mrays + segs / np.float32(1e6),
+        )
+
+    return render_step

@@ -1,0 +1,144 @@
+"""Progressive render driver — the TPU analog of the reference's frame loop
+(ref main.cpp:643-685): step the jitted integrator, optionally writing PNG
+frames, JSONL metrics, and checkpoints, with async dispatch and explicit
+blocking only at observation boundaries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from ..config import RenderConfig
+from ..integrate.wavefront import RenderState, init_state, make_render_step
+from ..scene import Scene, upload
+from .checkpoint import load_checkpoint, save_checkpoint
+from .png import tonemap_srgb_u8, tonemap_unorm_u8, write_png
+
+
+class Renderer:
+    """Owns the jitted render step plus progressive state for one scene/config.
+
+    Usage:
+        r = Renderer(cfg, scene)
+        r.run(steps=32, out="out.png")
+    """
+
+    def __init__(
+        self,
+        cfg: RenderConfig,
+        scene: Scene,
+        trace_fn: Optional[Callable] = None,
+        donate: bool = True,
+    ):
+        from ..dispatch import select_trace_fn
+
+        self.cfg = cfg
+        self.scene = scene
+        self.buffers = upload(scene)
+        if trace_fn is None:
+            trace_fn = select_trace_fn(cfg, self.buffers)
+        step = make_render_step(cfg, self.buffers, trace_fn=trace_fn)
+        self._step = jax.jit(
+            lambda s: step(s), donate_argnums=(0,) if donate else ()
+        )
+        self.state = init_state(cfg.height, cfg.width)
+
+    def resume(self, checkpoint_path: str) -> None:
+        self.state, _ = load_checkpoint(checkpoint_path, self.cfg.config_hash())
+
+    def step(self, n: int = 1) -> RenderState:
+        for _ in range(n):
+            self.state = self._step(self.state)
+        return self.state
+
+    def image(self) -> np.ndarray:
+        """Current progressive estimate, (H, W, 3) float32 on host."""
+        return np.asarray(self.state.accum)
+
+    def run(
+        self,
+        steps: int,
+        out: Optional[str] = None,
+        frame_every: int = 0,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 0,
+        log_path: Optional[str] = None,
+        srgb: bool = False,
+        progress: bool = True,
+    ) -> np.ndarray:
+        tonemap = tonemap_srgb_u8 if srgb else tonemap_unorm_u8
+        log_f = open(log_path, "a") if log_path else None
+        spp_step = self.cfg.spp_per_step
+        try:
+            t_prev = time.perf_counter()
+            mrays_prev = float(self.state.mrays)
+            for i in range(steps):
+                self.state = self._step(self.state)
+                # observe only at logging/export boundaries
+                last = i == steps - 1
+                boundary = (
+                    last
+                    or (frame_every and (i + 1) % frame_every == 0)
+                    or (checkpoint_every and (i + 1) % checkpoint_every == 0)
+                    or progress
+                    or log_f is not None
+                )
+                if not boundary:
+                    continue
+                jax.block_until_ready(self.state.accum)
+                now = time.perf_counter()
+                frame = int(self.state.frame)
+                mrays_tot = float(self.state.mrays)
+                rec = {
+                    "step": frame,
+                    "spp": frame * spp_step,
+                    "step_s": round(now - t_prev, 5),
+                    "mrays_step": round(mrays_tot - mrays_prev, 3),
+                    "mrays_per_s": round(
+                        (mrays_tot - mrays_prev) / max(now - t_prev, 1e-9), 2
+                    ),
+                }
+                t_prev, mrays_prev = now, mrays_tot
+                if log_f:
+                    log_f.write(json.dumps(rec) + "\n")
+                    log_f.flush()
+                if progress:
+                    print(
+                        f"step {rec['step']:5d}  spp {rec['spp']:7d}  "
+                        f"{rec['step_s']*1e3:8.1f} ms  "
+                        f"{rec['mrays_per_s']:8.1f} Mray/s",
+                        flush=True,
+                    )
+                if frame_every and (i + 1) % frame_every == 0 and out:
+                    base, ext = os.path.splitext(out)
+                    write_png(f"{base}_step{frame:05d}{ext or '.png'}",
+                              tonemap(self.image()))
+                if (
+                    checkpoint_path
+                    and checkpoint_every
+                    and (i + 1) % checkpoint_every == 0
+                ):
+                    save_checkpoint(
+                        checkpoint_path, self.state, self.cfg.config_hash()
+                    )
+            img = self.image()
+            if out:
+                write_png(out, tonemap(img))
+            if checkpoint_path:
+                save_checkpoint(checkpoint_path, self.state, self.cfg.config_hash())
+            return img
+        finally:
+            if log_f:
+                log_f.close()
+
+
+def render(cfg: RenderConfig, scene: Scene, steps: int, **kwargs) -> np.ndarray:
+    """One-shot convenience: render ``steps`` progressive steps, return the
+    (H, W, 3) float32 image."""
+    return Renderer(cfg, scene).run(steps, **kwargs)

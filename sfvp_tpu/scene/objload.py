@@ -1,0 +1,152 @@
+"""OBJ/MTL scene ingest with the reference's exact flattening semantics.
+
+Mirrors ref main.cpp:28-58 (``loadFromFile`` + tinyobjloader defaults):
+  - n-gon faces fan-triangulated: (v0, v_k+1, v_k+2)
+  - vertices flattened to a fully NON-indexed stream; indices are 0..N-1
+    (ref main.cpp:45)
+  - Y axis NEGATED at load (ref main.cpp:42)
+  - one material per triangle, resolved post-triangulation from the active
+    ``usemtl``; diffuse = Kd, emission = Ke (ref main.cpp:47-56)
+
+The default path prefers the native C++ loader (csrc/, via ctypes) when its
+shared library is built, falling back to this pure-Python parser; both
+produce identical arrays (tested).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def cornell_box_path() -> str:
+    """Path to the bundled Cornell Box (same asset family as the reference's
+    assets/CornellBox-Original.obj)."""
+    return os.path.join(_REPO_ROOT, "assets", "CornellBox-Original.obj")
+
+
+@dataclasses.dataclass
+class Scene:
+    """Flat, non-indexed triangle soup + per-face materials (host numpy)."""
+
+    vertices: np.ndarray       # (3T, 3) float32, Y negated
+    indices: np.ndarray        # (3T,)  uint32 == arange (ref main.cpp:45)
+    face_diffuse: np.ndarray   # (T, 3) float32 (Kd)
+    face_emission: np.ndarray  # (T, 3) float32 (Ke)
+    material_names: List[str] = dataclasses.field(default_factory=list)
+    face_material_id: Optional[np.ndarray] = None  # (T,) int32
+
+    @property
+    def num_triangles(self) -> int:
+        return self.face_diffuse.shape[0]
+
+    def triangles(self) -> np.ndarray:
+        """(T, 3, 3) view of the vertex stream."""
+        return self.vertices.reshape(-1, 3, 3)
+
+
+def _parse_mtl(path: str) -> Tuple[Dict[str, Dict[str, np.ndarray]], List[str]]:
+    materials: Dict[str, Dict[str, np.ndarray]] = {}
+    order: List[str] = []
+    cur = None
+    with open(path, "r") as f:
+        for raw in f:
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            parts = line.split()
+            key = parts[0]
+            if key == "newmtl":
+                cur = parts[1]
+                materials[cur] = {
+                    "Kd": np.zeros(3, np.float32),
+                    "Ke": np.zeros(3, np.float32),
+                    "Ks": np.zeros(3, np.float32),
+                    "Ns": np.float32(0.0),
+                    "Ni": np.float32(1.0),
+                }
+                order.append(cur)
+            elif cur is not None and key in ("Kd", "Ke", "Ks"):
+                materials[cur][key] = np.array(
+                    [float(parts[1]), float(parts[2]), float(parts[3])], np.float32
+                )
+            elif cur is not None and key in ("Ns", "Ni"):
+                materials[cur][key] = np.float32(float(parts[1]))
+    return materials, order
+
+
+def _resolve_index(tok: str, nverts: int) -> int:
+    """OBJ index token 'v', 'v/vt', 'v//vn', 'v/vt/vn'; 1-based; negative =
+    relative to the end of the vertex list so far."""
+    v = tok.split("/")[0]
+    i = int(v)
+    return (nverts + i) if i < 0 else (i - 1)
+
+
+def load_obj(path: Optional[str] = None, flip_y: bool = True) -> Scene:
+    """Parse an OBJ (+ its mtllib) into the reference's flat layout."""
+    if path is None:
+        path = cornell_box_path()
+    base = os.path.dirname(os.path.abspath(path))
+
+    positions: List[Tuple[float, float, float]] = []
+    tri_indices: List[Tuple[int, int, int]] = []
+    tri_material: List[int] = []
+    materials: Dict[str, Dict[str, np.ndarray]] = {}
+    mat_order: List[str] = []
+    cur_mat = -1
+
+    with open(path, "r") as f:
+        for raw in f:
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            parts = line.split()
+            key = parts[0]
+            if key == "v":
+                positions.append((float(parts[1]), float(parts[2]), float(parts[3])))
+            elif key == "f":
+                idx = [_resolve_index(t, len(positions)) for t in parts[1:]]
+                # fan triangulation, tinyobjloader default
+                for k in range(len(idx) - 2):
+                    tri_indices.append((idx[0], idx[k + 1], idx[k + 2]))
+                    tri_material.append(cur_mat)
+            elif key == "usemtl":
+                name = parts[1]
+                cur_mat = mat_order.index(name) if name in mat_order else -1
+            elif key == "mtllib":
+                mtl_path = os.path.join(base, parts[1])
+                if os.path.exists(mtl_path):
+                    materials, mat_order = _parse_mtl(mtl_path)
+
+    pos = np.asarray(positions, np.float32)
+    if flip_y and len(pos):
+        pos = pos * np.array([1.0, -1.0, 1.0], np.float32)  # ref main.cpp:42
+
+    ntris = len(tri_indices)
+    vertices = np.zeros((3 * ntris, 3), np.float32)
+    diffuse = np.zeros((ntris, 3), np.float32)
+    emission = np.zeros((ntris, 3), np.float32)
+    mat_ids = np.asarray(tri_material, np.int32)
+    for t, (a, b, c) in enumerate(tri_indices):
+        vertices[3 * t + 0] = pos[a]
+        vertices[3 * t + 1] = pos[b]
+        vertices[3 * t + 2] = pos[c]
+        m = tri_material[t]
+        if m >= 0:
+            diffuse[t] = materials[mat_order[m]]["Kd"]
+            emission[t] = materials[mat_order[m]]["Ke"]
+
+    return Scene(
+        vertices=vertices,
+        indices=np.arange(3 * ntris, dtype=np.uint32),
+        face_diffuse=diffuse,
+        face_emission=emission,
+        material_names=mat_order,
+        face_material_id=mat_ids,
+    )

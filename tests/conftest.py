@@ -1,0 +1,41 @@
+"""Test harness: run everything on CPU jax with 8 virtual devices so
+multi-chip sharding logic (shard_map/psum) is exercised without a TPU pod.
+
+Note: in some environments (e.g. the axon TPU tunnel) jax is already
+imported at interpreter startup, so JAX_PLATFORMS in os.environ is too late;
+``jax.config.update`` works regardless, and XLA_FLAGS still takes effect
+because the CPU client is created lazily on first use.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cornell():
+    from sfvp_tpu import load_obj
+
+    return load_obj()
+
+
+@pytest.fixture(scope="session")
+def cornell_buffers(cornell):
+    from sfvp_tpu import upload
+
+    return upload(cornell)
+
+
+@pytest.fixture()
+def rng_np():
+    return np.random.default_rng(1234)

@@ -1,0 +1,129 @@
+"""Driver, PNG, checkpoint/resume, and CLI tests."""
+
+import json
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from sfvp_tpu import RenderConfig, Renderer
+from sfvp_tpu.render.checkpoint import load_checkpoint, save_checkpoint
+from sfvp_tpu.render.png import tonemap_srgb_u8, tonemap_unorm_u8, write_png
+
+
+def _read_png(path):
+    """Minimal PNG reader (filter-0, 8-bit RGB) for roundtrip testing."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat, w = 8, b"", None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bits, ctype = struct.unpack(">IIBB", payload[:10])
+            assert bits == 8 and ctype == 2
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * 3 + 1
+    rows = [raw[y * stride + 1 : (y + 1) * stride] for y in range(h)]
+    img = np.frombuffer(b"".join(rows), np.uint8).reshape(h, w, 3)
+    return img
+
+
+def test_png_roundtrip(tmp_path):
+    img = (np.arange(16 * 8 * 3, dtype=np.uint32) % 256).astype(np.uint8)
+    img = img.reshape(16, 8, 3)
+    p = str(tmp_path / "x.png")
+    write_png(p, img)
+    np.testing.assert_array_equal(_read_png(p), img)
+
+
+def test_tonemap_unorm_matches_reference_quantization():
+    # imageStore to rgba8 unorm = clamp + round-to-nearest
+    # (ties at .5 are implementation-defined in Vulkan's unorm convert;
+    # avoid testing the tie itself)
+    x = np.asarray([[-0.5, 0.0, 0.499 / 255, 0.51 / 255, 1.0, 2.0]], np.float32)
+    out = tonemap_unorm_u8(x[..., None].repeat(3, -1))
+    np.testing.assert_array_equal(out[0, :, 0], [0, 0, 0, 1, 255, 255])
+
+
+def test_tonemap_srgb_monotonic():
+    x = np.linspace(0, 1, 100, dtype=np.float32).reshape(1, -1, 1).repeat(3, -1)
+    out = tonemap_srgb_u8(x)
+    assert (np.diff(out[0, :, 0].astype(int)) >= 0).all()
+
+
+def test_checkpoint_roundtrip(tmp_path, cornell):
+    cfg = RenderConfig(width=8, height=8, spp_per_step=2, max_depth=2)
+    r = Renderer(cfg, cornell)
+    r.step(3)
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(p, r.state, cfg.config_hash())
+    state, h = load_checkpoint(p, cfg.config_hash())
+    np.testing.assert_array_equal(np.asarray(state.accum), np.asarray(r.state.accum))
+    assert int(state.frame) == 3
+
+
+def test_checkpoint_config_mismatch(tmp_path, cornell):
+    cfg = RenderConfig(width=8, height=8, spp_per_step=2, max_depth=2)
+    r = Renderer(cfg, cornell)
+    r.step(1)
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(p, r.state, cfg.config_hash())
+    with pytest.raises(ValueError, match="hash"):
+        load_checkpoint(p, "deadbeef")
+
+
+def test_resume_continues_running_mean(tmp_path, cornell):
+    """render 4 steps straight == render 2, checkpoint, resume, render 2."""
+    cfg = RenderConfig(width=8, height=8, spp_per_step=2, max_depth=3)
+    a = Renderer(cfg, cornell)
+    a.step(4)
+
+    b = Renderer(cfg, cornell)
+    b.step(2)
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(p, b.state, cfg.config_hash())
+    c = Renderer(cfg, cornell)
+    c.resume(p)
+    c.step(2)
+    np.testing.assert_allclose(
+        np.asarray(a.state.accum), np.asarray(c.state.accum), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_driver_run_writes_outputs(tmp_path, cornell):
+    cfg = RenderConfig(width=8, height=8, spp_per_step=2, max_depth=2)
+    out = str(tmp_path / "img.png")
+    log = str(tmp_path / "log.jsonl")
+    ckpt = str(tmp_path / "c.npz")
+    r = Renderer(cfg, cornell)
+    img = r.run(
+        steps=3, out=out, frame_every=2, checkpoint_path=ckpt,
+        checkpoint_every=2, log_path=log, progress=False,
+    )
+    assert os.path.exists(out)
+    assert os.path.exists(str(tmp_path / "img_step00002.png"))
+    assert os.path.exists(ckpt)
+    recs = [json.loads(l) for l in open(log)]
+    assert len(recs) == 3 and recs[-1]["step"] == 3
+    assert img.shape == (8, 8, 3)
+
+
+def test_cli_smoke(tmp_path):
+    from sfvp_tpu.cli import main
+
+    out = str(tmp_path / "cli.png")
+    rc = main([
+        "--width", "8", "--height", "8", "--steps", "1", "--spp", "2",
+        "--max-depth", "2", "--out", out, "--quiet", "--backend", "jnp",
+    ])
+    assert rc == 0 and os.path.exists(out)
+    img = _read_png(out)
+    assert img.shape == (8, 8, 3)
