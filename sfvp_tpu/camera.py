@@ -9,6 +9,7 @@ Parity target (ref shaders/raygen.rgen:50-57):
   direction = normalize(target - origin)
 
 Generalized as target = center + d.x*right + d.y*up (see CameraConfig).
+SoA core; thin array wrapper for tools/tests.
 """
 
 from __future__ import annotations
@@ -17,31 +18,34 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import CameraConfig
+from .utils import vec
 
 
-def generate_rays(px, py, r1, r2, cam: CameraConfig, width: int, height: int):
+def generate_rays_soa(px, py, r1, r2, cam: CameraConfig, width: int, height: int):
     """px, py: int arrays (pixel column/row); r1, r2: jitter in [0,1].
+    Returns (origin, direction) as component tuples."""
+    dx = (px.astype(jnp.float32) + r1) * np.float32(2.0 / width) - np.float32(1.0)
+    dy = (py.astype(jnp.float32) + r2) * np.float32(2.0 / height) - np.float32(1.0)
 
-    Returns (origin, direction), each (..., 3) float32.
-    """
-    sx = px.astype(jnp.float32) + r1
-    sy = py.astype(jnp.float32) + r2
-    dx = sx * np.float32(2.0 / width) - np.float32(1.0)
-    dy = sy * np.float32(2.0 / height) - np.float32(1.0)
+    cx, cy, cz = (np.float32(c) for c in cam.center)
+    rx, ry, rz = (np.float32(c) for c in cam.right)
+    ux, uy, uz = (np.float32(c) for c in cam.up)
+    ox, oy, oz = (np.float32(c) for c in cam.origin)
 
-    center = jnp.asarray(cam.center, jnp.float32)
-    right = jnp.asarray(cam.right, jnp.float32)
-    up = jnp.asarray(cam.up, jnp.float32)
-    origin = jnp.asarray(cam.origin, jnp.float32)
-
-    target = center + dx[..., None] * right + dy[..., None] * up
-    d = target - origin
-    d = d * jax_rsqrt_sum(d)
-    o = jnp.broadcast_to(origin, d.shape)
+    d = (
+        cx + dx * rx + dy * ux - ox,
+        cy + dx * ry + dy * uy - oy,
+        cz + dx * rz + dy * uz - oz,
+    )
+    d = vec.normalize(d)
+    o = (
+        jnp.full_like(d[0], ox),
+        jnp.full_like(d[1], oy),
+        jnp.full_like(d[2], oz),
+    )
     return o, d
 
 
-def jax_rsqrt_sum(v):
-    import jax.lax as lax
-
-    return lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+def generate_rays(px, py, r1, r2, cam: CameraConfig, width: int, height: int):
+    o, d = generate_rays_soa(px, py, r1, r2, cam, width, height)
+    return vec.to_array(o), vec.to_array(d)

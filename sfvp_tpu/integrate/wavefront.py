@@ -4,7 +4,9 @@ This is the TPU-native reformulation of the reference's per-pixel megakernel
 (ref shaders/raygen.rgen:41-91): instead of one GPU thread looping over
 samples and bounces, a *wave* of rays (pixels x spp_chunk samples) advances
 in lockstep through trace -> shade phases under ``lax.scan``; terminated
-lanes are masked. Everything is static-shaped and jit-compiles to fused XLA.
+lanes are masked. All ray state is SoA — component tuples of (N,) arrays —
+so every VPU op runs with dense lanes (see utils/vec.py). Everything is
+static-shaped and jit-compiles to fused XLA.
 
 Parity-mode semantics preserved exactly (see SURVEY.md §7 quirks):
   - color += weight * emission on EVERY segment, including the miss segment
@@ -29,13 +31,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import rng, sampling
-from ..camera import generate_rays
+from .. import rng
+from ..camera import generate_rays_soa
 from ..config import RenderConfig
-from ..kernels.intersect import Hit, trace_brute_jnp
+from ..kernels.intersect import trace_brute_jnp
+from ..sampling import sample_direction_cosine_soa, sample_direction_uniform_soa
+from ..utils import vec
 
 TWO_PI = np.float32(2.0 * np.pi)
-PI = np.float32(np.pi)
 INV_PI = np.float32(1.0 / np.pi)
 
 
@@ -53,24 +56,23 @@ def init_state(height: int, width: int) -> RenderState:
     )
 
 
-def _normalize(v):
-    return v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-
-
-def shade_inputs(scene, hit: Hit):
-    """Gather per-hit shading data, mirroring the closest-hit shader
+def shade_inputs(scene, hit):
+    """Gather per-hit shading data (SoA), mirroring the closest-hit shader
     (ref shaders/closesthit.rchit:50-65)."""
     prim = jnp.maximum(hit.prim, 0)
-    v0 = scene.v0[prim]
-    v1 = scene.v1[prim]
-    v2 = scene.v2[prim]
+    p0 = (scene.v0x[prim], scene.v0y[prim], scene.v0z[prim])
+    p1 = (scene.v1x[prim], scene.v1y[prim], scene.v1z[prim])
+    p2 = (scene.v2x[prim], scene.v2y[prim], scene.v2z[prim])
     w = 1.0 - hit.u - hit.v
-    position = (
-        v0 * w[..., None] + v1 * hit.u[..., None] + v2 * hit.v[..., None]
+    position = vec.add(
+        vec.add(vec.scale(p0, w), vec.scale(p1, hit.u)), vec.scale(p2, hit.v)
     )
-    normal = -_normalize(jnp.cross(v1 - v0, v2 - v0))
-    diffuse = scene.diffuse[prim]
-    emission = scene.emission[prim]
+    normal = vec.scale(
+        vec.normalize(vec.cross(vec.sub(p1, p0), vec.sub(p2, p0))),
+        np.float32(-1.0),
+    )
+    diffuse = (scene.dr[prim], scene.dg[prim], scene.db[prim])
+    emission = (scene.er[prim], scene.eg[prim], scene.eb[prim])
     return position, normal, diffuse, emission
 
 
@@ -94,7 +96,6 @@ def make_render_step(
     spp = cfg.spp_per_step
     chunk = cfg.spp_chunk
     n_chunks = cfg.spp_chunks()
-    sky = jnp.asarray(cfg.sky_emission, jnp.float32)
     uniform = cfg.sampling == "uniform"
     t_min = np.float32(cfg.t_min)
     t_max = np.float32(cfg.t_max)
@@ -105,19 +106,20 @@ def make_render_step(
         hit = trace_fn(o, d, scene, t_min, t_max, active=active)
         miss = hit.prim < 0
         position, normal, diffuse, emission = shade_inputs(scene, hit)
-        emission = jnp.where(miss[..., None], sky, emission)
+        emission = vec.where(miss, vec.splat(cfg.sky_emission), emission)
 
-        color = color + jnp.where(active[..., None], weight * emission, 0.0)
+        contrib = vec.mul(weight, emission)
+        color = vec.add(color, vec.where(active, contrib, vec.splat((0, 0, 0))))
 
         r1, seed = rng.rand(seed)
         r2, seed = rng.rand(seed)
         if uniform:
-            new_dir = sampling.sample_direction_uniform(r1, r2, normal)
-            cos_t = jnp.sum(new_dir * normal, axis=-1)
+            new_dir = sample_direction_uniform_soa(r1, r2, normal)
+            cos_t = vec.dot(new_dir, normal)
             # brdf = Kd/pi (rchit:61); weight *= brdf*cos/(1/2pi)
-            scale = (diffuse * INV_PI) * (cos_t * TWO_PI)[..., None]
+            scale = vec.scale(diffuse, (INV_PI * TWO_PI) * cos_t)
         else:
-            new_dir = sampling.sample_direction_cosine(r1, r2, normal)
+            new_dir = sample_direction_cosine_soa(r1, r2, normal)
             # pdf = cos/pi cancels the cosine: weight *= Kd
             scale = diffuse
 
@@ -125,17 +127,16 @@ def make_render_step(
         if cfg.use_rr:
             # Russian roulette (extension; OFF in parity mode): from
             # rr_start_depth on, continue with probability p and compensate.
-            p = jnp.clip(jnp.max(weight * scale, axis=-1), 0.05, 0.95)
+            p = jnp.clip(vec.maxc(vec.mul(weight, scale)), 0.05, 0.95)
             r_rr, seed = rng.rand(seed)
             rr_on = depth_idx >= cfg.rr_start_depth
             survive = jnp.logical_not(rr_on) | (r_rr < p)
-            scale = jnp.where(rr_on[..., None] if jnp.ndim(rr_on) else rr_on,
-                              scale / p[..., None], scale)
+            scale = vec.where(rr_on, vec.scale(scale, 1.0 / p), scale)
             cont = cont & survive
 
-        o = jnp.where(cont[..., None], position, o)
-        d = jnp.where(cont[..., None], new_dir, d)
-        weight = jnp.where(cont[..., None], weight * scale, weight)
+        o = vec.where(cont, position, o)
+        d = vec.where(cont, new_dir, d)
+        weight = vec.where(cont, vec.mul(weight, scale), weight)
         done = jnp.logical_not(cont)
         segs = segs + jnp.sum(active.astype(jnp.float32))
         return (o, d, weight, seed, done, color, segs), None
@@ -151,22 +152,24 @@ def make_render_step(
         r2, seed = rng.rand(seed)
         pxc = jnp.broadcast_to(px[None, :], (chunk, n))
         pyc = jnp.broadcast_to(py[None, :], (chunk, n))
-        o, d = generate_rays(pxc, pyc, r1, r2, cfg.camera, gw, gh)
+        o, d = generate_rays_soa(pxc, pyc, r1, r2, cfg.camera, gw, gh)
 
         m = chunk * n
-        o = o.reshape(m, 3)
-        d = d.reshape(m, 3)
+        flat = lambda t3: tuple(a.reshape(m) for a in t3)  # noqa: E731
+        o = flat(o)
+        d = flat(d)
         seed = seed.reshape(m)
-        weight = jnp.ones((m, 3), jnp.float32)
+        weight = vec.splat((1, 1, 1), like=o[0])
         done = jnp.zeros((m,), bool)
-        color = jnp.zeros((m, 3), jnp.float32)
+        color = vec.splat((0, 0, 0), like=o[0])
 
         (o, d, weight, seed, done, color, segs), _ = jax.lax.scan(
             depth_body,
             (o, d, weight, seed, done, color, segs),
             jnp.arange(cfg.max_depth, dtype=jnp.int32),
         )
-        color_sum = color_sum + color.reshape(chunk, n, 3).sum(axis=0)
+        csum = tuple(c.reshape(chunk, n).sum(axis=0) for c in color)
+        color_sum = vec.add(color_sum, csum)
         return (color_sum, segs), None
 
     def render_step(state: RenderState, row0=0) -> RenderState:
@@ -178,13 +181,16 @@ def make_render_step(
         px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
 
         frame = state.frame
-        init = (jnp.zeros((h * w, 3), jnp.float32), jnp.zeros((), jnp.float32))
+        zero3 = vec.splat((0, 0, 0), like=jnp.zeros((h * w,), jnp.float32))
+        init = (zero3, jnp.zeros((), jnp.float32))
         (color_sum, segs), _ = jax.lax.scan(
             partial(chunk_body, px=px, py=py, frame=frame),
             init,
             jnp.arange(n_chunks, dtype=jnp.uint32),
         )
-        color = (color_sum / np.float32(spp)).reshape(h, w, 3)
+        color = vec.to_array(
+            tuple(c.reshape(h, w) for c in color_sum)
+        ) / np.float32(spp)
         f = frame.astype(jnp.float32)
         accum = (color + state.accum * f) / (f + 1.0)
         return RenderState(

@@ -8,10 +8,9 @@ Semantics matched:
   - opaque geometry, closest hit wins
   - valid window t in (t_min, t_max)
 
-Hit records are SoA (the TPU analog of the HitPayload ABI,
-ref shaders/common.glsl:2-9): t (inf on miss), prim (-1 on miss), and
-barycentrics (u, v) so shading can reconstruct the hit position exactly the
-way the closest-hit shader does (ref shaders/closesthit.rchit:56-57).
+All hot-path math is SoA (see utils/vec.py): rays are component tuples of
+(N,) arrays; hit records are SoA fields (the TPU analog of the HitPayload
+ABI, ref shaders/common.glsl:2-9).
 """
 
 from __future__ import annotations
@@ -21,6 +20,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ..utils import vec
 
 INF = np.float32(np.inf)
 _DET_EPS = np.float32(1e-12)
@@ -33,22 +34,26 @@ class Hit(NamedTuple):
     v: jnp.ndarray      # (N,) f32 barycentric
 
 
-def moller_trumbore(o, d, v0, v1, v2, t_min, t_max):
-    """Vectorized Moller-Trumbore, no culling.
+def _as_v3(a):
+    """Accept either an (N, 3) array or an SoA component tuple."""
+    if isinstance(a, (tuple, list)):
+        return tuple(a)
+    return vec.from_array(a)
 
-    o, d: (..., 3); v0/v1/v2: broadcastable to (..., 3).
-    Returns (valid, t, u, v) with shapes (...,).
-    """
-    e1 = v1 - v0
-    e2 = v2 - v0
-    pvec = jnp.cross(d, e2)
-    det = jnp.sum(e1 * pvec, axis=-1)
+
+def moller_trumbore_soa(o, d, p0, p1, p2, t_min, t_max):
+    """SoA Moller-Trumbore, no culling. o, d, p0..p2 are component tuples
+    with broadcastable shapes. Returns (valid, t, u, v)."""
+    e1 = vec.sub(p1, p0)
+    e2 = vec.sub(p2, p0)
+    pv = vec.cross(d, e2)
+    det = vec.dot(e1, pv)
     inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
-    tvec = o - v0
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(d * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    tv = vec.sub(o, p0)
+    u = vec.dot(tv, pv) * inv_det
+    qv = vec.cross(tv, e1)
+    v = vec.dot(d, qv) * inv_det
+    t = vec.dot(e2, qv) * inv_det
     valid = (
         (jnp.abs(det) > _DET_EPS)
         & (u >= 0.0)
@@ -60,16 +65,24 @@ def moller_trumbore(o, d, v0, v1, v2, t_min, t_max):
     return valid, t, u, v
 
 
-def trace_brute_jnp(o, d, scene, t_min, t_max, active=None) -> Hit:
-    """Closest-hit over ALL triangles via a scan (keeps peak memory at
-    O(N_rays), not O(N_rays * N_tris)). Ideal for small scenes where a BVH
-    would add overhead — e.g. the 36-triangle Cornell Box.
+def moller_trumbore(o, d, v0, v1, v2, t_min, t_max):
+    """Array-interface wrapper: o, d (..., 3); v0/v1/v2 broadcastable."""
+    return moller_trumbore_soa(
+        _as_v3(o), _as_v3(d), _as_v3(v0), _as_v3(v1), _as_v3(v2), t_min, t_max
+    )
 
-    o, d: (N, 3). scene: SceneBuffers. active: optional (N,) bool — inactive
-    rays report miss (saves nothing here, but keeps semantics uniform with
-    the compacted paths).
+
+def trace_brute_jnp(o, d, scene, t_min, t_max, active=None) -> Hit:
+    """Closest-hit over ALL triangles via a scan over the scene's SoA
+    columns (peak memory O(N_rays), not O(N_rays * N_tris)). Ideal for
+    small scenes — e.g. the 36-triangle Cornell Box — and the CPU oracle
+    the fused Pallas kernels are tested against.
+
+    o, d: component tuples of (N,) arrays (or (N, 3) arrays).
     """
-    n = o.shape[0]
+    o = _as_v3(o)
+    d = _as_v3(d)
+    n = o[0].shape[0]
     init = (
         jnp.full((n,), INF, jnp.float32),
         jnp.full((n,), -1, jnp.int32),
@@ -77,15 +90,21 @@ def trace_brute_jnp(o, d, scene, t_min, t_max, active=None) -> Hit:
         jnp.zeros((n,), jnp.float32),
     )
 
-    tris = jnp.stack([scene.v0, scene.v1, scene.v2], axis=1)  # (Tp, 3, 3)
-    prim_ids = jnp.arange(tris.shape[0], dtype=jnp.int32)
+    tp = scene.v0x.shape[0]
+    cols = jnp.stack(
+        [scene.v0x, scene.v0y, scene.v0z,
+         scene.v1x, scene.v1y, scene.v1z,
+         scene.v2x, scene.v2y, scene.v2z], axis=1
+    )  # (Tp, 9) — scanned row by row; each row is 9 scalars
+    prim_ids = jnp.arange(tp, dtype=jnp.int32)
 
-    def body(carry, tri):
+    def body(carry, row):
         bt, bp, bu, bv = carry
-        verts, pid = tri
-        valid, t, u, v = moller_trumbore(
-            o, d, verts[0], verts[1], verts[2], t_min, t_max
-        )
+        c, pid = row
+        p0 = (c[0], c[1], c[2])
+        p1 = (c[3], c[4], c[5])
+        p2 = (c[6], c[7], c[8])
+        valid, t, u, v = moller_trumbore_soa(o, d, p0, p1, p2, t_min, t_max)
         closer = valid & (t < bt)
         bt = jnp.where(closer, t, bt)
         bp = jnp.where(closer, pid, bp)
@@ -93,7 +112,7 @@ def trace_brute_jnp(o, d, scene, t_min, t_max, active=None) -> Hit:
         bv = jnp.where(closer, v, bv)
         return (bt, bp, bu, bv), None
 
-    (bt, bp, bu, bv), _ = jax.lax.scan(body, init, (tris, prim_ids))
+    (bt, bp, bu, bv), _ = jax.lax.scan(body, init, (cols, prim_ids))
     if active is not None:
         bt = jnp.where(active, bt, INF)
         bp = jnp.where(active, bp, -1)

@@ -1,6 +1,6 @@
-"""Device-side scene buffers (SoA), the TPU analog of the reference's
-AccelInput Buffers (ref main.cpp:492-494) — plain jnp arrays, laid out for
-vectorized intersection kernels."""
+"""Device-side scene buffers, the TPU analog of the reference's AccelInput
+Buffers (ref main.cpp:492-494) — structure-of-arrays jnp columns laid out
+for dense VPU lanes (see utils/vec.py for why SoA)."""
 
 from __future__ import annotations
 
@@ -11,38 +11,89 @@ import numpy as np
 
 
 class SceneBuffers(NamedTuple):
-    """Triangle soup + materials on device.
+    """Triangle soup + materials on device, fully SoA.
 
-    Triangle vertex SoA is padded to ``pad_to`` triangles so Pallas blocks
-    tile cleanly; padded entries are degenerate (all-zero) triangles that can
-    never be hit (Moller-Trumbore det == 0), and emission/diffuse pads are 0.
+    Padded to ``pad_to`` triangles so kernels tile cleanly; padded entries
+    are degenerate (all-zero) triangles that can never be hit
+    (Moller-Trumbore det == 0) with zero material.
     """
 
-    v0: jnp.ndarray         # (Tp, 3) f32
-    v1: jnp.ndarray         # (Tp, 3) f32
-    v2: jnp.ndarray         # (Tp, 3) f32
-    diffuse: jnp.ndarray    # (Tp, 3) f32  (Kd)
-    emission: jnp.ndarray   # (Tp, 3) f32  (Ke)
-    num_tris: int           # static: real (unpadded) triangle count
+    # vertex components, each (Tp,)
+    v0x: jnp.ndarray
+    v0y: jnp.ndarray
+    v0z: jnp.ndarray
+    v1x: jnp.ndarray
+    v1y: jnp.ndarray
+    v1z: jnp.ndarray
+    v2x: jnp.ndarray
+    v2y: jnp.ndarray
+    v2z: jnp.ndarray
+    # material columns, each (Tp,)
+    dr: jnp.ndarray
+    dg: jnp.ndarray
+    db: jnp.ndarray
+    er: jnp.ndarray
+    eg: jnp.ndarray
+    eb: jnp.ndarray
+    num_tris: int  # static: real (unpadded) triangle count
+
+    # --- convenience AoS views (tests, BVH build, host-side tools) ---
+    @property
+    def v0(self):
+        return jnp.stack([self.v0x, self.v0y, self.v0z], axis=-1)
+
+    @property
+    def v1(self):
+        return jnp.stack([self.v1x, self.v1y, self.v1z], axis=-1)
+
+    @property
+    def v2(self):
+        return jnp.stack([self.v2x, self.v2y, self.v2z], axis=-1)
+
+    @property
+    def diffuse(self):
+        return jnp.stack([self.dr, self.dg, self.db], axis=-1)
+
+    @property
+    def emission(self):
+        return jnp.stack([self.er, self.eg, self.eb], axis=-1)
+
+    @property
+    def padded_tris(self) -> int:
+        return self.v0x.shape[0]
 
 
-def upload(scene, pad_to: Optional[int] = None) -> SceneBuffers:
-    tris = scene.triangles()  # (T, 3, 3)
+def from_arrays(tris: np.ndarray, diffuse: np.ndarray, emission: np.ndarray,
+                pad_to: Optional[int] = None) -> SceneBuffers:
+    """tris: (T, 3, 3); diffuse/emission: (T, 3)."""
+    tris = np.asarray(tris, np.float32)
+    diffuse = np.asarray(diffuse, np.float32)
+    emission = np.asarray(emission, np.float32)
     t = tris.shape[0]
     tp = t if pad_to is None else max(pad_to, t)
 
-    def pad(a, rows):
-        if a.shape[0] == rows:
+    def pad(a):
+        if a.shape[0] == tp:
             return a
-        out = np.zeros((rows,) + a.shape[1:], a.dtype)
+        out = np.zeros((tp,) + a.shape[1:], a.dtype)
         out[: a.shape[0]] = a
         return out
 
-    return SceneBuffers(
-        v0=jnp.asarray(pad(np.ascontiguousarray(tris[:, 0]), tp)),
-        v1=jnp.asarray(pad(np.ascontiguousarray(tris[:, 1]), tp)),
-        v2=jnp.asarray(pad(np.ascontiguousarray(tris[:, 2]), tp)),
-        diffuse=jnp.asarray(pad(scene.face_diffuse, tp)),
-        emission=jnp.asarray(pad(scene.face_emission, tp)),
-        num_tris=t,
+    tris_p = pad(tris)
+    dif_p = pad(diffuse)
+    emi_p = pad(emission)
+    cols = []
+    for corner in range(3):
+        for axis in range(3):
+            cols.append(jnp.asarray(np.ascontiguousarray(tris_p[:, corner, axis])))
+    for axis in range(3):
+        cols.append(jnp.asarray(np.ascontiguousarray(dif_p[:, axis])))
+    for axis in range(3):
+        cols.append(jnp.asarray(np.ascontiguousarray(emi_p[:, axis])))
+    return SceneBuffers(*cols, num_tris=t)
+
+
+def upload(scene, pad_to: Optional[int] = None) -> SceneBuffers:
+    return from_arrays(
+        scene.triangles(), scene.face_diffuse, scene.face_emission, pad_to
     )

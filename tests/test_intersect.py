@@ -6,24 +6,13 @@ import numpy as np
 import jax.numpy as jnp
 
 from sfvp_tpu.kernels.intersect import Hit, moller_trumbore, trace_brute_jnp
-from sfvp_tpu.scene.buffers import SceneBuffers
+from sfvp_tpu.scene.buffers import from_arrays
 
 
 def _buffers(tris, pad_to=None):
     tris = np.asarray(tris, np.float32)
-    t = len(tris)
-    tp = pad_to or t
-    v = np.zeros((tp, 3, 3), np.float32)
-    v[:t] = tris
-    z = np.zeros((tp, 3), np.float32)
-    return SceneBuffers(
-        v0=jnp.asarray(v[:, 0]),
-        v1=jnp.asarray(v[:, 1]),
-        v2=jnp.asarray(v[:, 2]),
-        diffuse=z,
-        emission=z,
-        num_tris=t,
-    )
+    z = np.zeros((len(tris), 3), np.float32)
+    return from_arrays(tris, z, z, pad_to=pad_to)
 
 
 UNIT_TRI = [[0, 0, 0], [1, 0, 0], [0, 1, 0]]  # z=0 plane
