@@ -19,14 +19,12 @@ import time
 def main() -> int:
     import jax
 
-    from sfvp_tpu import RenderConfig, init_state, load_obj, make_render_step, upload
-    from sfvp_tpu.dispatch import select_trace_fn
+    from sfvp_tpu import RenderConfig, init_state, load_obj, upload
+    from sfvp_tpu.dispatch import select_render_step
 
     cfg = RenderConfig(width=1024, height=1024, spp_per_step=32, max_depth=8)
     buffers = upload(load_obj())
-    trace_fn = select_trace_fn(cfg, buffers)
-    step = jax.jit(make_render_step(cfg, buffers, trace_fn=trace_fn),
-                   donate_argnums=(0,))
+    step = jax.jit(select_render_step(cfg, buffers), donate_argnums=(0,))
 
     state = init_state(cfg.height, cfg.width)
     # warmup: compile + one steady-state step

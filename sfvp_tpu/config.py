@@ -92,6 +92,9 @@ class RenderConfig:
     bvh_leaf_size: int = 4
     # "auto": brute force for small scenes, BVH beyond this many triangles.
     brute_force_max_tris: int = 256
+    # ray-block rows (x128 lanes) per Pallas megakernel program; 32 is the
+    # empirical sweet spot on v5e (VMEM live-set vs occupancy).
+    pallas_block_rows: int = 32
 
     def spp_chunks(self):
         if self.spp_per_step % self.spp_chunk != 0:

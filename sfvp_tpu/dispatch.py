@@ -1,19 +1,24 @@
-"""Trace-kernel dispatch: choose the intersection backend from the config
-and scene size. The reference has one hardware path (traceRayEXT); the TPU
-build has several software paths with identical semantics:
+"""Backend dispatch: choose the integrator/trace implementation from the
+config and scene size. The reference has one hardware path (traceRayEXT);
+the TPU build has several software paths with identical semantics:
 
-  - brute/jnp:    scan over triangles, XLA-fused      (small scenes, CPU ok)
-  - brute/pallas: fused Pallas kernel, tris in VMEM    (small scenes, TPU)
-  - bvh/jnp:      threaded-BVH traversal in jnp        (large scenes, CPU ok)
-  - bvh/pallas:   threaded-BVH traversal Pallas kernel (large scenes, TPU)
+  - brute/pallas: fused path-tracing megakernel, tris in VMEM (TPU default
+    for small scenes — the headline Cornell path)
+  - brute/jnp:    scan over triangles, XLA-fused (CPU / oracle)
+  - bvh/jnp:      threaded-BVH traversal in jnp (large scenes on CPU;
+                  correctness oracle for the Pallas BVH kernel)
+  - bvh/pallas:   BVH packet-traversal kernel (large scenes on TPU)
 
-All are tested equivalent on random rays.
+All are tested equivalent on identical sample streams.
 """
 
 from __future__ import annotations
 
+from typing import Callable, Optional
+
 import jax
 
+from .config import RenderConfig
 from .kernels.intersect import trace_brute_jnp
 
 
@@ -24,34 +29,57 @@ def _on_tpu() -> bool:
         return False
 
 
-def select_trace_fn(cfg, buffers):
+def _resolve(cfg: RenderConfig, buffers):
     backend = cfg.backend
     if backend == "auto":
         backend = "pallas" if _on_tpu() else "jnp"
     traversal = cfg.traversal
     if traversal == "auto":
-        traversal = "brute" if buffers.num_tris <= cfg.brute_force_max_tris else "bvh"
+        traversal = (
+            "brute" if buffers.num_tris <= cfg.brute_force_max_tris else "bvh"
+        )
+    return backend, traversal
 
+
+def select_trace_fn(cfg: RenderConfig, buffers) -> Callable:
+    """Trace-function-level dispatch (used by the jnp integrator)."""
+    backend, traversal = _resolve(cfg, buffers)
     if traversal == "brute":
-        if backend == "pallas":
-            try:
-                from .kernels.intersect_pallas import trace_brute_pallas
-
-                return trace_brute_pallas
-            except ImportError:
-                return trace_brute_jnp
         return trace_brute_jnp
-
-    # BVH paths attach the prebuilt BVH to the trace closure.
     from .accel import build_bvh
     from .kernels.bvh_traverse import make_trace_bvh_jnp
 
     bvh = build_bvh(buffers, leaf_size=cfg.bvh_leaf_size)
-    if backend == "pallas":
-        try:
-            from .kernels.bvh_traverse_pallas import make_trace_bvh_pallas
-
-            return make_trace_bvh_pallas(bvh)
-        except ImportError:
-            pass
     return make_trace_bvh_jnp(bvh)
+
+
+def select_render_step(
+    cfg: RenderConfig,
+    buffers,
+    global_shape: Optional[tuple] = None,
+    trace_fn: Optional[Callable] = None,
+) -> Callable:
+    """Integrator-level dispatch: returns render_step(state, row0) -> state.
+
+    An explicit trace_fn pins the jnp integrator (tests/tools)."""
+    from .integrate.wavefront import make_render_step
+
+    if trace_fn is not None:
+        return make_render_step(
+            cfg, buffers, trace_fn=trace_fn, global_shape=global_shape
+        )
+
+    backend, traversal = _resolve(cfg, buffers)
+    if backend == "pallas" and traversal == "brute":
+        from .kernels.megakernel import make_render_step_pallas
+
+        return make_render_step_pallas(
+            cfg, buffers, global_shape=global_shape,
+            block_rows=cfg.pallas_block_rows,
+        )
+    # bvh/pallas packet kernel lands here once available; until then the
+    # jnp traversal is the BVH fallback on all backends.
+    return make_render_step(
+        cfg, buffers, trace_fn=select_trace_fn(cfg, buffers),
+        global_shape=global_shape,
+    )

@@ -36,14 +36,12 @@ class Renderer:
         trace_fn: Optional[Callable] = None,
         donate: bool = True,
     ):
-        from ..dispatch import select_trace_fn
+        from ..dispatch import select_render_step
 
         self.cfg = cfg
         self.scene = scene
         self.buffers = upload(scene)
-        if trace_fn is None:
-            trace_fn = select_trace_fn(cfg, self.buffers)
-        step = make_render_step(cfg, self.buffers, trace_fn=trace_fn)
+        step = select_render_step(cfg, self.buffers, trace_fn=trace_fn)
         self._step = jax.jit(
             lambda s: step(s), donate_argnums=(0,) if donate else ()
         )

@@ -1,0 +1,82 @@
+"""Pallas megakernel equivalence tests (interpret mode on CPU).
+
+The megakernel must produce BITWISE-identical images to the jnp wavefront
+integrator (same formulas, same op order, same PCG streams). Interpret mode
+is slow, so these stay tiny; the same kernel runs compiled on real TPU.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from sfvp_tpu import RenderConfig, init_state, load_obj, make_render_step, upload
+from sfvp_tpu.kernels.megakernel import make_render_step_pallas, scene_table
+
+
+@pytest.fixture(scope="module")
+def buffers():
+    return upload(load_obj())
+
+
+def _compare(cfg, buffers, steps=1):
+    step_jnp = jax.jit(make_render_step(cfg, buffers))
+    step_meg = jax.jit(make_render_step_pallas(cfg, buffers, interpret=True))
+    a = init_state(cfg.height, cfg.width)
+    b = init_state(cfg.height, cfg.width)
+    for _ in range(steps):
+        a = step_jnp(a)
+        b = step_meg(b)
+    return np.asarray(a.accum), np.asarray(b.accum), a, b
+
+
+def test_megakernel_bitwise_equivalence(buffers):
+    cfg = RenderConfig(width=16, height=8, spp_per_step=1, max_depth=2)
+    ia, ib, sa, sb = _compare(cfg, buffers)
+    np.testing.assert_array_equal(ia, ib)
+    assert float(sa.mrays) == float(sb.mrays)
+
+
+def test_megakernel_second_frame_and_accum(buffers):
+    cfg = RenderConfig(width=8, height=8, spp_per_step=2, max_depth=2)
+    ia, ib, sa, sb = _compare(cfg, buffers, steps=2)
+    np.testing.assert_array_equal(ia, ib)
+    assert int(sb.frame) == 2
+
+
+def test_megakernel_cosine_mode(buffers):
+    cfg = RenderConfig(
+        width=8, height=8, spp_per_step=1, max_depth=1, sampling="cosine"
+    )
+    ia, ib, _, _ = _compare(cfg, buffers)
+    np.testing.assert_array_equal(ia, ib)
+
+
+def test_megakernel_nondivisible_wave(buffers):
+    """Wave size not a multiple of 128 lanes (24x24=576 pixels) must pad
+    internally and still match."""
+    cfg = RenderConfig(width=24, height=8, spp_per_step=1, max_depth=1)
+    ia, ib, _, _ = _compare(cfg, buffers)
+    np.testing.assert_array_equal(ia, ib)
+
+
+def test_megakernel_row_offset(buffers):
+    """row0 (sharded band) parity: rendering rows [8,16) of a 16-row image
+    must equal that band of the full render."""
+    cfg = RenderConfig(width=16, height=8, spp_per_step=1, max_depth=1)
+    step_full = jax.jit(make_render_step_pallas(cfg, buffers, interpret=True))
+    full = np.asarray(step_full(init_state(8, 16)).accum)
+
+    band_step = make_render_step_pallas(
+        cfg, buffers, global_shape=(8, 16), interpret=True
+    )
+    band = np.asarray(
+        jax.jit(lambda s: band_step(s, row0=4))(init_state(4, 16)).accum
+    )
+    np.testing.assert_array_equal(band, full[4:])
+
+
+def test_scene_table_layout(buffers):
+    tbl = np.asarray(scene_table(buffers))
+    assert tbl.shape == (16, buffers.padded_tris)
+    np.testing.assert_array_equal(tbl[0], np.asarray(buffers.v0x))
+    np.testing.assert_array_equal(tbl[12], np.asarray(buffers.er))
