@@ -70,7 +70,9 @@ def select_render_step(
         )
 
     backend, traversal = _resolve(cfg, buffers)
-    if backend == "pallas" and traversal == "brute":
+    # the megakernel does not implement NEE yet; NEE renders use the jnp
+    # integrator (still SoA-fast) regardless of backend
+    if backend == "pallas" and traversal == "brute" and not cfg.use_nee:
         from .kernels.megakernel import make_render_step_pallas
 
         return make_render_step_pallas(

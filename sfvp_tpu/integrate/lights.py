@@ -1,0 +1,109 @@
+"""Area-light table for next-event estimation (NEE).
+
+NEE is an extension over the reference integrator (which relies purely on
+BSDF sampling hitting the light, ref shaders/raygen.rgen:62-84): at each
+diffuse hit a point is sampled on an emissive triangle (area-weighted),
+its visibility is tested with a shadow ray, and the direct contribution
+f * Le * G / pdf is added. To stay unbiased, BSDF-path emission is then
+only counted on camera rays and after specular bounces. Lights are treated
+as double-sided, matching the reference's facing-cull-disable behavior
+(ref main.cpp:525).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class LightTable(NamedTuple):
+    v0: tuple   # 3 component arrays (L,)
+    v1: tuple
+    v2: tuple
+    n: tuple    # unit geometric normal components (L,)
+    le: tuple   # emission components (L,)
+    cdf: jnp.ndarray         # (L,) area-weighted selection CDF
+    total_area: float        # static
+    num: int                 # static
+
+
+def build_light_table(scene) -> Optional[LightTable]:
+    """Collect emissive triangles from a host Scene; None if the scene has
+    no area lights."""
+    em = np.asarray(scene.face_emission, np.float32)
+    lit = np.any(em > 0, axis=1)
+    if not lit.any():
+        return None
+    tris = scene.triangles()[lit]  # (L, 3, 3)
+    le = em[lit]
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+    cr = np.cross(e1, e2)
+    area = 0.5 * np.linalg.norm(cr, axis=1)
+    n = cr / np.maximum(np.linalg.norm(cr, axis=1, keepdims=True), 1e-30)
+    total = float(area.sum())
+    cdf = np.cumsum(area) / max(total, 1e-30)
+
+    col = lambda a, i: jnp.asarray(np.ascontiguousarray(a[:, i]))  # noqa: E731
+    return LightTable(
+        v0=(col(tris[:, 0], 0), col(tris[:, 0], 1), col(tris[:, 0], 2)),
+        v1=(col(tris[:, 1], 0), col(tris[:, 1], 1), col(tris[:, 1], 2)),
+        v2=(col(tris[:, 2], 0), col(tris[:, 2], 1), col(tris[:, 2], 2)),
+        n=(col(n, 0), col(n, 1), col(n, 2)),
+        le=(col(le, 0), col(le, 1), col(le, 2)),
+        cdf=jnp.asarray(cdf.astype(np.float32)),
+        total_area=total,
+        num=int(lit.sum()),
+    )
+
+
+def build_light_table_from_buffers(buffers) -> Optional[LightTable]:
+    """Build from SceneBuffers (device columns; converted once on host)."""
+    import types
+
+    t = buffers.num_tris
+    scene = types.SimpleNamespace(
+        face_emission=np.asarray(buffers.emission)[:t],
+        triangles=lambda: np.stack(
+            [
+                np.asarray(buffers.v0)[:t],
+                np.asarray(buffers.v1)[:t],
+                np.asarray(buffers.v2)[:t],
+            ],
+            axis=1,
+        ),
+    )
+    return build_light_table(scene)
+
+
+def sample_light(lights: LightTable, r_sel, r1, r2):
+    """Area-uniform sample over all lights.
+
+    Returns (point (3-tuple), normal (3-tuple), Le (3-tuple), pdf_area).
+    pdf_area == 1/total_area (triangle chosen proportional to area).
+    """
+    # index via CDF compare-sum (L is small; avoids gather)
+    li = jnp.sum(
+        r_sel[..., None] > lights.cdf[(None,) * r_sel.ndim], axis=-1
+    ).astype(jnp.int32)
+    li = jnp.minimum(li, lights.num - 1)
+
+    pick = lambda t3: tuple(c[li] for c in t3)  # noqa: E731
+    v0 = pick(lights.v0)
+    v1 = pick(lights.v1)
+    v2 = pick(lights.v2)
+    n = pick(lights.n)
+    le = pick(lights.le)
+
+    # uniform barycentric (sqrt warp)
+    su = jnp.sqrt(jnp.maximum(r1, 0.0))
+    b0 = 1.0 - su
+    b1 = su * (1.0 - r2)
+    b2 = su * r2
+    point = tuple(
+        a * b0 + b * b1 + c * b2 for a, b, c in zip(v0, v1, v2)
+    )
+    pdf_area = np.float32(1.0 / max(lights.total_area, 1e-30))
+    return point, n, le, pdf_area

@@ -37,6 +37,7 @@ from ..config import RenderConfig
 from ..kernels.intersect import trace_brute_jnp
 from ..sampling import sample_direction_cosine_soa, sample_direction_uniform_soa
 from ..utils import vec
+from .lights import sample_light
 
 TWO_PI = np.float32(2.0 * np.pi)
 INV_PI = np.float32(1.0 / np.pi)
@@ -58,7 +59,7 @@ def init_state(height: int, width: int) -> RenderState:
 
 def shade_inputs(scene, hit):
     """Gather per-hit shading data (SoA), mirroring the closest-hit shader
-    (ref shaders/closesthit.rchit:50-65)."""
+    (ref shaders/closesthit.rchit:50-65) plus the material extensions."""
     prim = jnp.maximum(hit.prim, 0)
     p0 = (scene.v0x[prim], scene.v0y[prim], scene.v0z[prim])
     p1 = (scene.v1x[prim], scene.v1y[prim], scene.v1z[prim])
@@ -73,7 +74,9 @@ def shade_inputs(scene, hit):
     )
     diffuse = (scene.dr[prim], scene.dg[prim], scene.db[prim])
     emission = (scene.er[prim], scene.eg[prim], scene.eb[prim])
-    return position, normal, diffuse, emission
+    specular = (scene.sr[prim], scene.sg[prim], scene.sb[prim])
+    mtype = scene.mtype[prim]
+    return position, normal, diffuse, emission, specular, mtype
 
 
 def make_render_step(
@@ -81,6 +84,7 @@ def make_render_step(
     scene,
     trace_fn: Optional[Callable] = None,
     global_shape: Optional[tuple] = None,
+    lights=None,
 ):
     """Build ``render_step(state, row0) -> state`` for a (local) image of
     shape taken from ``state.accum``.
@@ -89,7 +93,19 @@ def make_render_step(
     unsharded); ``global_shape=(H, W)`` defaults to the config's — rays are
     generated in GLOBAL pixel coordinates so sharded and unsharded renders of
     the same config produce bitwise-identical pixels.
+
+    ``lights``: LightTable for NEE; built automatically from the scene
+    buffers when cfg.use_nee and not provided.
     """
+    import numpy as _np
+
+    if cfg.use_nee and lights is None:
+        from .lights import build_light_table_from_buffers
+
+        lights = build_light_table_from_buffers(scene)
+    has_mirrors = bool(
+        _np.any(_np.asarray(scene.mtype)[: scene.num_tris] > 0)
+    )
     if trace_fn is None:
         trace_fn = trace_brute_jnp
     gh, gw = global_shape if global_shape is not None else (cfg.height, cfg.width)
@@ -99,29 +115,75 @@ def make_render_step(
     uniform = cfg.sampling == "uniform"
     t_min = np.float32(cfg.t_min)
     t_max = np.float32(cfg.t_max)
+    use_nee = cfg.use_nee and lights is not None
 
     def depth_body(carry, depth_idx):
-        o, d, weight, seed, done, color, segs = carry
+        o, d, weight, seed, done, color, segs, count_emit = carry
         active = jnp.logical_not(done)
         hit = trace_fn(o, d, scene, t_min, t_max, active=active)
         miss = hit.prim < 0
-        position, normal, diffuse, emission = shade_inputs(scene, hit)
+        position, normal, diffuse, emission, spec, mtype = shade_inputs(
+            scene, hit
+        )
+        is_mirror = (mtype == 1) & jnp.logical_not(miss)
         emission = vec.where(miss, vec.splat(cfg.sky_emission), emission)
 
+        # With NEE, BSDF-path emission is only counted where the light was
+        # not (and could not be) light-sampled: camera rays, post-specular
+        # bounces, and sky misses (the environment is not in the light
+        # table). Without NEE: every segment (ref raygen.rgen:76).
+        add_emit = active & (count_emit | miss) if use_nee else active
         contrib = vec.mul(weight, emission)
-        color = vec.add(color, vec.where(active, contrib, vec.splat((0, 0, 0))))
+        color = vec.add(color, vec.where(add_emit, contrib, vec.splat((0, 0, 0))))
+
+        if use_nee:
+            r_sel, seed = rng.rand(seed)
+            rl1, seed = rng.rand(seed)
+            rl2, seed = rng.rand(seed)
+            q, nl, le, pdf_area = sample_light(lights, r_sel, rl1, rl2)
+            to_l = vec.sub(q, position)
+            dist2 = jnp.maximum(vec.dot(to_l, to_l), 1e-12)
+            dist = jnp.sqrt(dist2)
+            wl = vec.scale(to_l, 1.0 / dist)
+            cos_s = vec.dot(wl, normal)
+            cos_l = jnp.abs(vec.dot(wl, nl))  # double-sided light
+            shadow_q = active & jnp.logical_not(miss | is_mirror) & (cos_s > 0)
+            sh = trace_fn(
+                position, wl, scene, t_min, dist * np.float32(1.0 - 1e-3),
+                active=shadow_q,
+            )
+            visible = shadow_q & (sh.prim < 0)
+            g_over_pdf = cos_s * cos_l / (dist2 * pdf_area)
+            direct = vec.scale(
+                vec.mul(vec.scale(diffuse, INV_PI), le), g_over_pdf
+            )
+            color = vec.add(
+                color,
+                vec.where(visible, vec.mul(weight, direct), vec.splat((0, 0, 0))),
+            )
 
         r1, seed = rng.rand(seed)
         r2, seed = rng.rand(seed)
         if uniform:
-            new_dir = sample_direction_uniform_soa(r1, r2, normal)
-            cos_t = vec.dot(new_dir, normal)
+            sampled = sample_direction_uniform_soa(r1, r2, normal)
+            cos_t = vec.dot(sampled, normal)
             # brdf = Kd/pi (rchit:61); weight *= brdf*cos/(1/2pi)
             scale = vec.scale(diffuse, (INV_PI * TWO_PI) * cos_t)
         else:
-            new_dir = sample_direction_cosine_soa(r1, r2, normal)
+            sampled = sample_direction_cosine_soa(r1, r2, normal)
             # pdf = cos/pi cancels the cosine: weight *= Kd
             scale = diffuse
+
+        if has_mirrors:
+            # perfect mirror (extension): reflect about the normal flipped
+            # toward the incoming ray (geometry is double-sided)
+            n_dot_d = vec.dot(d, normal)
+            n_f = vec.where(n_dot_d > 0, vec.scale(normal, -1.0), normal)
+            refl = vec.sub(d, vec.scale(n_f, 2.0 * vec.dot(d, n_f)))
+            new_dir = vec.where(is_mirror, refl, sampled)
+            scale = vec.where(is_mirror, spec, scale)
+        else:
+            new_dir = sampled
 
         cont = active & jnp.logical_not(miss)
         if cfg.use_rr:
@@ -138,8 +200,9 @@ def make_render_step(
         d = vec.where(cont, new_dir, d)
         weight = vec.where(cont, vec.mul(weight, scale), weight)
         done = jnp.logical_not(cont)
+        count_emit = is_mirror if use_nee else count_emit
         segs = segs + jnp.sum(active.astype(jnp.float32))
-        return (o, d, weight, seed, done, color, segs), None
+        return (o, d, weight, seed, done, color, segs, count_emit), None
 
     def chunk_body(carry, chunk_idx, px, py, frame):
         color_sum, segs = carry
@@ -162,10 +225,11 @@ def make_render_step(
         weight = vec.splat((1, 1, 1), like=o[0])
         done = jnp.zeros((m,), bool)
         color = vec.splat((0, 0, 0), like=o[0])
+        count_emit = jnp.ones((m,), bool)
 
-        (o, d, weight, seed, done, color, segs), _ = jax.lax.scan(
+        (o, d, weight, seed, done, color, segs, count_emit), _ = jax.lax.scan(
             depth_body,
-            (o, d, weight, seed, done, color, segs),
+            (o, d, weight, seed, done, color, segs, count_emit),
             jnp.arange(cfg.max_depth, dtype=jnp.int32),
         )
         csum = tuple(c.reshape(chunk, n).sum(axis=0) for c in color)

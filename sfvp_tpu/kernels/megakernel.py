@@ -77,14 +77,17 @@ def _pcg2d_vec(vx, vy):
 
 
 def scene_table(scene_buffers) -> jnp.ndarray:
-    """(16, Tp) f32 triangle table: rows 0-8 vertex coords, 9-11 Kd,
-    12-14 Ke, row 15 padding. Read back as scalars inside the kernel."""
+    """(20, Tp) f32 triangle table: rows 0-8 vertex coords, 9-11 Kd,
+    12-14 Ke, 15-17 Ks, 18 material type (as f32), 19 padding. Read back
+    as scalars inside the kernel."""
     cols = [
         scene_buffers.v0x, scene_buffers.v0y, scene_buffers.v0z,
         scene_buffers.v1x, scene_buffers.v1y, scene_buffers.v1z,
         scene_buffers.v2x, scene_buffers.v2y, scene_buffers.v2z,
         scene_buffers.dr, scene_buffers.dg, scene_buffers.db,
         scene_buffers.er, scene_buffers.eg, scene_buffers.eb,
+        scene_buffers.sr, scene_buffers.sg, scene_buffers.sb,
+        scene_buffers.mtype.astype(jnp.float32),
         jnp.zeros_like(scene_buffers.v0x),
     ]
     return jnp.stack(cols, axis=0)
@@ -97,9 +100,13 @@ def make_wave_kernel(
     local_npix: int,
     block_rows: int = 64,
     interpret: Optional[bool] = None,
+    has_mirrors: bool = False,
 ):
     """Build wave_fn(frame, chunk_idx, row0, tri_table) ->
     (color_r, color_g, color_b, segs), each color (chunk*local_npix,) f32.
+
+    has_mirrors (static): compiles in the mirror-BRDF path only when the
+    scene actually contains mirror materials — zero cost in parity mode.
     """
     gh, gw = global_shape
     chunk = cfg.spp_chunk
@@ -151,7 +158,8 @@ def make_wave_kernel(
             t2z = tri_ref[8, i]
             e1 = (t1x - t0x, t1y - t0y, t1z - t0z)
             e2 = (t2x - t0x, t2y - t0y, t2z - t0z)
-            mat = tuple(tri_ref[9 + k, i] for k in range(6))
+            n_mat = 10 if has_mirrors else 6
+            mat = tuple(tri_ref[9 + k, i] for k in range(n_mat))
             tris.append(((t0x, t0y, t0z), (t1x, t1y, t1z), (t2x, t2y, t2z),
                          e1, e2, mat))
 
@@ -206,7 +214,7 @@ def make_wave_kernel(
             b0 = (zero, zero, zero)
             b1 = (zero, zero, zero)
             b2 = (zero, zero, zero)
-            bmat = (zero, zero, zero, zero, zero, zero)
+            bmat = (zero,) * (10 if has_mirrors else 6)
             for (p0, p1, p2, e1, e2, mat) in tris:
                 pvx = d[1] * e2[2] - d[2] * e2[1]
                 pvy = d[2] * e2[0] - d[0] * e2[2]
@@ -298,6 +306,18 @@ def make_wave_kernel(
             else:
                 scale3 = diffuse
 
+            if has_mirrors:
+                # perfect mirror (extension): reflect about the normal
+                # flipped toward the incoming ray (double-sided geometry)
+                is_mirror = (bmat[9] > 0.5) & jnp.logical_not(miss)
+                n_dot_d = vec.dot(d, normal)
+                n_f = vec.where(n_dot_d > 0, vec.scale(normal, -1.0), normal)
+                refl = vec.sub(d, vec.scale(n_f, 2.0 * vec.dot(d, n_f)))
+                new_dir = vec.where(is_mirror, refl, new_dir)
+                scale3 = vec.where(
+                    is_mirror, (bmat[6], bmat[7], bmat[8]), scale3
+                )
+
             cont = active & jnp.logical_not(miss)
             if use_rr and depth >= rr_start:
                 pmax = jnp.clip(
@@ -373,8 +393,13 @@ def make_render_step_pallas(
     spp = cfg.spp_per_step
     chunk = cfg.spp_chunk
     n_chunks = cfg.spp_chunks()
+    import numpy as _np
+
     table = scene_table(scene_buffers)
     num_tris = scene_buffers.num_tris
+    has_mirrors = bool(
+        _np.any(_np.asarray(scene_buffers.mtype)[:num_tris] > 0)
+    )
 
     from ..integrate.wavefront import RenderState
 
@@ -383,7 +408,7 @@ def make_render_step_pallas(
         npix = h * w
         wave = make_wave_kernel(
             cfg, num_tris, (gh, gw), npix, block_rows=block_rows,
-            interpret=interpret,
+            interpret=interpret, has_mirrors=has_mirrors,
         )
         frame = state.frame
 

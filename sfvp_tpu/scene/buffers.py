@@ -35,6 +35,11 @@ class SceneBuffers(NamedTuple):
     er: jnp.ndarray
     eg: jnp.ndarray
     eb: jnp.ndarray
+    # material extensions (BASELINE config 3; zero/diffuse in parity mode)
+    sr: jnp.ndarray      # Ks columns (mirror tint)
+    sg: jnp.ndarray
+    sb: jnp.ndarray
+    mtype: jnp.ndarray   # (Tp,) i32: 0=diffuse, 1=mirror
     num_tris: int  # static: real (unpadded) triangle count
 
     # --- convenience AoS views (tests, BVH build, host-side tools) ---
@@ -59,17 +64,29 @@ class SceneBuffers(NamedTuple):
         return jnp.stack([self.er, self.eg, self.eb], axis=-1)
 
     @property
+    def specular(self):
+        return jnp.stack([self.sr, self.sg, self.sb], axis=-1)
+
+    @property
     def padded_tris(self) -> int:
         return self.v0x.shape[0]
 
 
 def from_arrays(tris: np.ndarray, diffuse: np.ndarray, emission: np.ndarray,
+                specular: Optional[np.ndarray] = None,
+                mat_type: Optional[np.ndarray] = None,
                 pad_to: Optional[int] = None) -> SceneBuffers:
-    """tris: (T, 3, 3); diffuse/emission: (T, 3)."""
+    """tris: (T, 3, 3); diffuse/emission/specular: (T, 3); mat_type: (T,)."""
     tris = np.asarray(tris, np.float32)
     diffuse = np.asarray(diffuse, np.float32)
     emission = np.asarray(emission, np.float32)
     t = tris.shape[0]
+    if specular is None:
+        specular = np.zeros((t, 3), np.float32)
+    if mat_type is None:
+        mat_type = np.zeros((t,), np.int32)
+    specular = np.asarray(specular, np.float32)
+    mat_type = np.asarray(mat_type, np.int32)
     tp = t if pad_to is None else max(pad_to, t)
 
     def pad(a):
@@ -82,18 +99,25 @@ def from_arrays(tris: np.ndarray, diffuse: np.ndarray, emission: np.ndarray,
     tris_p = pad(tris)
     dif_p = pad(diffuse)
     emi_p = pad(emission)
+    spe_p = pad(specular)
+    mt_p = pad(mat_type)
     cols = []
     for corner in range(3):
         for axis in range(3):
             cols.append(jnp.asarray(np.ascontiguousarray(tris_p[:, corner, axis])))
-    for axis in range(3):
-        cols.append(jnp.asarray(np.ascontiguousarray(dif_p[:, axis])))
-    for axis in range(3):
-        cols.append(jnp.asarray(np.ascontiguousarray(emi_p[:, axis])))
+    for arr in (dif_p, emi_p, spe_p):
+        for axis in range(3):
+            cols.append(jnp.asarray(np.ascontiguousarray(arr[:, axis])))
+    cols.append(jnp.asarray(mt_p))
     return SceneBuffers(*cols, num_tris=t)
 
 
 def upload(scene, pad_to: Optional[int] = None) -> SceneBuffers:
     return from_arrays(
-        scene.triangles(), scene.face_diffuse, scene.face_emission, pad_to
+        scene.triangles(),
+        scene.face_diffuse,
+        scene.face_emission,
+        getattr(scene, "face_specular", None),
+        getattr(scene, "face_mat_type", None),
+        pad_to=pad_to,
     )

@@ -38,6 +38,9 @@ class Scene:
     indices: np.ndarray        # (3T,)  uint32 == arange (ref main.cpp:45)
     face_diffuse: np.ndarray   # (T, 3) float32 (Kd)
     face_emission: np.ndarray  # (T, 3) float32 (Ke)
+    # extensions beyond the reference's {Kd, Ke} model (BASELINE config 3):
+    face_specular: np.ndarray = None   # (T, 3) float32 (Ks), mirror tint
+    face_mat_type: np.ndarray = None   # (T,) int32: 0=diffuse, 1=mirror
     material_names: List[str] = dataclasses.field(default_factory=list)
     face_material_id: Optional[np.ndarray] = None  # (T,) int32
 
@@ -69,13 +72,14 @@ def _parse_mtl(path: str) -> Tuple[Dict[str, Dict[str, np.ndarray]], List[str]]:
                     "Ks": np.zeros(3, np.float32),
                     "Ns": np.float32(0.0),
                     "Ni": np.float32(1.0),
+                    "illum": np.float32(2.0),
                 }
                 order.append(cur)
             elif cur is not None and key in ("Kd", "Ke", "Ks"):
                 materials[cur][key] = np.array(
                     [float(parts[1]), float(parts[2]), float(parts[3])], np.float32
                 )
-            elif cur is not None and key in ("Ns", "Ni"):
+            elif cur is not None and key in ("Ns", "Ni", "illum"):
                 materials[cur][key] = np.float32(float(parts[1]))
     return materials, order
 
@@ -132,6 +136,8 @@ def load_obj(path: Optional[str] = None, flip_y: bool = True) -> Scene:
     vertices = np.zeros((3 * ntris, 3), np.float32)
     diffuse = np.zeros((ntris, 3), np.float32)
     emission = np.zeros((ntris, 3), np.float32)
+    specular = np.zeros((ntris, 3), np.float32)
+    mat_type = np.zeros((ntris,), np.int32)
     mat_ids = np.asarray(tri_material, np.int32)
     for t, (a, b, c) in enumerate(tri_indices):
         vertices[3 * t + 0] = pos[a]
@@ -139,14 +145,24 @@ def load_obj(path: Optional[str] = None, flip_y: bool = True) -> Scene:
         vertices[3 * t + 2] = pos[c]
         m = tri_material[t]
         if m >= 0:
-            diffuse[t] = materials[mat_order[m]]["Kd"]
-            emission[t] = materials[mat_order[m]]["Ke"]
+            mat = materials[mat_order[m]]
+            diffuse[t] = mat["Kd"]
+            emission[t] = mat["Ke"]
+            specular[t] = mat["Ks"]
+            # MTL convention: illum >= 3 enables ray-traced reflection;
+            # treated as a perfect mirror tinted by Ks (extension — the
+            # reference's shader model is diffuse+emission only,
+            # ref closesthit.rchit:60-62)
+            if float(mat["illum"]) >= 3.0 and np.any(mat["Ks"] > 0):
+                mat_type[t] = 1
 
     return Scene(
         vertices=vertices,
         indices=np.arange(3 * ntris, dtype=np.uint32),
         face_diffuse=diffuse,
         face_emission=emission,
+        face_specular=specular,
+        face_mat_type=mat_type,
         material_names=mat_order,
         face_material_id=mat_ids,
     )

@@ -77,6 +77,8 @@ def test_megakernel_row_offset(buffers):
 
 def test_scene_table_layout(buffers):
     tbl = np.asarray(scene_table(buffers))
-    assert tbl.shape == (16, buffers.padded_tris)
+    assert tbl.shape == (20, buffers.padded_tris)
     np.testing.assert_array_equal(tbl[0], np.asarray(buffers.v0x))
     np.testing.assert_array_equal(tbl[12], np.asarray(buffers.er))
+    np.testing.assert_array_equal(tbl[15], np.asarray(buffers.sr))
+    np.testing.assert_array_equal(tbl[18], np.asarray(buffers.mtype, dtype=np.float32))
