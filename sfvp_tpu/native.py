@@ -1,0 +1,167 @@
+"""ctypes bindings for the native C++ runtime components (csrc/).
+
+The reference keeps scene ingest and accel builds in C++ (tinyobjloader,
+ref main.cpp:28-58; buildAccelerationStructuresKHR, main.cpp:440-447);
+csrc/sfvp_native.cpp provides their counterparts here. Everything degrades
+gracefully to the pure-Python implementations when the shared library
+hasn't been built — call ``build()`` (runs ``make -C csrc``) or build it
+manually. Outputs are tested identical to the Python implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_CSRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc"
+)
+_LIB_PATH = os.path.join(_CSRC, "libsfvp_native.so")
+_lib = None
+_load_failed = False
+
+
+def build(quiet: bool = True) -> bool:
+    """Compile csrc/libsfvp_native.so; returns True on success."""
+    try:
+        subprocess.run(
+            ["make", "-C", _CSRC],
+            check=True,
+            capture_output=quiet,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        _load_failed = True
+        return None
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.sfvp_load_obj.restype = ctypes.c_void_p
+    lib.sfvp_load_obj.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.sfvp_scene_error.restype = ctypes.c_char_p
+    lib.sfvp_scene_error.argtypes = [ctypes.c_void_p]
+    lib.sfvp_scene_num_tris.restype = ctypes.c_int
+    lib.sfvp_scene_num_tris.argtypes = [ctypes.c_void_p]
+    lib.sfvp_scene_material_names.restype = ctypes.c_char_p
+    lib.sfvp_scene_material_names.argtypes = [ctypes.c_void_p]
+    lib.sfvp_scene_fill.restype = None
+    lib.sfvp_scene_fill.argtypes = [ctypes.c_void_p] + [f32p] * 4 + [i32p] * 2
+    lib.sfvp_scene_free.restype = None
+    lib.sfvp_scene_free.argtypes = [ctypes.c_void_p]
+    lib.sfvp_build_lbvh.restype = ctypes.c_void_p
+    lib.sfvp_build_lbvh.argtypes = [f32p, ctypes.c_int, ctypes.c_int]
+    lib.sfvp_bvh_num_nodes.restype = ctypes.c_int
+    lib.sfvp_bvh_num_nodes.argtypes = [ctypes.c_void_p]
+    lib.sfvp_bvh_fill.restype = None
+    lib.sfvp_bvh_fill.argtypes = (
+        [ctypes.c_void_p] + [f32p] * 2 + [i32p] * 3 + [f32p, i32p]
+    )
+    lib.sfvp_bvh_free.restype = None
+    lib.sfvp_bvh_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _iptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def load_obj_native(path: str, flip_y: bool = True):
+    """Native OBJ/MTL ingest; returns a Scene identical to objload.load_obj
+    or None when the library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    from .scene.objload import Scene
+
+    h = lib.sfvp_load_obj(path.encode(), 1 if flip_y else 0)
+    try:
+        err = lib.sfvp_scene_error(h).decode()
+        if err:
+            raise FileNotFoundError(err)
+        t = lib.sfvp_scene_num_tris(h)
+        vertices = np.empty((3 * t, 3), np.float32)
+        diffuse = np.empty((t, 3), np.float32)
+        emission = np.empty((t, 3), np.float32)
+        specular = np.empty((t, 3), np.float32)
+        mat_type = np.empty((t,), np.int32)
+        mat_id = np.empty((t,), np.int32)
+        lib.sfvp_scene_fill(
+            h, _fptr(vertices), _fptr(diffuse), _fptr(emission),
+            _fptr(specular), _iptr(mat_type), _iptr(mat_id),
+        )
+        names_blob = lib.sfvp_scene_material_names(h).decode()
+        names = names_blob.split("\n") if names_blob else []
+        return Scene(
+            vertices=vertices,
+            indices=np.arange(3 * t, dtype=np.uint32),
+            face_diffuse=diffuse,
+            face_emission=emission,
+            face_specular=specular,
+            face_mat_type=mat_type,
+            material_names=names,
+            face_material_id=mat_id,
+        )
+    finally:
+        lib.sfvp_scene_free(h)
+
+
+def build_lbvh_native(tris: np.ndarray, leaf_size: int = 4):
+    """Native LBVH build; returns a BVH identical to lbvh.bvh_from_arrays
+    or None when the library is unavailable. tris: (T, 3, 3) float32."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    from .accel.lbvh import BVH
+
+    tris = np.ascontiguousarray(np.asarray(tris, np.float32))
+    t = tris.shape[0]
+    h = lib.sfvp_build_lbvh(_fptr(tris), t, leaf_size)
+    try:
+        m = lib.sfvp_bvh_num_nodes(h)
+        bmin = np.empty((m, 3), np.float32)
+        bmax = np.empty((m, 3), np.float32)
+        skip = np.empty((m,), np.int32)
+        first = np.empty((m,), np.int32)
+        count = np.empty((m,), np.int32)
+        tv = np.empty((9, t), np.float32)
+        prim_id = np.empty((t,), np.int32)
+        lib.sfvp_bvh_fill(
+            h, _fptr(bmin), _fptr(bmax), _iptr(skip), _iptr(first),
+            _iptr(count), _fptr(tv), _iptr(prim_id),
+        )
+        return BVH(
+            bmin_x=bmin[:, 0].copy(), bmin_y=bmin[:, 1].copy(),
+            bmin_z=bmin[:, 2].copy(),
+            bmax_x=bmax[:, 0].copy(), bmax_y=bmax[:, 1].copy(),
+            bmax_z=bmax[:, 2].copy(),
+            skip=skip, first=first, count=count,
+            tv=tuple(tv[i].copy() for i in range(9)),
+            prim_id=prim_id,
+        )
+    finally:
+        lib.sfvp_bvh_free(h)

@@ -92,10 +92,29 @@ def _resolve_index(tok: str, nverts: int) -> int:
     return (nverts + i) if i < 0 else (i - 1)
 
 
-def load_obj(path: Optional[str] = None, flip_y: bool = True) -> Scene:
-    """Parse an OBJ (+ its mtllib) into the reference's flat layout."""
+def load_obj(
+    path: Optional[str] = None, flip_y: bool = True, native: str = "auto"
+) -> Scene:
+    """Parse an OBJ (+ its mtllib) into the reference's flat layout.
+
+    native: "auto" uses the C++ loader (csrc/) when its shared library is
+    built, "never" forces this Python parser, "require" errors if the
+    native library is unavailable. Outputs are identical either way
+    (tested).
+    """
     if path is None:
         path = cornell_box_path()
+    if native != "never":
+        from .. import native as native_mod
+
+        scene = native_mod.load_obj_native(path, flip_y)
+        if scene is not None:
+            return scene
+        if native == "require":
+            raise RuntimeError(
+                "native loader requested but csrc/libsfvp_native.so is not "
+                "built (run `make -C csrc`)"
+            )
     base = os.path.dirname(os.path.abspath(path))
 
     positions: List[Tuple[float, float, float]] = []
