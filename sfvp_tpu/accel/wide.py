@@ -1,0 +1,200 @@
+"""8-wide BVH layout for the Pallas packet-traversal kernel.
+
+Why wide: Mosaic allows dynamic indexing of VMEM only along the SUBLANE
+dimension, so a node must be one 128-lane row whose fields are extracted at
+STATIC lane positions. An 8-ary node packs its children's AABBs (SoA: 8
+lanes per coordinate) plus per-child reference and tag; a leaf is one row
+of the triangle table holding 8 triangles x 16 fields (9 vertex coords,
+Kd, Ke, mtype) so intersection and shading data arrive in one load.
+
+Built host-side by collapsing the binary LBVH (accel/lbvh.py — or its
+native C++ twin) three levels at a time; binary leaf_size is forced to 8 so
+every binary leaf maps to exactly one triangle row.
+
+Node row layout (f32 lanes):
+  [ 0: 8)  child bmin_x   [ 8:16) child bmin_y   [16:24) child bmin_z
+  [24:32)  child bmax_x   [32:40) child bmax_y   [40:48) child bmax_z
+  [48:56)  child ref (row index into nodes or tris, stored as f32)
+  [56:64)  child tag: 0 = invalid, 1 = internal, 2 = leaf
+  [64:128) unused
+Triangle row layout: tri k occupies lanes [16k, 16k+16):
+  v0x v0y v0z v1x v1y v1z v2x v2y v2z kd_r kd_g kd_b ke_r ke_g ke_b mtype
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from .lbvh import BVH
+
+TAG_INVALID = 0.0
+TAG_INTERNAL = 1.0
+TAG_LEAF = 2.0
+
+LEAF_TRIS = 8
+TRI_STRIDE = 16
+WIDTH = 8
+
+
+class WideBVH(NamedTuple):
+    nodes: np.ndarray      # (Mi, 128) f32
+    tris: np.ndarray       # (Ml, 128) f32
+    prim_rows: np.ndarray  # (Ml, LEAF_TRIS) i32 original prim ids (-1 pad)
+    max_stack: int         # worst-case traversal stack depth
+
+
+def _binary_children(bvh: BVH, i: int):
+    """Children of internal node i in the DFS skip-link layout:
+    left = i+1, right = skip[left]."""
+    left = i + 1
+    right = int(bvh.skip[left])
+    return left, right
+
+
+def _collect_wide_children(bvh: BVH, root: int, levels: int = 3):
+    """Descendants of `root` cut at `levels` below (or at binary leaves) —
+    up to 2^levels = 8 children."""
+    out = []
+
+    def rec(i, depth):
+        if int(bvh.count[i]) > 0 or depth == levels:
+            out.append(i)
+            return
+        l, r = _binary_children(bvh, i)
+        rec(l, depth + 1)
+        rec(r, depth + 1)
+
+    if int(bvh.count[root]) > 0:
+        return [root]
+    l, r = _binary_children(bvh, root)
+    rec(l, 1)
+    rec(r, 1)
+    return out
+
+
+def build_wide(bvh: BVH, materials: np.ndarray) -> WideBVH:
+    """bvh: binary LBVH with leaf_size <= 8.
+    materials: (T, 7) f32 per ORIGINAL triangle: kd(3), ke(3), mtype(1).
+    """
+    if int(bvh.count.max()) > LEAF_TRIS:
+        raise ValueError("wide BVH requires binary leaf_size <= 8")
+
+    tv = bvh.tv  # 9 sorted-tri coordinate columns
+    prim = bvh.prim_id
+
+    node_rows: list = []
+    tri_rows: list = []
+    prim_rows: list = []
+
+    def emit_leaf_row(first: int, count: int) -> int:
+        row = np.zeros(128, np.float32)
+        prow = np.full(LEAF_TRIS, -1, np.int32)
+        for k in range(count):
+            s = first + k
+            base = TRI_STRIDE * k
+            for c in range(9):
+                row[base + c] = tv[c][s]
+            pid = int(prim[s])
+            prow[k] = pid
+            row[base + 9 : base + 16] = materials[pid]
+        tri_rows.append(row)
+        prim_rows.append(prow)
+        return len(tri_rows) - 1
+
+    # recursive wide emission; explicit stack with patch-up of child refs
+    # (children are emitted after the parent, so refs are patched later)
+    def emit_wide(root: int) -> int:
+        my_idx = len(node_rows)
+        row = np.zeros(128, np.float32)
+        node_rows.append(row)
+        kids = _collect_wide_children(bvh, root)
+        assert 1 <= len(kids) <= WIDTH
+        for c, b in enumerate(kids):
+            row[0 + c] = bvh.bmin_x[b]
+            row[8 + c] = bvh.bmin_y[b]
+            row[16 + c] = bvh.bmin_z[b]
+            row[24 + c] = bvh.bmax_x[b]
+            row[32 + c] = bvh.bmax_y[b]
+            row[40 + c] = bvh.bmax_z[b]
+            if int(bvh.count[b]) > 0:
+                ref = emit_leaf_row(int(bvh.first[b]), int(bvh.count[b]))
+                row[48 + c] = float(ref)
+                row[56 + c] = TAG_LEAF
+            else:
+                ref = emit_wide(b)
+                row[48 + c] = float(ref)
+                row[56 + c] = TAG_INTERNAL
+        # mark remaining slots invalid with never-hit boxes
+        for c in range(len(kids), WIDTH):
+            row[0 + c] = 1.0
+            row[24 + c] = -1.0  # bmin > bmax -> empty slab
+            row[56 + c] = TAG_INVALID
+        return my_idx
+
+    import sys
+
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 100000))
+    try:
+        emit_wide(0)
+    finally:
+        sys.setrecursionlimit(old)
+
+    nodes = np.stack(node_rows).astype(np.float32)
+    tris = (
+        np.stack(tri_rows).astype(np.float32)
+        if tri_rows
+        else np.zeros((1, 128), np.float32)
+    )
+
+    # worst-case stack: depth * (WIDTH-1) + slack; compute exact depth
+    depth = _wide_depth(nodes)
+    max_stack = depth * WIDTH + WIDTH + 2
+
+    return WideBVH(
+        nodes=nodes,
+        tris=tris,
+        prim_rows=np.stack(prim_rows).astype(np.int32),
+        max_stack=int(max_stack),
+    )
+
+
+def _wide_depth(nodes: np.ndarray) -> int:
+    """Tree depth over the emitted wide nodes (children always have larger
+    row indices, so a reverse sweep works)."""
+    m = nodes.shape[0]
+    depth = np.ones(m, np.int64)
+    for i in range(m - 1, -1, -1):
+        for c in range(WIDTH):
+            if nodes[i, 56 + c] == TAG_INTERNAL:
+                depth[i] = max(depth[i], 1 + depth[int(nodes[i, 48 + c])])
+    return int(depth[0])
+
+
+def materials_array(scene_buffers) -> np.ndarray:
+    """(T, 7) albedo/ke/mtype table from SceneBuffers (original tri order).
+
+    The 16-lane tri slot only fits one albedo triple, so mirrors (mtype 1,
+    which never use Kd) store their Ks tint in the albedo lanes."""
+    t = scene_buffers.num_tris
+    mtype = np.asarray(scene_buffers.mtype)[:t]
+    kd = np.asarray(scene_buffers.diffuse)[:t]
+    ks = np.asarray(scene_buffers.specular)[:t]
+    albedo = np.where(mtype[:, None] == 1, ks, kd)
+    return np.concatenate(
+        [
+            albedo,
+            np.asarray(scene_buffers.emission)[:t],
+            mtype[:, None].astype(np.float32),
+        ],
+        axis=1,
+    ).astype(np.float32)
+
+
+def build_wide_from_buffers(scene_buffers, native: str = "auto") -> WideBVH:
+    from .lbvh import build_bvh
+
+    binary = build_bvh(scene_buffers, leaf_size=LEAF_TRIS, native=native)
+    return build_wide(binary, materials_array(scene_buffers))

@@ -37,11 +37,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--log", default=None, help="JSONL metrics sink")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--preview-port", type=int, default=None,
+                   help="serve a live-updating preview at this HTTP port")
+    p.add_argument("--devices", action="store_true",
+                   help="print the device capability report and exit")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.devices:
+        from .utils.diagnostics import print_report
+
+        print_report()
+        return 0
     cfg = RenderConfig(
         width=args.width,
         height=args.height,
@@ -68,6 +77,7 @@ def main(argv=None) -> int:
         log_path=args.log,
         srgb=args.srgb,
         progress=not args.quiet,
+        preview_port=args.preview_port,
     )
     return 0
 

@@ -1,0 +1,280 @@
+"""Pallas packet traversal of the 8-wide BVH — the TPU large-scene trace
+path (replaces the reference's hardware traversal, ref raygen.rgen:63, for
+scenes beyond the brute-force megakernel's reach).
+
+Per grid program, one *packet* of rays (block_rows x 128 lanes) traverses
+the tree through a shared SMEM stack:
+
+    pop a code (positive = internal node row, negative = leaf row)
+    internal: load its 128-lane row (dynamic SUBLANE index — the one
+              dynamic-addressing mode Mosaic allows), slab-test all 8
+              children against every lane, push children any lane hit
+    leaf:     load the triangle row (8 tris x 16 fields) and run masked
+              Moller-Trumbore on all lanes, accumulating closest hit plus
+              the full shade payload (vertices + material) so no XLA
+              gathers are needed downstream
+
+A subtree is skipped iff NO lane in the packet wants it, which is where
+the speedup over brute force comes from; coherent packets (primary and
+shadow rays) skip most of the tree. Node boxes are pruned against each
+lane's current best t. Scene data (node rows + tri rows) stays resident in
+VMEM across the grid (fits up to roughly 150k triangles).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..accel.wide import WideBVH
+
+INF = np.float32(np.inf)
+_BIG = np.float32(1e30)
+
+
+class Payload(NamedTuple):
+    """Closest-hit record + shade data, SoA over rays (miss: t == +inf)."""
+
+    t: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
+    p0: tuple
+    p1: tuple
+    p2: tuple
+    albedo: tuple    # Kd for diffuse, Ks for mirrors (see accel/wide.py)
+    emission: tuple
+    mtype: jnp.ndarray  # f32: 0 diffuse, 1 mirror
+
+
+def make_packet_trace(
+    wide: WideBVH,
+    t_min: float,
+    block_rows: int = 8,
+    interpret: Optional[bool] = None,
+):
+    """Build trace(o, d, t_max, active) -> Payload over (N,) SoA rays.
+
+    t_max: scalar or per-ray (N,) array. active: optional (N,) bool; inactive
+    lanes report miss and never influence traversal.
+    """
+    nodes = jnp.asarray(wide.nodes)
+    tris = jnp.asarray(wide.tris)
+    stack_n = int(wide.max_stack)
+    t_min = np.float32(t_min)
+    lanes = 128
+    r = block_rows
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def kernel(nodes_ref, tris_ref, ox_ref, oy_ref, oz_ref,
+               dx_ref, dy_ref, dz_ref, tmax_ref, *out_refs):
+        stack_ref = out_refs[-1]
+        outs = out_refs[:-1]
+        ox = ox_ref[:]
+        oy = oy_ref[:]
+        oz = oz_ref[:]
+        dx = dx_ref[:]
+        dy = dy_ref[:]
+        dz = dz_ref[:]
+        tmax = tmax_ref[:]
+
+        def safe_inv(c):
+            return jnp.where(
+                jnp.abs(c) > 1e-30, 1.0 / c, jnp.where(c >= 0, _BIG, -_BIG)
+            )
+
+        ivx = safe_inv(dx)
+        ivy = safe_inv(dy)
+        ivz = safe_inv(dz)
+
+        zero = jnp.zeros((r, lanes), jnp.float32)
+        stack_ref[0] = jnp.int32(1)  # root: internal node 0 -> code +1
+
+        init = (
+            jnp.int32(1),                    # sp
+            jnp.full((r, lanes), INF),       # bt
+            zero, zero,                      # bu, bv
+        ) + (zero,) * 16                     # 9 verts + 3 albedo + 3 ke + mtype
+
+        def cond(c):
+            return c[0] > 0
+
+        def body(c):
+            sp = c[0]
+            bt = c[1]
+            bu, bv = c[2], c[3]
+            pay = list(c[4:])
+
+            code = stack_ref[sp - 1]
+            sp = sp - 1
+            is_leaf = code < 0
+            node_idx = jnp.maximum(code - 1, 0)
+            leaf_idx = jnp.maximum(-code - 1, 0)
+
+            nrow = nodes_ref[pl.ds(node_idx, 1), :]
+            trow = tris_ref[pl.ds(leaf_idx, 1), :]
+
+            limit = jnp.minimum(bt, tmax)
+
+            # ---- internal: slab-test 8 children, push any-hit subtrees ----
+            is_node = jnp.logical_not(is_leaf)
+            for ci in range(8):
+                bmnx = nrow[0, 0 + ci]
+                bmny = nrow[0, 8 + ci]
+                bmnz = nrow[0, 16 + ci]
+                bmxx = nrow[0, 24 + ci]
+                bmxy = nrow[0, 32 + ci]
+                bmxz = nrow[0, 40 + ci]
+                tx0 = (bmnx - ox) * ivx
+                tx1 = (bmxx - ox) * ivx
+                ty0 = (bmny - oy) * ivy
+                ty1 = (bmxy - oy) * ivy
+                tz0 = (bmnz - oz) * ivz
+                tz1 = (bmxz - oz) * ivz
+                tnear = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), t_min),
+                )
+                tfar = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.minimum(jnp.maximum(tz0, tz1), limit),
+                )
+                tag = nrow[0, 56 + ci]
+                ref = nrow[0, 48 + ci].astype(jnp.int32)
+                push = is_node & (tag > 0.5) & jnp.any(tnear <= tfar)
+                child_code = jnp.where(tag > 1.5, -(ref + 1), ref + 1)
+
+                @pl.when(push)
+                def _(sp=sp, child_code=child_code):
+                    stack_ref[sp] = child_code
+
+                sp = sp + push.astype(jnp.int32)
+
+            # ---- leaf: masked Moller-Trumbore on 8 packed triangles ----
+            leaf_f = is_leaf  # scalar bool
+            for k in range(8):
+                base = 16 * k
+                t0x = trow[0, base + 0]
+                t0y = trow[0, base + 1]
+                t0z = trow[0, base + 2]
+                t1x = trow[0, base + 3]
+                t1y = trow[0, base + 4]
+                t1z = trow[0, base + 5]
+                t2x = trow[0, base + 6]
+                t2y = trow[0, base + 7]
+                t2z = trow[0, base + 8]
+                e1x, e1y, e1z = t1x - t0x, t1y - t0y, t1z - t0z
+                e2x, e2y, e2z = t2x - t0x, t2y - t0y, t2z - t0z
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                tvx, tvy, tvz = ox - t0x, oy - t0y, oz - t0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                ok = (
+                    leaf_f
+                    & (jnp.abs(det) > 1e-12)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t > t_min)
+                    & (t < tmax)
+                    & (t < bt)
+                )
+                bt = jnp.where(ok, t, bt)
+                bu = jnp.where(ok, u, bu)
+                bv = jnp.where(ok, v, bv)
+                vals = (
+                    t0x, t0y, t0z, t1x, t1y, t1z, t2x, t2y, t2z,
+                    trow[0, base + 9], trow[0, base + 10], trow[0, base + 11],
+                    trow[0, base + 12], trow[0, base + 13], trow[0, base + 14],
+                    trow[0, base + 15],
+                )
+                pay = [jnp.where(ok, s + zero, p) for s, p in zip(vals, pay)]
+
+            return (sp, bt, bu, bv) + tuple(pay)
+
+        final = jax.lax.while_loop(cond, body, init)
+        bt, bu, bv = final[1], final[2], final[3]
+        pay = final[4:]
+        outs[0][:] = bt
+        outs[1][:] = bu
+        outs[2][:] = bv
+        for i in range(16):
+            outs[3 + i][:] = pay[i]
+
+    n_out = 19
+
+    def trace(o, d, t_max, active=None) -> Payload:
+        from .intersect import _as_v3
+
+        o = _as_v3(o)
+        d = _as_v3(d)
+        n = o[0].shape[0]
+        rows_total = -(-n // lanes)
+        rows_padded = -(-rows_total // r) * r
+        grid = rows_padded // r
+        pad = rows_padded * lanes - n
+
+        tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+        if active is not None:
+            tmax = jnp.where(active, tmax, np.float32(-np.inf))
+
+        def plane(a, fill=0.0):
+            a = jnp.pad(a, (0, pad), constant_values=fill)
+            return a.reshape(rows_padded, lanes)
+
+        # padded lanes get tmax=-inf so they never assert box hits
+        args = [
+            plane(o[0]), plane(o[1]), plane(o[2]),
+            plane(d[0]), plane(d[1]), plane(d[2]),
+            plane(tmax, fill=-np.inf),
+        ]
+
+        blk = pl.BlockSpec((r, lanes), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ] + [blk] * 7,
+            out_specs=[blk] * n_out,
+            out_shape=[
+                jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32)
+            ] * n_out,
+            scratch_shapes=[pltpu.SMEM((stack_n,), jnp.int32)],
+            interpret=interpret,
+        )(nodes, tris, *args)
+
+        flat = lambda a: a.reshape(-1)[:n]  # noqa: E731
+        o19 = [flat(a) for a in outs]
+        bt = o19[0]
+        if active is not None:
+            bt = jnp.where(active, bt, INF)
+        return Payload(
+            t=bt,
+            u=o19[1],
+            v=o19[2],
+            p0=(o19[3], o19[4], o19[5]),
+            p1=(o19[6], o19[7], o19[8]),
+            p2=(o19[9], o19[10], o19[11]),
+            albedo=(o19[12], o19[13], o19[14]),
+            emission=(o19[15], o19[16], o19[17]),
+            mtype=o19[18],
+        )
+
+    return trace

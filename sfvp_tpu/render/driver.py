@@ -69,9 +69,18 @@ class Renderer:
         log_path: Optional[str] = None,
         srgb: bool = False,
         progress: bool = True,
+        preview_port: Optional[int] = None,
     ) -> np.ndarray:
         tonemap = tonemap_srgb_u8 if srgb else tonemap_unorm_u8
         log_f = open(log_path, "a") if log_path else None
+        preview = None
+        if preview_port is not None:
+            from .preview import PreviewServer
+
+            preview = PreviewServer(port=preview_port, srgb=srgb)
+            if progress:
+                print(f"live preview: http://127.0.0.1:{preview.port}/",
+                      flush=True)
         spp_step = self.cfg.spp_per_step
         try:
             t_prev = time.perf_counter()
@@ -113,6 +122,8 @@ class Renderer:
                         f"{rec['mrays_per_s']:8.1f} Mray/s",
                         flush=True,
                     )
+                if preview is not None:
+                    preview.update(self.image())
                 if frame_every and (i + 1) % frame_every == 0 and out:
                     base, ext = os.path.splitext(out)
                     write_png(f"{base}_step{frame:05d}{ext or '.png'}",
@@ -134,6 +145,8 @@ class Renderer:
         finally:
             if log_f:
                 log_f.close()
+            if preview is not None:
+                preview.close()
 
 
 def render(cfg: RenderConfig, scene: Scene, steps: int, **kwargs) -> np.ndarray:

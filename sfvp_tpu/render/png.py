@@ -39,8 +39,8 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def write_png(path: str, rgb_u8: np.ndarray) -> None:
-    """Write an (H, W, 3) uint8 array as an 8-bit RGB PNG."""
+def encode_png(rgb_u8: np.ndarray, compress_level: int = 6) -> bytes:
+    """Encode an (H, W, 3) uint8 array as 8-bit RGB PNG bytes."""
     img = np.asarray(rgb_u8)
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
         raise ValueError(f"expected (H, W, 3) uint8, got {img.shape} {img.dtype}")
@@ -48,11 +48,15 @@ def write_png(path: str, rgb_u8: np.ndarray) -> None:
     header = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     # filter byte 0 per scanline
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
-    data = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", header)
-        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IDAT", zlib.compress(raw, compress_level))
         + _chunk(b"IEND", b"")
     )
+
+
+def write_png(path: str, rgb_u8: np.ndarray) -> None:
+    """Write an (H, W, 3) uint8 array as an 8-bit RGB PNG."""
     with open(path, "wb") as f:
-        f.write(data)
+        f.write(encode_png(rgb_u8))

@@ -1,0 +1,137 @@
+"""Aux subsystems (SURVEY.md §5): refit, instancing, preview server,
+diagnostics, profiling hooks."""
+
+import json
+import urllib.request
+
+import numpy as np
+import jax
+import pytest
+
+from sfvp_tpu.accel.instances import Instance, flatten_instances, identity_instance
+from sfvp_tpu.accel.lbvh import bvh_from_arrays, check_invariants
+from sfvp_tpu.accel.refit import make_refit, refit_bvh
+from sfvp_tpu.kernels.bvh_traverse import make_trace_bvh_jnp
+from sfvp_tpu.kernels.intersect import trace_brute_jnp
+from sfvp_tpu.scene.buffers import from_arrays
+from sfvp_tpu.utils.diagnostics import check_capabilities, device_report
+
+
+def _soup(n, seed=0):
+    g = np.random.default_rng(seed)
+    return (
+        g.uniform(-5, 5, (n, 1, 3)) + g.normal(0, 0.5, (n, 3, 3))
+    ).astype(np.float32)
+
+
+def test_refit_matches_fresh_build_bounds():
+    tris = _soup(300, seed=1)
+    bvh = bvh_from_arrays(tris, leaf_size=4)
+    # deform: translate + squash
+    moved = tris * np.float32(0.8) + np.float32(0.3)
+    tv_new = tuple(
+        np.ascontiguousarray(moved[bvh.prim_id][:, c, a])
+        for c in range(3)
+        for a in range(3)
+    )
+    refitted = refit_bvh(bvh, tv_new)
+    # bounds must contain contents (invariants still hold)
+    check_invariants(refitted, moved)
+    # root bound equals the new scene bound
+    np.testing.assert_allclose(
+        [refitted.bmin_x[0], refitted.bmin_y[0], refitted.bmin_z[0]],
+        moved.reshape(-1, 3).min(0),
+        rtol=1e-6,
+    )
+
+
+def test_refit_traversal_correct():
+    tris = _soup(200, seed=2)
+    bvh = bvh_from_arrays(tris, leaf_size=4)
+    moved = (tris + np.float32(1.5)).astype(np.float32)
+    tv_new = tuple(
+        np.ascontiguousarray(moved[bvh.prim_id][:, c, a])
+        for c in range(3)
+        for a in range(3)
+    )
+    refitted = refit_bvh(bvh, tv_new)
+    z = np.zeros((len(moved), 3), np.float32)
+    buffers = from_arrays(moved, z, z)
+    g = np.random.default_rng(3)
+    o = np.asarray(g.uniform(-5, 7, (256, 3)), np.float32)
+    d = g.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    h_ref = trace_brute_jnp(o, d, buffers, 1e-3, 1e4)
+    h_bvh = make_trace_bvh_jnp(refitted)(o, d, buffers, 1e-3, 1e4)
+    np.testing.assert_array_equal(
+        np.isinf(np.asarray(h_ref.t)), np.isinf(np.asarray(h_bvh.t))
+    )
+    fin = np.isfinite(np.asarray(h_ref.t))
+    np.testing.assert_allclose(
+        np.asarray(h_bvh.t)[fin], np.asarray(h_ref.t)[fin], rtol=1e-5
+    )
+
+
+def test_instances_flatten(cornell):
+    t = np.hstack([np.eye(3, dtype=np.float32) * 2.0,
+                   np.asarray([[1.0], [0.0], [-1.0]], np.float32)])
+    merged = flatten_instances([identity_instance(cornell),
+                                Instance(scene=cornell, transform=t)])
+    assert merged.num_triangles == 2 * cornell.num_triangles
+    # second copy scaled+translated
+    np.testing.assert_allclose(
+        merged.vertices[cornell.vertices.shape[0]:],
+        cornell.vertices * 2.0 + np.asarray([1.0, 0.0, -1.0]),
+        rtol=1e-6,
+    )
+    assert len(merged.material_names) == 2 * len(cornell.material_names)
+    # reference parity: single identity instance == original mesh
+    single = flatten_instances([identity_instance(cornell)])
+    np.testing.assert_array_equal(single.vertices, cornell.vertices)
+
+
+def test_instance_transform_validation(cornell):
+    with pytest.raises(ValueError, match="3, 4"):
+        Instance(scene=cornell, transform=np.eye(4, dtype=np.float32))
+
+
+def test_preview_server_roundtrip():
+    from sfvp_tpu.render.preview import PreviewServer
+
+    pv = PreviewServer(port=0)
+    try:
+        img = np.random.default_rng(0).random((16, 16, 3)).astype(np.float32)
+        pv.update(img)
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{pv.port}/", timeout=5
+        ).read()
+        assert b"live preview" in page
+        png = urllib.request.urlopen(
+            f"http://127.0.0.1:{pv.port}/frame.png", timeout=5
+        ).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        pv.close()
+
+
+def test_device_report_and_capabilities():
+    rep = device_report()
+    assert len(rep) >= 1 and "platform" in rep[0]
+    check_capabilities(min_devices=1)
+    with pytest.raises(RuntimeError, match="capability check failed"):
+        check_capabilities(min_devices=10**6)
+
+
+def test_profiling_scopes_and_timer():
+    from sfvp_tpu.utils.profiling import StepTimer, named_scope
+
+    @jax.jit
+    def f(x):
+        with named_scope("sfvp_test_phase"):
+            return x * 2
+
+    assert float(f(jax.numpy.asarray(2.0))) == 4.0
+    timer = StepTimer()
+    with timer.phase("trace"):
+        pass
+    assert "trace" in timer.summary()
