@@ -95,6 +95,9 @@ class RenderConfig:
     # ray-block rows (x128 lanes) per Pallas megakernel program; 32 is the
     # empirical sweet spot on v5e (VMEM live-set vs occupancy).
     pallas_block_rows: int = 32
+    # packet size (rows x 128 rays) for the BVH packet-traversal kernel;
+    # smaller packets cull better, larger ones amortize node loads.
+    packet_block_rows: int = 8
 
     def spp_chunks(self):
         if self.spp_per_step % self.spp_chunk != 0:

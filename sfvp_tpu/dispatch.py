@@ -79,8 +79,21 @@ def select_render_step(
             cfg, buffers, global_shape=global_shape,
             block_rows=cfg.pallas_block_rows,
         )
-    # bvh/pallas packet kernel lands here once available; until then the
-    # jnp traversal is the BVH fallback on all backends.
+    if backend == "pallas" and traversal == "bvh":
+        # packet-traversal kernel returns the full shade payload (no XLA
+        # gathers); used for large scenes on TPU
+        from .accel.wide import build_wide_from_buffers
+        from .kernels.bvh_packet import make_packet_trace
+
+        wide = build_wide_from_buffers(buffers)
+        trace_payload = make_packet_trace(
+            wide, t_min=cfg.t_min, block_rows=cfg.packet_block_rows
+        )
+        return make_render_step(
+            cfg, buffers, global_shape=global_shape,
+            trace_payload_fn=trace_payload,
+        )
+    # jnp traversal is the BVH fallback on CPU (correctness oracle)
     return make_render_step(
         cfg, buffers, trace_fn=select_trace_fn(cfg, buffers),
         global_shape=global_shape,

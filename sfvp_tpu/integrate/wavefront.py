@@ -85,6 +85,7 @@ def make_render_step(
     trace_fn: Optional[Callable] = None,
     global_shape: Optional[tuple] = None,
     lights=None,
+    trace_payload_fn: Optional[Callable] = None,
 ):
     """Build ``render_step(state, row0) -> state`` for a (local) image of
     shape taken from ``state.accum``.
@@ -96,6 +97,11 @@ def make_render_step(
 
     ``lights``: LightTable for NEE; built automatically from the scene
     buffers when cfg.use_nee and not provided.
+
+    ``trace_payload_fn(o, d, t_max, active) -> Payload``: alternative trace
+    that returns the full shade payload directly (the Pallas BVH packet
+    kernel) — avoids XLA gathers entirely. Mutually exclusive with
+    trace_fn.
     """
     import numpy as _np
 
@@ -117,14 +123,49 @@ def make_render_step(
     t_max = np.float32(cfg.t_max)
     use_nee = cfg.use_nee and lights is not None
 
+    use_payload = trace_payload_fn is not None
+
+    def _shade_from_payload(pay):
+        """Derive shading inputs from a packet-trace Payload (no gathers);
+        same math as shade_inputs/closesthit.rchit."""
+        miss = jnp.isinf(pay.t)
+        w = 1.0 - pay.u - pay.v
+        position = vec.add(
+            vec.add(vec.scale(pay.p0, w), vec.scale(pay.p1, pay.u)),
+            vec.scale(pay.p2, pay.v),
+        )
+        nrm = vec.cross(vec.sub(pay.p1, pay.p0), vec.sub(pay.p2, pay.p0))
+        inv_len = jax.lax.rsqrt(jnp.maximum(vec.dot(nrm, nrm), 1e-30))
+        normal = vec.scale(nrm, -inv_len)
+        # the wide layout stores Ks in the albedo lanes for mirrors
+        return miss, position, normal, pay.albedo, pay.emission, pay.albedo, pay.mtype
+
+    def _shadow_occluded(position, wl, dist, shadow_q):
+        if use_payload:
+            sh = trace_payload_fn(
+                position, wl, dist * np.float32(1.0 - 1e-3), active=shadow_q
+            )
+            return jnp.isfinite(sh.t)
+        sh = trace_fn(
+            position, wl, scene, t_min, dist * np.float32(1.0 - 1e-3),
+            active=shadow_q,
+        )
+        return sh.prim >= 0
+
     def depth_body(carry, depth_idx):
         o, d, weight, seed, done, color, segs, count_emit = carry
         active = jnp.logical_not(done)
-        hit = trace_fn(o, d, scene, t_min, t_max, active=active)
-        miss = hit.prim < 0
-        position, normal, diffuse, emission, spec, mtype = shade_inputs(
-            scene, hit
-        )
+        if use_payload:
+            pay = trace_payload_fn(o, d, t_max, active=active)
+            miss, position, normal, diffuse, emission, spec, mtype = (
+                _shade_from_payload(pay)
+            )
+        else:
+            hit = trace_fn(o, d, scene, t_min, t_max, active=active)
+            miss = hit.prim < 0
+            position, normal, diffuse, emission, spec, mtype = shade_inputs(
+                scene, hit
+            )
         is_mirror = (mtype == 1) & jnp.logical_not(miss)
         emission = vec.where(miss, vec.splat(cfg.sky_emission), emission)
 
@@ -148,11 +189,8 @@ def make_render_step(
             cos_s = vec.dot(wl, normal)
             cos_l = jnp.abs(vec.dot(wl, nl))  # double-sided light
             shadow_q = active & jnp.logical_not(miss | is_mirror) & (cos_s > 0)
-            sh = trace_fn(
-                position, wl, scene, t_min, dist * np.float32(1.0 - 1e-3),
-                active=shadow_q,
-            )
-            visible = shadow_q & (sh.prim < 0)
+            occluded = _shadow_occluded(position, wl, dist, shadow_q)
+            visible = shadow_q & jnp.logical_not(occluded)
             g_over_pdf = cos_s * cos_l / (dist2 * pdf_area)
             direct = vec.scale(
                 vec.mul(vec.scale(diffuse, INV_PI), le), g_over_pdf
