@@ -196,14 +196,14 @@ def build_bvh(scene_buffers, leaf_size: int = 4, native: str = "auto") -> BVH:
     Prefers the C++ builder (csrc/, ~13x faster at 500k tris) when built;
     its output is bit-identical to the NumPy builder (tested)."""
     t = scene_buffers.num_tris
-    tris = np.stack(
-        [
-            np.asarray(scene_buffers.v0)[:t],
-            np.asarray(scene_buffers.v1)[:t],
-            np.asarray(scene_buffers.v2)[:t],
-        ],
-        axis=1,
-    )
+    # stack on HOST from the SoA columns — going through the jnp .v0/.v1/.v2
+    # properties would dispatch (and remote-compile) device ops per call
+    cols = [
+        np.asarray(getattr(scene_buffers, f))[:t]
+        for f in ("v0x", "v0y", "v0z", "v1x", "v1y", "v1z",
+                  "v2x", "v2y", "v2z")
+    ]
+    tris = np.stack(cols, axis=1).reshape(t, 3, 3)
     if native != "never":
         from .. import native as native_mod
 

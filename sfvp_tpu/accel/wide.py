@@ -85,23 +85,11 @@ def build_wide(bvh: BVH, materials: np.ndarray) -> WideBVH:
     prim = bvh.prim_id
 
     node_rows: list = []
-    tri_rows: list = []
-    prim_rows: list = []
+    leaf_ranges: list = []  # (first, count) per leaf row; rows built in bulk
 
     def emit_leaf_row(first: int, count: int) -> int:
-        row = np.zeros(128, np.float32)
-        prow = np.full(LEAF_TRIS, -1, np.int32)
-        for k in range(count):
-            s = first + k
-            base = TRI_STRIDE * k
-            for c in range(9):
-                row[base + c] = tv[c][s]
-            pid = int(prim[s])
-            prow[k] = pid
-            row[base + 9 : base + 16] = materials[pid]
-        tri_rows.append(row)
-        prim_rows.append(prow)
-        return len(tri_rows) - 1
+        leaf_ranges.append((first, count))
+        return len(leaf_ranges) - 1
 
     # recursive wide emission; explicit stack with patch-up of child refs
     # (children are emitted after the parent, so refs are patched later)
@@ -143,11 +131,29 @@ def build_wide(bvh: BVH, materials: np.ndarray) -> WideBVH:
         sys.setrecursionlimit(old)
 
     nodes = np.stack(node_rows).astype(np.float32)
-    tris = (
-        np.stack(tri_rows).astype(np.float32)
-        if tri_rows
-        else np.zeros((1, 128), np.float32)
-    )
+
+    # bulk-build all leaf rows (vectorized — the per-leaf Python loop was
+    # the build bottleneck at 100k tris)
+    if leaf_ranges:
+        ts = tv[0].shape[0]
+        firsts = np.asarray([r[0] for r in leaf_ranges], np.int64)
+        counts = np.asarray([r[1] for r in leaf_ranges], np.int64)
+        k = np.arange(LEAF_TRIS)
+        idx = firsts[:, None] + k[None, :]                 # (L, 8)
+        valid = k[None, :] < counts[:, None]
+        sidx = np.clip(idx, 0, ts - 1)
+        tris = np.zeros((len(leaf_ranges), 128), np.float32)
+        vmask = valid.astype(np.float32)
+        for kk in range(LEAF_TRIS):
+            base = TRI_STRIDE * kk
+            for c in range(9):
+                tris[:, base + c] = tv[c][sidx[:, kk]] * vmask[:, kk]
+            mats = materials[prim[sidx[:, kk]]] * vmask[:, kk, None]
+            tris[:, base + 9 : base + 9 + materials.shape[1]] = mats
+        prim_rows = np.where(valid, prim[sidx], -1).astype(np.int32)
+    else:
+        tris = np.zeros((1, 128), np.float32)
+        prim_rows = np.full((1, LEAF_TRIS), -1, np.int32)
 
     # worst-case stack: depth * (WIDTH-1) + slack; compute exact depth
     depth = _wide_depth(nodes)
@@ -156,7 +162,7 @@ def build_wide(bvh: BVH, materials: np.ndarray) -> WideBVH:
     return WideBVH(
         nodes=nodes,
         tris=tris,
-        prim_rows=np.stack(prim_rows).astype(np.int32),
+        prim_rows=prim_rows,
         max_stack=int(max_stack),
     )
 
@@ -179,17 +185,14 @@ def materials_array(scene_buffers) -> np.ndarray:
     The 16-lane tri slot only fits one albedo triple, so mirrors (mtype 1,
     which never use Kd) store their Ks tint in the albedo lanes."""
     t = scene_buffers.num_tris
-    mtype = np.asarray(scene_buffers.mtype)[:t]
-    kd = np.asarray(scene_buffers.diffuse)[:t]
-    ks = np.asarray(scene_buffers.specular)[:t]
+    col = lambda f: np.asarray(getattr(scene_buffers, f))[:t]  # noqa: E731
+    mtype = col("mtype")
+    kd = np.stack([col("dr"), col("dg"), col("db")], axis=1)
+    ks = np.stack([col("sr"), col("sg"), col("sb")], axis=1)
+    ke = np.stack([col("er"), col("eg"), col("eb")], axis=1)
     albedo = np.where(mtype[:, None] == 1, ks, kd)
     return np.concatenate(
-        [
-            albedo,
-            np.asarray(scene_buffers.emission)[:t],
-            mtype[:, None].astype(np.float32),
-        ],
-        axis=1,
+        [albedo, ke, mtype[:, None].astype(np.float32)], axis=1
     ).astype(np.float32)
 
 

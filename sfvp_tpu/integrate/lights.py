@@ -64,16 +64,15 @@ def build_light_table_from_buffers(buffers) -> Optional[LightTable]:
     import types
 
     t = buffers.num_tris
+    col = lambda f: np.asarray(getattr(buffers, f))[:t]  # noqa: E731
     scene = types.SimpleNamespace(
-        face_emission=np.asarray(buffers.emission)[:t],
+        face_emission=np.stack([col("er"), col("eg"), col("eb")], axis=1),
         triangles=lambda: np.stack(
-            [
-                np.asarray(buffers.v0)[:t],
-                np.asarray(buffers.v1)[:t],
-                np.asarray(buffers.v2)[:t],
-            ],
+            [col("v0x"), col("v0y"), col("v0z"),
+             col("v1x"), col("v1y"), col("v1z"),
+             col("v2x"), col("v2y"), col("v2z")],
             axis=1,
-        ),
+        ).reshape(t, 3, 3),
     )
     return build_light_table(scene)
 

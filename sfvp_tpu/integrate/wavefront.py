@@ -124,6 +124,54 @@ def make_render_step(
     use_nee = cfg.use_nee and lights is not None
 
     use_payload = trace_payload_fn is not None
+    do_sort = use_payload and cfg.sort_bounce_rays
+    if do_sort:
+        # static scene bounds for the morton sort key
+        cols = {
+            f: _np.asarray(getattr(scene, f))[: scene.num_tris]
+            for f in ("v0x", "v0y", "v0z", "v1x", "v1y", "v1z",
+                      "v2x", "v2y", "v2z")
+        }
+        lo = np.asarray(
+            [min(cols[f"v{c}{a}"].min() for c in range(3)) for a in "xyz"],
+            np.float32,
+        )
+        hi = np.asarray(
+            [max(cols[f"v{c}{a}"].max() for c in range(3)) for a in "xyz"],
+            np.float32,
+        )
+        inv_extent = 1.0 / np.maximum(hi - lo, 1e-6)
+
+    def _sort_key(o, d, done):
+        """(direction octant << 21) | 7-bit-per-axis position morton;
+        dead rays get the max key so they compact into all-dead packets."""
+
+        def q7(c, a):
+            x = jnp.clip((c - lo[a]) * inv_extent[a], 0.0, 1.0)
+            return (x * 127.0).astype(jnp.int32)
+
+        def expand7(v):
+            # interleave 7 bits with 2-bit gaps (morton, 21 bits total)
+            v = (v | (v << 8)) & 0x100F00F
+            v = (v | (v << 4)) & 0x10C30C3
+            v = (v | (v << 2)) & 0x1249249
+            return v
+
+        morton = (
+            (expand7(q7(o[0], 0)) << 2)
+            | (expand7(q7(o[1], 1)) << 1)
+            | expand7(q7(o[2], 2))
+        )
+        octant = (
+            (d[0] >= 0).astype(jnp.int32) * 4
+            + (d[1] >= 0).astype(jnp.int32) * 2
+            + (d[2] >= 0).astype(jnp.int32)
+        )
+        # octant-major measured faster than position-major on the 100k-tri
+        # sphere (16.0s vs 20.1s/step): direction alignment bounds the
+        # packet's traversal cone more tightly than origin clustering
+        key = (octant << 21) | morton
+        return jnp.where(done, jnp.int32(2**30), key)
 
     def _shade_from_payload(pay):
         """Derive shading inputs from a packet-trace Payload (no gathers);
@@ -153,7 +201,25 @@ def make_render_step(
         return sh.prim >= 0
 
     def depth_body(carry, depth_idx):
-        o, d, weight, seed, done, color, segs, count_emit = carry
+        o, d, weight, seed, done, color, segs, count_emit, pix = carry
+        if do_sort:
+            key = _sort_key(o, d, done)
+            (_, ox, oy, oz, dx, dy, dz, wr, wg, wb, cr, cg, cb,
+             seed_s, done_s, ce_s, pix) = jax.lax.sort(
+                (key, o[0], o[1], o[2], d[0], d[1], d[2],
+                 weight[0], weight[1], weight[2],
+                 color[0], color[1], color[2],
+                 seed, done.astype(jnp.int32),
+                 count_emit.astype(jnp.int32), pix),
+                num_keys=1,
+            )
+            o = (ox, oy, oz)
+            d = (dx, dy, dz)
+            weight = (wr, wg, wb)
+            color = (cr, cg, cb)
+            seed = seed_s
+            done = done_s.astype(bool)
+            count_emit = ce_s.astype(bool)
         active = jnp.logical_not(done)
         if use_payload:
             pay = trace_payload_fn(o, d, t_max, active=active)
@@ -240,7 +306,7 @@ def make_render_step(
         done = jnp.logical_not(cont)
         count_emit = is_mirror if use_nee else count_emit
         segs = segs + jnp.sum(active.astype(jnp.float32))
-        return (o, d, weight, seed, done, color, segs, count_emit), None
+        return (o, d, weight, seed, done, color, segs, count_emit, pix), None
 
     def chunk_body(carry, chunk_idx, px, py, frame):
         color_sum, segs = carry
@@ -264,23 +330,54 @@ def make_render_step(
         done = jnp.zeros((m,), bool)
         color = vec.splat((0, 0, 0), like=o[0])
         count_emit = jnp.ones((m,), bool)
+        pix = jnp.arange(m, dtype=jnp.int32)  # wave slot, travels with ray
 
-        (o, d, weight, seed, done, color, segs, count_emit), _ = jax.lax.scan(
-            depth_body,
-            (o, d, weight, seed, done, color, segs, count_emit),
-            jnp.arange(cfg.max_depth, dtype=jnp.int32),
+        (o, d, weight, seed, done, color, segs, count_emit, pix), _ = (
+            jax.lax.scan(
+                depth_body,
+                (o, d, weight, seed, done, color, segs, count_emit, pix),
+                jnp.arange(cfg.max_depth, dtype=jnp.int32),
+            )
         )
+        if do_sort:
+            # rays were permuted by the per-bounce sorts; scatter colors
+            # back to wave-slot order (pix is a permutation of arange(m))
+            color = tuple(
+                jnp.zeros((m,), jnp.float32).at[pix].set(c) for c in color
+            )
         csum = tuple(c.reshape(chunk, n).sum(axis=0) for c in color)
         color_sum = vec.add(color_sum, csum)
         return (color_sum, segs), None
 
+    # pixel-tile swizzle (packet/payload path): each traversal packet then
+    # covers a compact tile_size x tile_size screen region instead of one
+    # full-width image row — measured 5.6x on a 100k-tri scene
+    ts = cfg.packet_tile_size if use_payload else 0
+
     def render_step(state: RenderState, row0=0) -> RenderState:
         h, w = state.accum.shape[0], state.accum.shape[1]
-        py = (
-            jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
-            + jnp.asarray(row0, jnp.int32)
-        )
-        px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
+        idx = jnp.arange(h * w, dtype=jnp.int32)
+        swizzle = bool(ts) and h % ts == 0 and w % ts == 0
+        if swizzle:
+            tpw = w // ts
+            tile = idx // (ts * ts)
+            within = idx % (ts * ts)
+            px = (tile % tpw) * ts + within % ts
+            py_local = (tile // tpw) * ts + within // ts
+            # static inverse permutation to unswizzle accumulated colors
+            ii = np.arange(h * w)
+            perm = (
+                ((ii // (ts * ts)) // tpw * ts + (ii % (ts * ts)) // ts) * w
+                + ((ii // (ts * ts)) % tpw * ts + (ii % (ts * ts)) % ts)
+            )
+            inv = np.empty_like(perm)
+            inv[perm] = ii
+            inv = jnp.asarray(inv.astype(np.int32))
+        else:
+            px = idx % w
+            py_local = idx // w
+            inv = None
+        py = py_local + jnp.asarray(row0, jnp.int32)
 
         frame = state.frame
         zero3 = vec.splat((0, 0, 0), like=jnp.zeros((h * w,), jnp.float32))
@@ -290,6 +387,8 @@ def make_render_step(
             init,
             jnp.arange(n_chunks, dtype=jnp.uint32),
         )
+        if swizzle:
+            color_sum = tuple(c[inv] for c in color_sum)
         color = vec.to_array(
             tuple(c.reshape(h, w) for c in color_sum)
         ) / np.float32(spp)

@@ -122,8 +122,12 @@ def make_packet_trace(
 
             limit = jnp.minimum(bt, tmax)
 
-            # ---- internal: slab-test 8 children, push any-hit subtrees ----
+            # ---- internal: slab-test 8 children, push any-hit subtrees
+            # ordered far-to-near (nearest pops first -> best-t tightens
+            # early and prunes the rest) ----
             is_node = jnp.logical_not(is_leaf)
+            keys = []
+            codes = []
             for ci in range(8):
                 bmnx = nrow[0, 0 + ci]
                 bmny = nrow[0, 8 + ci]
@@ -147,14 +151,39 @@ def make_packet_trace(
                 )
                 tag = nrow[0, 56 + ci]
                 ref = nrow[0, 48 + ci].astype(jnp.int32)
-                push = is_node & (tag > 0.5) & jnp.any(tnear <= tfar)
-                child_code = jnp.where(tag > 1.5, -(ref + 1), ref + 1)
+                hit = tnear <= tfar
+                push = is_node & (tag > 0.5) & jnp.any(hit)
+                # packet entry distance: min tnear over lanes that hit
+                key = jnp.min(jnp.where(hit, tnear, jnp.float32(np.inf)))
+                keys.append(jnp.where(push, key, jnp.float32(-np.inf)))
+                codes.append(
+                    jnp.where(push, jnp.where(tag > 1.5, -(ref + 1), ref + 1),
+                              jnp.int32(0))
+                )
 
-                @pl.when(push)
-                def _(sp=sp, child_code=child_code):
-                    stack_ref[sp] = child_code
+            # descending-key sorting network (8 scalars, 19 comparators):
+            # far children are pushed first, near ones last (popped first)
+            net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6),
+                   (5, 7), (1, 2), (5, 6), (0, 4), (3, 7), (1, 5), (2, 6),
+                   (1, 4), (3, 6), (2, 4), (3, 5), (3, 4)]
+            for a, b in net:
+                swap = keys[a] < keys[b]
+                ka = jnp.where(swap, keys[b], keys[a])
+                kb = jnp.where(swap, keys[a], keys[b])
+                ca = jnp.where(swap, codes[b], codes[a])
+                cb = jnp.where(swap, codes[a], codes[b])
+                keys[a], keys[b] = ka, kb
+                codes[a], codes[b] = ca, cb
 
-                sp = sp + push.astype(jnp.int32)
+            for ci in range(8):
+                code_c = codes[ci]
+                do_push = code_c != 0
+
+                @pl.when(do_push)
+                def _(sp=sp, code_c=code_c):
+                    stack_ref[sp] = code_c
+
+                sp = sp + do_push.astype(jnp.int32)
 
             # ---- leaf: masked Moller-Trumbore on 8 packed triangles ----
             leaf_f = is_leaf  # scalar bool
