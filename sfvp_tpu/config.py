@@ -106,6 +106,10 @@ class RenderConfig:
     # morton) so incoherent bounce rays form coherent packets; dead rays
     # compact to all-dead packets. Payload/packet path only.
     sort_bounce_rays: bool = True
+    # debug config (SURVEY §5 sanitizer analog — the reference leans on the
+    # Khronos validation layer): enables jax_debug_nans plus a finite-ness
+    # assertion on the accumulator at every observed step boundary.
+    debug_nan: bool = False
 
     def spp_chunks(self):
         if self.spp_per_step % self.spp_chunk != 0:

@@ -41,6 +41,11 @@ class Renderer:
         self.cfg = cfg
         self.scene = scene
         self.buffers = upload(scene)
+        if cfg.debug_nan:
+            # debug sanitizer (SURVEY §5): trap NaN-producing ops at their
+            # source; the run() loop additionally asserts a finite
+            # accumulator at every observed boundary
+            jax.config.update("jax_debug_nans", True)
         step = select_render_step(cfg, self.buffers, trace_fn=trace_fn)
         self._step = jax.jit(
             lambda s: step(s), donate_argnums=(0,) if donate else ()
@@ -99,6 +104,12 @@ class Renderer:
                 if not boundary:
                     continue
                 jax.block_until_ready(self.state.accum)
+                if self.cfg.debug_nan and not bool(
+                    np.isfinite(np.asarray(self.state.accum)).all()
+                ):
+                    raise FloatingPointError(
+                        f"non-finite accumulator at step {int(self.state.frame)}"
+                    )
                 now = time.perf_counter()
                 frame = int(self.state.frame)
                 mrays_tot = float(self.state.mrays)
