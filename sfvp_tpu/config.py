@@ -95,6 +95,10 @@ class RenderConfig:
     # ray-block rows (x128 lanes) per Pallas megakernel program; 32 is the
     # empirical sweet spot on v5e (VMEM live-set vs occupancy).
     pallas_block_rows: int = 32
+    # in-lane sample regeneration: one dynamic loop runs all spp samples
+    # per pixel lane back-to-back (655 -> 752 Mrays/s on Cornell 1024p).
+    # Off = the chunked megakernel (bitwise-matches the jnp integrator).
+    megakernel_regen: bool = True
     # packet size (rows x 128 rays) for the BVH packet-traversal kernel;
     # smaller packets cull better, larger ones amortize node loads.
     packet_block_rows: int = 8

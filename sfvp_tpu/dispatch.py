@@ -73,6 +73,13 @@ def select_render_step(
     # the megakernel does not implement NEE yet; NEE renders use the jnp
     # integrator (still SoA-fast) regardless of backend
     if backend == "pallas" and traversal == "brute" and not cfg.use_nee:
+        if cfg.megakernel_regen:
+            from .kernels.megakernel_regen import make_regen_render_step
+
+            return make_regen_render_step(
+                cfg, buffers, global_shape=global_shape,
+                block_rows=cfg.pallas_block_rows,
+            )
         from .kernels.megakernel import make_render_step_pallas
 
         return make_render_step_pallas(

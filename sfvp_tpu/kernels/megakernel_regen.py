@@ -1,0 +1,341 @@
+"""Sample-regeneration megakernel — the occupancy-optimized variant of
+kernels/megakernel.py.
+
+The plain megakernel runs spp sequential waves of max_depth masked bounces,
+so lanes whose path died early (average path length ~3.4 of 8 on Cornell)
+idle for the rest of the wave. Here each lane owns ONE pixel and runs all
+its samples back-to-back inside a single dynamic while-loop: the moment a
+sample terminates (miss or depth cap), the lane immediately seeds and
+launches the pixel's next sample. Lane utilization is then bounded by the
+slowest lane's total segment count (~ spp * E[len] + straggler tail)
+instead of spp * max_depth.
+
+Per-sample semantics (seeding, rand stream, bounce math) are identical to
+the reference and to the chunked megakernel; only the f32 summation order
+of per-sample contributions differs (direct accumulation instead of
+per-sample subtotals), so images match to ~1e-6 rather than bitwise.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from ..utils import vec
+from .megakernel import (
+    INV_PI, TWO_PI, _pcg2d_vec, _rand_vec, _U, scene_table,
+)
+
+
+def make_regen_render_step(
+    cfg: RenderConfig,
+    scene_buffers,
+    global_shape: Optional[tuple] = None,
+    block_rows: int = 32,
+    interpret: Optional[bool] = None,
+):
+    """render_step(state, row0) -> state; whole spp traced per kernel call
+    with in-lane sample regeneration."""
+    gh, gw = global_shape if global_shape is not None else (cfg.height, cfg.width)
+    spp = cfg.spp_per_step
+    max_depth = cfg.max_depth
+    t_min = np.float32(cfg.t_min)
+    t_max = np.float32(cfg.t_max)
+    sky = tuple(np.float32(s) for s in cfg.sky_emission)
+    cam = cfg.camera
+    uniform = cfg.sampling == "uniform"
+    use_rr = cfg.use_rr
+    rr_start = cfg.rr_start_depth
+
+    import numpy as _np
+
+    table = scene_table(scene_buffers)
+    num_tris = scene_buffers.num_tris
+    has_mirrors = bool(
+        _np.any(_np.asarray(scene_buffers.mtype)[:num_tris] > 0)
+    )
+
+    lanes = 128
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    inv2w = np.float32(2.0 / gw)
+    inv2h = np.float32(2.0 / gh)
+    cx, cy, cz = (np.float32(v) for v in cam.center)
+    rx, ry, rz = (np.float32(v) for v in cam.right)
+    ux, uy, uz = (np.float32(v) for v in cam.up)
+    ox0, oy0, oz0 = (np.float32(v) for v in cam.origin)
+
+    def build_kernel(r, local_npix):
+        def kernel(scal_ref, tri_ref, colr_ref, colg_ref, colb_ref, segs_ref):
+            pid = pl.program_id(0)
+            frame = scal_ref[0]
+            row0 = scal_ref[1]
+
+            tris = []
+            for i in range(num_tris):
+                p0 = (tri_ref[0, i], tri_ref[1, i], tri_ref[2, i])
+                p1 = (tri_ref[3, i], tri_ref[4, i], tri_ref[5, i])
+                p2 = (tri_ref[6, i], tri_ref[7, i], tri_ref[8, i])
+                e1 = tuple(b - a for a, b in zip(p0, p1))
+                e2 = tuple(b - a for a, b in zip(p0, p2))
+                n_mat = 10 if has_mirrors else 6
+                mat = tuple(tri_ref[9 + k, i] for k in range(n_mat))
+                tris.append((p0, p1, p2, e1, e2, mat))
+
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (r, lanes), 0)
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (r, lanes), 1)
+            idx = (pid * r + row_ids) * lanes + lane_ids      # lane = pixel
+            p = jnp.minimum(idx, local_npix - 1)
+            px = p % gw
+            py = p // gw + row0
+
+            zero = jnp.zeros((r, lanes), jnp.float32)
+            one = jnp.ones((r, lanes), jnp.float32)
+            izero = jnp.zeros((r, lanes), jnp.int32)
+            inf = jnp.float32(np.inf)
+
+            # padded lanes start with all samples "done"
+            s0 = jnp.where(idx < local_npix, 0, spp).astype(jnp.int32)
+
+            init = (
+                s0, izero,                      # sample idx, bounce
+                zero, zero, zero,               # o
+                zero, zero, one,                # d (unit placeholder)
+                one, one, one,                  # weight
+                jnp.zeros((r, lanes), _U),      # seed
+                zero, zero, zero,               # color total
+                zero,                           # segs
+            )
+
+            def cond(c):
+                return jnp.any(c[0] < spp)
+
+            def body(c):
+                (s, bounce, ox, oy, oz, dx, dy, dz, wr, wg, wb, seed,
+                 tr, tg, tb, segs) = c
+                active = s < spp
+                need = active & (bounce == 0)
+
+                # ---- regenerate: seed + camera ray (ref raygen.rgen:45-57)
+                m = s.astype(_U) + _U(spp) * frame.astype(_U) + _U(1)
+                sx, sy = _pcg2d_vec(px.astype(_U) * m, py.astype(_U) * m)
+                sd = sx + sy
+                r1n, sd = _rand_vec(sd)
+                r2n, sd = _rand_vec(sd)
+                ndx = (px.astype(jnp.float32) + r1n) * inv2w - 1.0
+                ndy = (py.astype(jnp.float32) + r2n) * inv2h - 1.0
+                nd = (
+                    cx + ndx * rx + ndy * ux - ox0,
+                    cy + ndx * ry + ndy * uy - oy0,
+                    cz + ndx * rz + ndy * uz - oz0,
+                )
+                nd = vec.normalize(nd)
+                ox = jnp.where(need, ox0, ox)
+                oy = jnp.where(need, oy0, oy)
+                oz = jnp.where(need, oz0, oz)
+                dx = jnp.where(need, nd[0], dx)
+                dy = jnp.where(need, nd[1], dy)
+                dz = jnp.where(need, nd[2], dz)
+                wr = jnp.where(need, 1.0, wr)
+                wg = jnp.where(need, 1.0, wg)
+                wb = jnp.where(need, 1.0, wb)
+                seed = jnp.where(need, sd, seed)
+                o = (ox, oy, oz)
+                d = (dx, dy, dz)
+
+                # ---- trace all triangles ----
+                bt = jnp.full((r, lanes), inf)
+                bu = zero
+                bv = zero
+                b0 = (zero, zero, zero)
+                b1 = (zero, zero, zero)
+                b2 = (zero, zero, zero)
+                bmat = (zero,) * (10 if has_mirrors else 6)
+                for (p0t, p1t, p2t, e1, e2, mat) in tris:
+                    pvx = d[1] * e2[2] - d[2] * e2[1]
+                    pvy = d[2] * e2[0] - d[0] * e2[2]
+                    pvz = d[0] * e2[1] - d[1] * e2[0]
+                    det = e1[0] * pvx + e1[1] * pvy + e1[2] * pvz
+                    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                    tvx = o[0] - p0t[0]
+                    tvy = o[1] - p0t[1]
+                    tvz = o[2] - p0t[2]
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    qvx = tvy * e1[2] - tvz * e1[1]
+                    qvy = tvz * e1[0] - tvx * e1[2]
+                    qvz = tvx * e1[1] - tvy * e1[0]
+                    v = (d[0] * qvx + d[1] * qvy + d[2] * qvz) * inv_det
+                    t = (e2[0] * qvx + e2[1] * qvy + e2[2] * qvz) * inv_det
+                    ok = (
+                        (jnp.abs(det) > 1e-12)
+                        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                        & (t > t_min) & (t < t_max) & (t < bt)
+                    )
+                    bt = jnp.where(ok, t, bt)
+                    bu = jnp.where(ok, u, bu)
+                    bv = jnp.where(ok, v, bv)
+                    b0 = vec.where(ok, (p0t[0] + zero, p0t[1] + zero,
+                                        p0t[2] + zero), b0)
+                    b1 = vec.where(ok, (p1t[0] + zero, p1t[1] + zero,
+                                        p1t[2] + zero), b1)
+                    b2 = vec.where(ok, (p2t[0] + zero, p2t[1] + zero,
+                                        p2t[2] + zero), b2)
+                    bmat = tuple(
+                        jnp.where(ok, mv + zero, bmv)
+                        for mv, bmv in zip(mat, bmat)
+                    )
+
+                miss = jnp.isinf(bt)
+                bw = 1.0 - bu - bv
+                position = (
+                    b0[0] * bw + b1[0] * bu + b2[0] * bv,
+                    b0[1] * bw + b1[1] * bu + b2[1] * bv,
+                    b0[2] * bw + b1[2] * bu + b2[2] * bv,
+                )
+                e01 = vec.sub(b1, b0)
+                e02 = vec.sub(b2, b0)
+                nrm = vec.cross(e01, e02)
+                inv_len = jax.lax.rsqrt(jnp.maximum(vec.dot(nrm, nrm), 1e-30))
+                normal = vec.scale(nrm, -inv_len)
+                diffuse = (bmat[0], bmat[1], bmat[2])
+                emission = vec.where(
+                    miss,
+                    (sky[0] + zero, sky[1] + zero, sky[2] + zero),
+                    (bmat[3], bmat[4], bmat[5]),
+                )
+
+                tr = tr + jnp.where(active, wr * emission[0], 0.0)
+                tg = tg + jnp.where(active, wg * emission[1], 0.0)
+                tb = tb + jnp.where(active, wb * emission[2], 0.0)
+
+                # ---- next direction ----
+                r1, seed = _rand_vec(seed)
+                r2, seed = _rand_vec(seed)
+                nx, ny, nz = normal
+                use_x = jnp.abs(nx) > jnp.abs(ny)
+                inv_a = jax.lax.rsqrt(jnp.maximum(nx * nx + nz * nz, 1e-30))
+                inv_b = jax.lax.rsqrt(jnp.maximum(ny * ny + nz * nz, 1e-30))
+                tang = (
+                    jnp.where(use_x, nz * inv_a, 0.0),
+                    jnp.where(use_x, 0.0, -nz * inv_b),
+                    jnp.where(use_x, -nx * inv_a, ny * inv_b),
+                )
+                bit = vec.cross(normal, tang)
+                if uniform:
+                    sq = jnp.sqrt(jnp.maximum(0.0, 1.0 - r1 * r1))
+                    lz = r1
+                else:
+                    sq = jnp.sqrt(jnp.maximum(0.0, r1))
+                    lz = jnp.sqrt(jnp.maximum(0.0, 1.0 - r1))
+                phi = TWO_PI * r2
+                new_dir = vec.add(
+                    vec.add(vec.scale(tang, jnp.cos(phi) * sq),
+                            vec.scale(bit, jnp.sin(phi) * sq)),
+                    vec.scale(normal, lz),
+                )
+                if uniform:
+                    cos_t = vec.dot(new_dir, normal)
+                    scale3 = vec.scale(diffuse, (INV_PI * TWO_PI) * cos_t)
+                else:
+                    scale3 = diffuse
+
+                if has_mirrors:
+                    is_mirror = (bmat[9] > 0.5) & jnp.logical_not(miss)
+                    n_dot_d = vec.dot(d, normal)
+                    n_f = vec.where(n_dot_d > 0, vec.scale(normal, -1.0),
+                                    normal)
+                    refl = vec.sub(d, vec.scale(n_f, 2.0 * vec.dot(d, n_f)))
+                    new_dir = vec.where(is_mirror, refl, new_dir)
+                    scale3 = vec.where(is_mirror,
+                                       (bmat[6], bmat[7], bmat[8]), scale3)
+
+                cont = active & jnp.logical_not(miss) & (bounce + 1 < max_depth)
+                if use_rr:
+                    pmax = jnp.clip(
+                        vec.maxc(vec.mul((wr, wg, wb), scale3)), 0.05, 0.95
+                    )
+                    r_rr, seed = _rand_vec(seed)
+                    rr_on = bounce >= rr_start
+                    survive = jnp.logical_not(rr_on) | (r_rr < pmax)
+                    scale3 = vec.where(rr_on, vec.scale(scale3, 1.0 / pmax),
+                                       scale3)
+                    cont = cont & survive
+
+                ox = jnp.where(cont, position[0], ox)
+                oy = jnp.where(cont, position[1], oy)
+                oz = jnp.where(cont, position[2], oz)
+                dx = jnp.where(cont, new_dir[0], dx)
+                dy = jnp.where(cont, new_dir[1], dy)
+                dz = jnp.where(cont, new_dir[2], dz)
+                wr = jnp.where(cont, wr * scale3[0], wr)
+                wg = jnp.where(cont, wg * scale3[1], wg)
+                wb = jnp.where(cont, wb * scale3[2], wb)
+
+                finished = active & jnp.logical_not(cont)
+                s = s + finished.astype(jnp.int32)
+                bounce = jnp.where(cont, bounce + 1, 0)
+                segs = segs + jnp.where(active, 1.0, 0.0)
+                return (s, bounce, ox, oy, oz, dx, dy, dz, wr, wg, wb, seed,
+                        tr, tg, tb, segs)
+
+            final = jax.lax.while_loop(cond, body, init)
+            tr, tg, tb, segs = final[12], final[13], final[14], final[15]
+            colr_ref[:] = tr
+            colg_ref[:] = tg
+            colb_ref[:] = tb
+            segs_ref[:] = segs
+
+        return kernel
+
+    from ..integrate.wavefront import RenderState
+
+    def render_step(state: RenderState, row0=0) -> RenderState:
+        h, w = state.accum.shape[0], state.accum.shape[1]
+        npix = h * w
+        rows_total = -(-npix // lanes)
+        r = max(8, min(block_rows, rows_total))
+        rows_padded = -(-rows_total // r) * r
+        grid = rows_padded // r
+        kernel = build_kernel(r, npix)
+
+        scal = jnp.stack([
+            jnp.asarray(state.frame, jnp.int32),
+            jnp.asarray(row0, jnp.int32),
+        ])
+        blk = pl.BlockSpec((r, lanes), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        colr, colg, colb, segs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[blk] * 4,
+            out_shape=[
+                jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32)
+            ] * 4,
+            interpret=interpret,
+        )(scal, table)
+
+        flat = lambda a: a.reshape(-1)[:npix]  # noqa: E731
+        color = jnp.stack(
+            [flat(colr).reshape(h, w), flat(colg).reshape(h, w),
+             flat(colb).reshape(h, w)], axis=-1
+        ) / np.float32(spp)
+        f = state.frame.astype(jnp.float32)
+        accum = (color + state.accum * f) / (f + 1.0)
+        return RenderState(
+            accum=accum,
+            frame=state.frame + 1,
+            mrays=state.mrays + jnp.sum(flat(segs)) / np.float32(1e6),
+        )
+
+    return render_step

@@ -75,6 +75,40 @@ def test_megakernel_row_offset(buffers):
     np.testing.assert_array_equal(band, full[4:])
 
 
+def test_regen_kernel_equivalence(buffers):
+    """Sample-regeneration megakernel == jnp integrator (tiny, interpret).
+    Identical per-sample streams; summation order may differ by ~1 ulp."""
+    from sfvp_tpu.kernels.megakernel_regen import make_regen_render_step
+
+    cfg = RenderConfig(width=16, height=8, spp_per_step=3, max_depth=3)
+    a = jax.jit(make_render_step(cfg, buffers))(init_state(8, 16))
+    b = jax.jit(make_regen_render_step(cfg, buffers, interpret=True))(
+        init_state(8, 16)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-5, atol=1e-7
+    )
+    assert float(a.mrays) == float(b.mrays)
+
+
+def test_regen_kernel_row_offset(buffers):
+    from sfvp_tpu.kernels.megakernel_regen import make_regen_render_step
+
+    cfg = RenderConfig(width=16, height=8, spp_per_step=1, max_depth=2)
+    full = np.asarray(
+        jax.jit(make_regen_render_step(cfg, buffers, interpret=True))(
+            init_state(8, 16)
+        ).accum
+    )
+    band_step = make_regen_render_step(
+        cfg, buffers, global_shape=(8, 16), interpret=True
+    )
+    band = np.asarray(
+        jax.jit(lambda s: band_step(s, row0=4))(init_state(4, 16)).accum
+    )
+    np.testing.assert_array_equal(band, full[4:])
+
+
 def test_scene_table_layout(buffers):
     tbl = np.asarray(scene_table(buffers))
     assert tbl.shape == (20, buffers.padded_tris)
