@@ -9,6 +9,7 @@ Example:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 
 from .config import CameraConfig, RenderConfig
 from .render.driver import Renderer
@@ -18,6 +19,11 @@ from .scene import cornell_box_path, load_obj
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="sfvp", description=__doc__)
     p.add_argument("--obj", default=None, help="OBJ scene path (default: bundled Cornell Box)")
+    p.add_argument("--scene", choices=["cornell", "sphere", "terrain"],
+                   default="cornell",
+                   help="procedural test scene when --obj is not given")
+    p.add_argument("--scene-tris", type=int, default=100_000,
+                   help="approximate triangle count for procedural scenes")
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--steps", type=int, default=32, help="progressive steps to run")
@@ -64,7 +70,32 @@ def main(argv=None) -> int:
         backend=args.backend,
         camera=CameraConfig(),
     )
-    scene = load_obj(args.obj or cornell_box_path())
+    if args.obj:
+        scene = load_obj(args.obj)
+    elif args.scene == "cornell":
+        scene = load_obj(cornell_box_path())
+    else:
+        import math
+
+        from .scene.procedural import sphere_mesh, terrain_mesh
+
+        if args.scene == "sphere":
+            n = max(16, int(math.sqrt(args.scene_tris / 2)))
+            scene = sphere_mesh(n_lat=n, n_lon=n, bump=0.3)
+        else:
+            n = max(16, int(math.sqrt(args.scene_tris / 2)) + 1)
+            scene = terrain_mesh(n=n)
+        if cfg.camera == CameraConfig():
+            # reference camera doesn't frame procedural scenes; use a
+            # sensible default view
+            cfg = dataclasses.replace(
+                cfg,
+                camera=CameraConfig.look_at(
+                    origin=(0.0, -1.5, 4.0), target=(0.0, 0.0, 0.0),
+                    fov_y_deg=50.0,
+                ),
+                sky_emission=(0.8, 0.85, 1.0),
+            )
     r = Renderer(cfg, scene)
     if args.resume and args.checkpoint:
         r.resume(args.checkpoint)

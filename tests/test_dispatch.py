@@ -1,0 +1,64 @@
+"""Backend/traversal dispatch resolution logic."""
+
+import numpy as np
+import pytest
+
+from sfvp_tpu import RenderConfig, upload
+from sfvp_tpu.dispatch import _resolve, select_render_step, select_trace_fn
+from sfvp_tpu.kernels.intersect import trace_brute_jnp
+from sfvp_tpu.scene.buffers import from_arrays
+
+
+def _buffers(n):
+    g = np.random.default_rng(0)
+    tris = (g.uniform(-5, 5, (n, 1, 3)) + g.normal(0, 0.5, (n, 3, 3))).astype(
+        np.float32
+    )
+    z = np.zeros((n, 3), np.float32)
+    return from_arrays(tris, z, z)
+
+
+def test_resolve_auto_small_scene(cornell_buffers):
+    backend, traversal = _resolve(RenderConfig(), cornell_buffers)
+    assert traversal == "brute"
+    assert backend == "jnp"  # tests run on CPU
+
+
+def test_resolve_auto_big_scene():
+    backend, traversal = _resolve(RenderConfig(), _buffers(1000))
+    assert traversal == "bvh"
+
+
+def test_resolve_explicit_overrides(cornell_buffers):
+    cfg = RenderConfig(backend="pallas", traversal="bvh")
+    assert _resolve(cfg, cornell_buffers) == ("pallas", "bvh")
+
+
+def test_trace_fn_small_is_brute(cornell_buffers):
+    assert select_trace_fn(RenderConfig(), cornell_buffers) is trace_brute_jnp
+
+
+def test_render_step_builds_for_all_paths(cornell_buffers):
+    # jnp brute
+    assert callable(select_render_step(RenderConfig(backend="jnp"),
+                                       cornell_buffers))
+    # jnp bvh
+    assert callable(
+        select_render_step(
+            RenderConfig(backend="jnp", traversal="bvh"), cornell_buffers
+        )
+    )
+    # explicit trace_fn pins the jnp integrator
+    assert callable(
+        select_render_step(
+            RenderConfig(), cornell_buffers, trace_fn=trace_brute_jnp
+        )
+    )
+
+
+def test_nee_routes_to_jnp(cornell_buffers):
+    """NEE isn't implemented in the megakernel yet; pallas+brute+NEE must
+    still build (falls through to the jnp integrator)."""
+    cfg = RenderConfig(backend="pallas", traversal="brute", use_nee=True,
+                       sampling="cosine")
+    assert callable(select_render_step(cfg, cornell_buffers))
