@@ -97,6 +97,45 @@ def _split_position(codes: np.ndarray, lo: int, hi: int) -> int:
     return idx
 
 
+def emit_topology(codes_sorted: np.ndarray, t: int, leaf_size: int):
+    """Sequential hierarchy emission from sorted morton codes (host) —
+    the one inherently serial step of an LBVH build. Returns the DFS node
+    table (M, 4): [lo, hi, left_child, right_child], children -1 at leaves.
+
+    Top-down with an explicit stack (no recursion-depth limits on
+    degenerate morton ladders), emitting nodes in DFS order: a node's left
+    subtree immediately follows it, so `descend == node+1` and the skip
+    link is just the index past the subtree."""
+    nodes = []
+    stack = [(0, t, -1, 0)]  # (lo, hi, parent, which_child)
+    while stack:
+        lo_i, hi_i, parent, which = stack.pop()
+        idx = len(nodes)
+        nodes.append([lo_i, hi_i, -1, -1])
+        if parent >= 0:
+            nodes[parent][2 + which] = idx
+        if hi_i - lo_i > leaf_size:
+            mid = _split_position(codes_sorted, lo_i, hi_i)
+            # push right first so the left child is emitted first (DFS)
+            stack.append((mid, hi_i, idx, 1))
+            stack.append((lo_i, mid, idx, 0))
+    return np.asarray(nodes, np.int64)
+
+
+def topology_to_links(arr: np.ndarray):
+    """(M, 4) node table -> (skip, first, count, is_leaf) threaded links."""
+    m = arr.shape[0]
+    subtree_end = np.zeros(m, np.int64)
+    for i in range(m - 1, -1, -1):
+        l, r = arr[i, 2], arr[i, 3]
+        subtree_end[i] = i + 1 if l < 0 else subtree_end[r]
+    is_leaf = arr[:, 2] < 0
+    skip = subtree_end.astype(np.int32)
+    first = np.where(is_leaf, arr[:, 0], -1).astype(np.int32)
+    count = np.where(is_leaf, arr[:, 1] - arr[:, 0], 0).astype(np.int32)
+    return skip, first, count, is_leaf
+
+
 def bvh_from_arrays(
     tris: np.ndarray, leaf_size: int = 4, prim_ids: Optional[np.ndarray] = None
 ) -> BVH:
@@ -117,42 +156,10 @@ def bvh_from_arrays(
     tmin_s = tri_min[order]
     tmax_s = tri_max[order]
 
-    # Top-down build with an explicit stack (no recursion-depth limits on
-    # degenerate morton ladders), emitting nodes in DFS order: a node's left
-    # subtree immediately follows it, so `descend == node+1` and the skip
-    # link is just the index past the subtree.
-    nodes = []  # [lo, hi, left_child, right_child]; children -1 for leaves
-    stack = [(0, t, -1, 0)]  # (lo, hi, parent, which_child)
-    while stack:
-        lo_i, hi_i, parent, which = stack.pop()
-        idx = len(nodes)
-        nodes.append([lo_i, hi_i, -1, -1])
-        if parent >= 0:
-            nodes[parent][2 + which] = idx
-        if hi_i - lo_i > leaf_size:
-            mid = _split_position(codes_sorted, lo_i, hi_i)
-            # push right first so the left child is emitted first (DFS)
-            stack.append((mid, hi_i, idx, 1))
-            stack.append((lo_i, mid, idx, 0))
+    arr = emit_topology(codes_sorted, t, leaf_size)
+    m = arr.shape[0]
 
-    m = len(nodes)
-    arr = np.asarray(nodes, np.int64)  # (M, 4): lo, hi, left, right
-
-    # NOTE: the explicit stack above emits nodes in DFS order (left subtree
-    # immediately after parent), so:
-    #   descend(internal i) == i + 1
-    #   skip(i) == index just past i's subtree == i + subtree_size(i)
-    # subtree sizes via reverse accumulation: a node's subtree covers a
-    # contiguous node-index range because emission is DFS.
-    subtree_end = np.zeros(m, np.int64)
-    for i in range(m - 1, -1, -1):
-        l, r = arr[i, 2], arr[i, 3]
-        if l < 0:
-            subtree_end[i] = i + 1
-        else:
-            subtree_end[i] = subtree_end[r]
-
-    is_leaf = arr[:, 2] < 0
+    skip, first, count, is_leaf = topology_to_links(arr)
     lo = arr[:, 0]
     hi = arr[:, 1]
 
@@ -182,9 +189,9 @@ def bvh_from_arrays(
         bmax_x=bmax[:, 0],
         bmax_y=bmax[:, 1],
         bmax_z=bmax[:, 2],
-        skip=subtree_end.astype(np.int32),
-        first=np.where(is_leaf, lo, -1).astype(np.int32),
-        count=np.where(is_leaf, hi - lo, 0).astype(np.int32),
+        skip=skip,
+        first=first,
+        count=count,
         tv=tv,
         prim_id=prim_ids[order].astype(np.int32),
     )
