@@ -70,9 +70,9 @@ def select_render_step(
         )
 
     backend, traversal = _resolve(cfg, buffers)
-    # the megakernel does not implement NEE yet; NEE renders use the jnp
-    # integrator (still SoA-fast) regardless of backend
-    if backend == "pallas" and traversal == "brute" and not cfg.use_nee:
+    if backend == "pallas" and traversal == "brute":
+        # NEE is implemented in the regen megakernel (in-kernel light
+        # sampling + shadow loop); the chunked megakernel has no NEE
         if cfg.megakernel_regen:
             from .kernels.megakernel_regen import make_regen_render_step
 
@@ -80,12 +80,13 @@ def select_render_step(
                 cfg, buffers, global_shape=global_shape,
                 block_rows=cfg.pallas_block_rows,
             )
-        from .kernels.megakernel import make_render_step_pallas
+        if not cfg.use_nee:
+            from .kernels.megakernel import make_render_step_pallas
 
-        return make_render_step_pallas(
-            cfg, buffers, global_shape=global_shape,
-            block_rows=cfg.pallas_block_rows,
-        )
+            return make_render_step_pallas(
+                cfg, buffers, global_shape=global_shape,
+                block_rows=cfg.pallas_block_rows,
+            )
     if backend == "pallas" and traversal == "bvh":
         # packet-traversal kernel returns the full shade payload (no XLA
         # gathers); used for large scenes on TPU

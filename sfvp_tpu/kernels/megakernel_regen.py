@@ -61,6 +61,32 @@ def make_regen_render_step(
         _np.any(_np.asarray(scene_buffers.mtype)[:num_tris] > 0)
     )
 
+    # ---- in-kernel NEE light table: (16, L) rows = v0(3) v1(3) v2(3)
+    # normal(3) Le(3) cdf(1); area pdf folded into a static total_area ----
+    use_nee = cfg.use_nee
+    num_lights = 0
+    total_area = 1.0
+    light_table = None
+    if use_nee:
+        from ..integrate.lights import build_light_table_from_buffers
+
+        lt = build_light_table_from_buffers(scene_buffers)
+        if lt is None:
+            use_nee = False
+        else:
+            num_lights = lt.num
+            if num_lights > 64:
+                raise NotImplementedError(
+                    "in-kernel NEE supports <= 64 lights; use the jnp "
+                    "integrator for more"
+                )
+            total_area = lt.total_area
+            rows = []
+            for t3 in (lt.v0, lt.v1, lt.v2, lt.n, lt.le):
+                rows.extend(np.asarray(c) for c in t3)
+            rows.append(np.asarray(lt.cdf))
+            light_table = jnp.asarray(np.stack(rows, axis=0))
+
     lanes = 128
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -73,10 +99,23 @@ def make_regen_render_step(
     ox0, oy0, oz0 = (np.float32(v) for v in cam.origin)
 
     def build_kernel(r, local_npix):
-        def kernel(scal_ref, tri_ref, colr_ref, colg_ref, colb_ref, segs_ref):
+        def kernel(scal_ref, tri_ref, *refs):
+            if use_nee:
+                light_ref = refs[0]
+                colr_ref, colg_ref, colb_ref, segs_ref = refs[1:]
+            else:
+                colr_ref, colg_ref, colb_ref, segs_ref = refs
             pid = pl.program_id(0)
             frame = scal_ref[0]
             row0 = scal_ref[1]
+
+            # hoisted light scalars: [v0(3) v1(3) v2(3) n(3) Le(3) cdf]
+            lights = []
+            if use_nee:
+                for i in range(num_lights):
+                    lights.append(
+                        tuple(light_ref[k, i] for k in range(16))
+                    )
 
             tris = []
             for i in range(num_tris):
@@ -112,6 +151,7 @@ def make_regen_render_step(
                 jnp.zeros((r, lanes), _U),      # seed
                 zero, zero, zero,               # color total
                 zero,                           # segs
+                jnp.ones((r, lanes), jnp.int32),  # count_emit (NEE gating)
             )
 
             def cond(c):
@@ -119,7 +159,7 @@ def make_regen_render_step(
 
             def body(c):
                 (s, bounce, ox, oy, oz, dx, dy, dz, wr, wg, wb, seed,
-                 tr, tg, tb, segs) = c
+                 tr, tg, tb, segs, count_emit) = c
                 active = s < spp
                 need = active & (bounce == 0)
 
@@ -147,6 +187,7 @@ def make_regen_render_step(
                 wg = jnp.where(need, 1.0, wg)
                 wb = jnp.where(need, 1.0, wb)
                 seed = jnp.where(need, sd, seed)
+                count_emit = jnp.where(need, 1, count_emit)
                 o = (ox, oy, oz)
                 d = (dx, dy, dz)
 
@@ -211,9 +252,100 @@ def make_regen_render_step(
                     (bmat[3], bmat[4], bmat[5]),
                 )
 
-                tr = tr + jnp.where(active, wr * emission[0], 0.0)
-                tg = tg + jnp.where(active, wg * emission[1], 0.0)
-                tb = tb + jnp.where(active, wb * emission[2], 0.0)
+                if has_mirrors:
+                    is_mirror = (bmat[9] > 0.5) & jnp.logical_not(miss)
+                else:
+                    is_mirror = jnp.zeros((r, lanes), bool)
+
+                # NEE gating: BSDF-path emission only on camera rays,
+                # post-specular bounces, and sky misses
+                add_emit = (
+                    active & ((count_emit > 0) | miss) if use_nee else active
+                )
+                tr = tr + jnp.where(add_emit, wr * emission[0], 0.0)
+                tg = tg + jnp.where(add_emit, wg * emission[1], 0.0)
+                tb = tb + jnp.where(add_emit, wb * emission[2], 0.0)
+
+                if use_nee:
+                    r_sel, seed = _rand_vec(seed)
+                    rl1, seed = _rand_vec(seed)
+                    rl2, seed = _rand_vec(seed)
+                    # CDF select (unrolled; L is small and static)
+                    li = jnp.zeros((r, lanes), jnp.int32)
+                    for i in range(num_lights - 1):
+                        li = li + (r_sel > lights[i][15]).astype(jnp.int32)
+                    fld = list(lights[0][:15])
+                    fld = [f + zero for f in fld]
+                    for i in range(1, num_lights):
+                        pick = li == i
+                        fld = [
+                            jnp.where(pick, lights[i][k], f)
+                            for k, f in enumerate(fld)
+                        ]
+                    lv0 = fld[0:3]
+                    lv1 = fld[3:6]
+                    lv2 = fld[6:9]
+                    ln = fld[9:12]
+                    le = fld[12:15]
+                    su = jnp.sqrt(jnp.maximum(rl1, 0.0))
+                    b0w = 1.0 - su
+                    b1w = su * (1.0 - rl2)
+                    b2w = su * rl2
+                    q = [
+                        lv0[a] * b0w + lv1[a] * b1w + lv2[a] * b2w
+                        for a in range(3)
+                    ]
+                    tlx = q[0] - position[0]
+                    tly = q[1] - position[1]
+                    tlz = q[2] - position[2]
+                    dist2 = jnp.maximum(
+                        tlx * tlx + tly * tly + tlz * tlz, 1e-12
+                    )
+                    inv_dist = jax.lax.rsqrt(dist2)
+                    wlx = tlx * inv_dist
+                    wly = tly * inv_dist
+                    wlz = tlz * inv_dist
+                    cos_s = wlx * normal[0] + wly * normal[1] + wlz * normal[2]
+                    cos_l = jnp.abs(wlx * ln[0] + wly * ln[1] + wlz * ln[2])
+                    shadow_q = (
+                        active & jnp.logical_not(miss | is_mirror)
+                        & (cos_s > 0)
+                    )
+                    smax = (1.0 / inv_dist) * np.float32(1.0 - 1e-3)
+                    occ = jnp.zeros((r, lanes), bool)
+                    for (p0t, p1t, p2t, e1, e2, _mat) in tris:
+                        pvx = wly * e2[2] - wlz * e2[1]
+                        pvy = wlz * e2[0] - wlx * e2[2]
+                        pvz = wlx * e2[1] - wly * e2[0]
+                        det = e1[0] * pvx + e1[1] * pvy + e1[2] * pvz
+                        inv_det = jnp.where(
+                            jnp.abs(det) > 1e-12, 1.0 / det, 0.0
+                        )
+                        tvx = position[0] - p0t[0]
+                        tvy = position[1] - p0t[1]
+                        tvz = position[2] - p0t[2]
+                        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                        qvx = tvy * e1[2] - tvz * e1[1]
+                        qvy = tvz * e1[0] - tvx * e1[2]
+                        qvz = tvx * e1[1] - tvy * e1[0]
+                        v = (wlx * qvx + wly * qvy + wlz * qvz) * inv_det
+                        t = (e2[0] * qvx + e2[1] * qvy + e2[2] * qvz) * inv_det
+                        occ = occ | (
+                            (jnp.abs(det) > 1e-12)
+                            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                            & (t > t_min) & (t < smax)
+                        )
+                    g_pdf = cos_s * cos_l / dist2 * np.float32(total_area)
+                    vis = shadow_q & jnp.logical_not(occ)
+                    tr = tr + jnp.where(
+                        vis, wr * (diffuse[0] * INV_PI) * le[0] * g_pdf, 0.0
+                    )
+                    tg = tg + jnp.where(
+                        vis, wg * (diffuse[1] * INV_PI) * le[1] * g_pdf, 0.0
+                    )
+                    tb = tb + jnp.where(
+                        vis, wb * (diffuse[2] * INV_PI) * le[2] * g_pdf, 0.0
+                    )
 
                 # ---- next direction ----
                 r1, seed = _rand_vec(seed)
@@ -247,7 +379,6 @@ def make_regen_render_step(
                     scale3 = diffuse
 
                 if has_mirrors:
-                    is_mirror = (bmat[9] > 0.5) & jnp.logical_not(miss)
                     n_dot_d = vec.dot(d, normal)
                     n_f = vec.where(n_dot_d > 0, vec.scale(normal, -1.0),
                                     normal)
@@ -281,9 +412,11 @@ def make_regen_render_step(
                 finished = active & jnp.logical_not(cont)
                 s = s + finished.astype(jnp.int32)
                 bounce = jnp.where(cont, bounce + 1, 0)
+                if use_nee:
+                    count_emit = is_mirror.astype(jnp.int32)
                 segs = segs + jnp.where(active, 1.0, 0.0)
                 return (s, bounce, ox, oy, oz, dx, dy, dz, wr, wg, wb, seed,
-                        tr, tg, tb, segs)
+                        tr, tg, tb, segs, count_emit)
 
             final = jax.lax.while_loop(cond, body, init)
             tr, tg, tb, segs = final[12], final[13], final[14], final[15]
@@ -311,19 +444,24 @@ def make_regen_render_step(
         ])
         blk = pl.BlockSpec((r, lanes), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        args = [scal, table]
+        if use_nee:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            args.append(light_table)
         colr, colg, colb, segs = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[blk] * 4,
             out_shape=[
                 jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32)
             ] * 4,
             interpret=interpret,
-        )(scal, table)
+        )(*args)
 
         flat = lambda a: a.reshape(-1)[:npix]  # noqa: E731
         color = jnp.stack(

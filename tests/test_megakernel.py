@@ -91,6 +91,24 @@ def test_regen_kernel_equivalence(buffers):
     assert float(a.mrays) == float(b.mrays)
 
 
+def test_regen_kernel_nee_equivalence(buffers):
+    """In-kernel NEE (light CDF select + shadow loop) == jnp NEE path."""
+    from sfvp_tpu.kernels.megakernel_regen import make_regen_render_step
+
+    cfg = RenderConfig(
+        width=16, height=8, spp_per_step=2, max_depth=3, use_nee=True,
+        sampling="cosine", use_rr=True, rr_start_depth=1,
+    )
+    a = jax.jit(make_render_step(cfg, buffers))(init_state(8, 16))
+    b = jax.jit(make_regen_render_step(cfg, buffers, interpret=True))(
+        init_state(8, 16)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-4, atol=1e-6
+    )
+    assert float(a.mrays) == float(b.mrays)
+
+
 def test_regen_kernel_row_offset(buffers):
     from sfvp_tpu.kernels.megakernel_regen import make_regen_render_step
 
