@@ -15,7 +15,7 @@ import jax
 import numpy as np
 
 from ..config import RenderConfig
-from ..integrate.wavefront import RenderState, init_state, make_render_step
+from ..integrate.wavefront import RenderState, init_state
 from ..scene import Scene, upload
 from .checkpoint import load_checkpoint, save_checkpoint
 from .png import tonemap_srgb_u8, tonemap_unorm_u8, write_png
