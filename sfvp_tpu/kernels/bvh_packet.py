@@ -109,131 +109,142 @@ def make_packet_trace(
             sp = c[0]
             bt = c[1]
             bu, bv = c[2], c[3]
-            pay = list(c[4:])
+            pay = tuple(c[4:])
 
             code = stack_ref[sp - 1]
             sp = sp - 1
             is_leaf = code < 0
-            node_idx = jnp.maximum(code - 1, 0)
-            leaf_idx = jnp.maximum(-code - 1, 0)
 
-            nrow = nodes_ref[pl.ds(node_idx, 1), :]
-            trow = tris_ref[pl.ds(leaf_idx, 1), :]
+            def node_fn(args):
+                """Internal node: slab-test 8 children, push any-hit
+                subtrees ordered far-to-near (nearest pops first so best-t
+                tightens early and prunes the rest)."""
+                bt, bu, bv, pay = args
+                nrow = nodes_ref[pl.ds(jnp.maximum(code - 1, 0), 1), :]
+                limit = jnp.minimum(bt, tmax)
+                keys = []
+                codes = []
+                for ci in range(8):
+                    bmnx = nrow[0, 0 + ci]
+                    bmny = nrow[0, 8 + ci]
+                    bmnz = nrow[0, 16 + ci]
+                    bmxx = nrow[0, 24 + ci]
+                    bmxy = nrow[0, 32 + ci]
+                    bmxz = nrow[0, 40 + ci]
+                    tx0 = (bmnx - ox) * ivx
+                    tx1 = (bmxx - ox) * ivx
+                    ty0 = (bmny - oy) * ivy
+                    ty1 = (bmxy - oy) * ivy
+                    tz0 = (bmnz - oz) * ivz
+                    tz1 = (bmxz - oz) * ivz
+                    tnear = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1),
+                                    jnp.minimum(ty0, ty1)),
+                        jnp.maximum(jnp.minimum(tz0, tz1), t_min),
+                    )
+                    tfar = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.minimum(jnp.maximum(tz0, tz1), limit),
+                    )
+                    tag = nrow[0, 56 + ci]
+                    ref = nrow[0, 48 + ci].astype(jnp.int32)
+                    hit = tnear <= tfar
+                    push = (tag > 0.5) & jnp.any(hit)
+                    # packet entry distance: min tnear over lanes that hit
+                    key = jnp.min(jnp.where(hit, tnear, jnp.float32(np.inf)))
+                    keys.append(jnp.where(push, key, jnp.float32(-np.inf)))
+                    codes.append(
+                        jnp.where(
+                            push,
+                            jnp.where(tag > 1.5, -(ref + 1), ref + 1),
+                            jnp.int32(0),
+                        )
+                    )
 
-            limit = jnp.minimum(bt, tmax)
+                # descending-key sorting network (8 scalars, 19 comparators):
+                # far children are pushed first, near ones last (popped first)
+                net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+                       (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (3, 7),
+                       (1, 5), (2, 6), (1, 4), (3, 6), (2, 4), (3, 5),
+                       (3, 4)]
+                for a, b in net:
+                    swap = keys[a] < keys[b]
+                    ka = jnp.where(swap, keys[b], keys[a])
+                    kb = jnp.where(swap, keys[a], keys[b])
+                    ca = jnp.where(swap, codes[b], codes[a])
+                    cb = jnp.where(swap, codes[a], codes[b])
+                    keys[a], keys[b] = ka, kb
+                    codes[a], codes[b] = ca, cb
 
-            # ---- internal: slab-test 8 children, push any-hit subtrees
-            # ordered far-to-near (nearest pops first -> best-t tightens
-            # early and prunes the rest) ----
-            is_node = jnp.logical_not(is_leaf)
-            keys = []
-            codes = []
-            for ci in range(8):
-                bmnx = nrow[0, 0 + ci]
-                bmny = nrow[0, 8 + ci]
-                bmnz = nrow[0, 16 + ci]
-                bmxx = nrow[0, 24 + ci]
-                bmxy = nrow[0, 32 + ci]
-                bmxz = nrow[0, 40 + ci]
-                tx0 = (bmnx - ox) * ivx
-                tx1 = (bmxx - ox) * ivx
-                ty0 = (bmny - oy) * ivy
-                ty1 = (bmxy - oy) * ivy
-                tz0 = (bmnz - oz) * ivz
-                tz1 = (bmxz - oz) * ivz
-                tnear = jnp.maximum(
-                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                    jnp.maximum(jnp.minimum(tz0, tz1), t_min),
-                )
-                tfar = jnp.minimum(
-                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                    jnp.minimum(jnp.maximum(tz0, tz1), limit),
-                )
-                tag = nrow[0, 56 + ci]
-                ref = nrow[0, 48 + ci].astype(jnp.int32)
-                hit = tnear <= tfar
-                push = is_node & (tag > 0.5) & jnp.any(hit)
-                # packet entry distance: min tnear over lanes that hit
-                key = jnp.min(jnp.where(hit, tnear, jnp.float32(np.inf)))
-                keys.append(jnp.where(push, key, jnp.float32(-np.inf)))
-                codes.append(
-                    jnp.where(push, jnp.where(tag > 1.5, -(ref + 1), ref + 1),
-                              jnp.int32(0))
-                )
+                spn = sp
+                for ci in range(8):
+                    code_c = codes[ci]
+                    do_push = code_c != 0
 
-            # descending-key sorting network (8 scalars, 19 comparators):
-            # far children are pushed first, near ones last (popped first)
-            net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6),
-                   (5, 7), (1, 2), (5, 6), (0, 4), (3, 7), (1, 5), (2, 6),
-                   (1, 4), (3, 6), (2, 4), (3, 5), (3, 4)]
-            for a, b in net:
-                swap = keys[a] < keys[b]
-                ka = jnp.where(swap, keys[b], keys[a])
-                kb = jnp.where(swap, keys[a], keys[b])
-                ca = jnp.where(swap, codes[b], codes[a])
-                cb = jnp.where(swap, codes[a], codes[b])
-                keys[a], keys[b] = ka, kb
-                codes[a], codes[b] = ca, cb
+                    @pl.when(do_push)
+                    def _(spn=spn, code_c=code_c):
+                        stack_ref[spn] = code_c
 
-            for ci in range(8):
-                code_c = codes[ci]
-                do_push = code_c != 0
+                    spn = spn + do_push.astype(jnp.int32)
+                return (spn, bt, bu, bv) + pay
 
-                @pl.when(do_push)
-                def _(sp=sp, code_c=code_c):
-                    stack_ref[sp] = code_c
+            def leaf_fn(args):
+                """Leaf: masked Moller-Trumbore on 8 packed triangles."""
+                bt, bu, bv, pay = args
+                pay = list(pay)
+                trow = tris_ref[pl.ds(jnp.maximum(-code - 1, 0), 1), :]
+                for k in range(8):
+                    base = 16 * k
+                    t0x = trow[0, base + 0]
+                    t0y = trow[0, base + 1]
+                    t0z = trow[0, base + 2]
+                    t1x = trow[0, base + 3]
+                    t1y = trow[0, base + 4]
+                    t1z = trow[0, base + 5]
+                    t2x = trow[0, base + 6]
+                    t2y = trow[0, base + 7]
+                    t2z = trow[0, base + 8]
+                    e1x, e1y, e1z = t1x - t0x, t1y - t0y, t1z - t0z
+                    e2x, e2y, e2z = t2x - t0x, t2y - t0y, t2z - t0z
+                    pvx = dy * e2z - dz * e2y
+                    pvy = dz * e2x - dx * e2z
+                    pvz = dx * e2y - dy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                    tvx, tvy, tvz = ox - t0x, oy - t0y, oz - t0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    ok = (
+                        (jnp.abs(det) > 1e-12)
+                        & (u >= 0.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                        & (t > t_min)
+                        & (t < tmax)
+                        & (t < bt)
+                    )
+                    bt = jnp.where(ok, t, bt)
+                    bu = jnp.where(ok, u, bu)
+                    bv = jnp.where(ok, v, bv)
+                    vals = (
+                        t0x, t0y, t0z, t1x, t1y, t1z, t2x, t2y, t2z,
+                        trow[0, base + 9], trow[0, base + 10],
+                        trow[0, base + 11], trow[0, base + 12],
+                        trow[0, base + 13], trow[0, base + 14],
+                        trow[0, base + 15],
+                    )
+                    pay = [
+                        jnp.where(ok, sv + zero, pv)
+                        for sv, pv in zip(vals, pay)
+                    ]
+                return (sp, bt, bu, bv) + tuple(pay)
 
-                sp = sp + do_push.astype(jnp.int32)
-
-            # ---- leaf: masked Moller-Trumbore on 8 packed triangles ----
-            leaf_f = is_leaf  # scalar bool
-            for k in range(8):
-                base = 16 * k
-                t0x = trow[0, base + 0]
-                t0y = trow[0, base + 1]
-                t0z = trow[0, base + 2]
-                t1x = trow[0, base + 3]
-                t1y = trow[0, base + 4]
-                t1z = trow[0, base + 5]
-                t2x = trow[0, base + 6]
-                t2y = trow[0, base + 7]
-                t2z = trow[0, base + 8]
-                e1x, e1y, e1z = t1x - t0x, t1y - t0y, t1z - t0z
-                e2x, e2y, e2z = t2x - t0x, t2y - t0y, t2z - t0z
-                pvx = dy * e2z - dz * e2y
-                pvy = dz * e2x - dx * e2z
-                pvz = dx * e2y - dy * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-                tvx, tvy, tvz = ox - t0x, oy - t0y, oz - t0z
-                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                qvx = tvy * e1z - tvz * e1y
-                qvy = tvz * e1x - tvx * e1z
-                qvz = tvx * e1y - tvy * e1x
-                v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                ok = (
-                    leaf_f
-                    & (jnp.abs(det) > 1e-12)
-                    & (u >= 0.0)
-                    & (v >= 0.0)
-                    & (u + v <= 1.0)
-                    & (t > t_min)
-                    & (t < tmax)
-                    & (t < bt)
-                )
-                bt = jnp.where(ok, t, bt)
-                bu = jnp.where(ok, u, bu)
-                bv = jnp.where(ok, v, bv)
-                vals = (
-                    t0x, t0y, t0z, t1x, t1y, t1z, t2x, t2y, t2z,
-                    trow[0, base + 9], trow[0, base + 10], trow[0, base + 11],
-                    trow[0, base + 12], trow[0, base + 13], trow[0, base + 14],
-                    trow[0, base + 15],
-                )
-                pay = [jnp.where(ok, s + zero, p) for s, p in zip(vals, pay)]
-
-            return (sp, bt, bu, bv) + tuple(pay)
+            return jax.lax.cond(is_leaf, leaf_fn, node_fn, (bt, bu, bv, pay))
 
         final = jax.lax.while_loop(cond, body, init)
         bt, bu, bv = final[1], final[2], final[3]
