@@ -89,17 +89,26 @@ def select_render_step(
             )
     if backend == "pallas" and traversal == "bvh":
         # packet-traversal kernel returns the full shade payload (no XLA
-        # gathers); used for large scenes on TPU
+        # gathers); used for large scenes on TPU. NEE shadow rays use the
+        # dedicated any-hit occlusion kernel.
         from .accel.wide import build_wide_from_buffers
-        from .kernels.bvh_packet import make_packet_trace
+        from .kernels.bvh_packet import make_packet_occlusion, make_packet_trace
 
         wide = build_wide_from_buffers(buffers)
         trace_payload = make_packet_trace(
             wide, t_min=cfg.t_min, block_rows=cfg.packet_block_rows
         )
+        occlusion = (
+            make_packet_occlusion(
+                wide, t_min=cfg.t_min, block_rows=cfg.packet_block_rows
+            )
+            if cfg.use_nee
+            else None
+        )
         return make_render_step(
             cfg, buffers, global_shape=global_shape,
             trace_payload_fn=trace_payload,
+            occlusion_fn=occlusion,
         )
     # jnp traversal is the BVH fallback on CPU (correctness oracle)
     return make_render_step(

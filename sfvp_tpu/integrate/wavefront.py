@@ -86,6 +86,7 @@ def make_render_step(
     global_shape: Optional[tuple] = None,
     lights=None,
     trace_payload_fn: Optional[Callable] = None,
+    occlusion_fn: Optional[Callable] = None,
 ):
     """Build ``render_step(state, row0) -> state`` for a (local) image of
     shape taken from ``state.accum``.
@@ -189,6 +190,12 @@ def make_render_step(
         return miss, position, normal, pay.albedo, pay.emission, pay.albedo, pay.mtype
 
     def _shadow_occluded(position, wl, dist, shadow_q):
+        if occlusion_fn is not None:
+            # dedicated any-hit kernel (no payload carries, lanes retire
+            # on first hit)
+            return occlusion_fn(
+                position, wl, dist * np.float32(1.0 - 1e-3), active=shadow_q
+            )
         if use_payload:
             sh = trace_payload_fn(
                 position, wl, dist * np.float32(1.0 - 1e-3), active=shadow_q

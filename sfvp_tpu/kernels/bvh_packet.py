@@ -318,3 +318,185 @@ def make_packet_trace(
         )
 
     return trace
+
+
+def make_packet_occlusion(
+    wide: WideBVH,
+    t_min: float,
+    block_rows: int = 8,
+    interpret: Optional[bool] = None,
+):
+    """Occlusion-only (any-hit) packet traversal for shadow rays: no
+    payload carries, and a lane retires on its FIRST hit (its per-lane
+    window collapses so it stops pulling subtrees into the packet).
+
+    Returns occluded(o, d, t_max, active) -> (N,) bool.
+    """
+    nodes = jnp.asarray(wide.nodes)
+    tris = jnp.asarray(wide.tris)
+    stack_n = int(wide.max_stack)
+    t_min = np.float32(t_min)
+    lanes = 128
+    r = block_rows
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def kernel(nodes_ref, tris_ref, ox_ref, oy_ref, oz_ref,
+               dx_ref, dy_ref, dz_ref, tmax_ref, occ_ref, stack_ref):
+        ox = ox_ref[:]
+        oy = oy_ref[:]
+        oz = oz_ref[:]
+        dx = dx_ref[:]
+        dy = dy_ref[:]
+        dz = dz_ref[:]
+        tmax0 = tmax_ref[:]
+
+        def safe_inv(c):
+            return jnp.where(
+                jnp.abs(c) > 1e-30, 1.0 / c, jnp.where(c >= 0, _BIG, -_BIG)
+            )
+
+        ivx = safe_inv(dx)
+        ivy = safe_inv(dy)
+        ivz = safe_inv(dz)
+
+        stack_ref[0] = jnp.int32(1)
+        init = (jnp.int32(1), jnp.zeros((r, lanes), bool))
+
+        def cond(c):
+            return c[0] > 0
+
+        def body(c):
+            sp, occ = c
+            code = stack_ref[sp - 1]
+            sp = sp - 1
+            is_leaf = code < 0
+            # occluded lanes retire: empty window
+            limit = jnp.where(occ, jnp.float32(-np.inf), tmax0)
+
+            def node_fn(occ):
+                nrow = nodes_ref[pl.ds(jnp.maximum(code - 1, 0), 1), :]
+                spn = sp
+                for ci in range(8):
+                    bmnx = nrow[0, 0 + ci]
+                    bmny = nrow[0, 8 + ci]
+                    bmnz = nrow[0, 16 + ci]
+                    bmxx = nrow[0, 24 + ci]
+                    bmxy = nrow[0, 32 + ci]
+                    bmxz = nrow[0, 40 + ci]
+                    tx0 = (bmnx - ox) * ivx
+                    tx1 = (bmxx - ox) * ivx
+                    ty0 = (bmny - oy) * ivy
+                    ty1 = (bmxy - oy) * ivy
+                    tz0 = (bmnz - oz) * ivz
+                    tz1 = (bmxz - oz) * ivz
+                    tnear = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1),
+                                    jnp.minimum(ty0, ty1)),
+                        jnp.maximum(jnp.minimum(tz0, tz1), t_min),
+                    )
+                    tfar = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.minimum(jnp.maximum(tz0, tz1), limit),
+                    )
+                    tag = nrow[0, 56 + ci]
+                    ref = nrow[0, 48 + ci].astype(jnp.int32)
+                    push = (tag > 0.5) & jnp.any(tnear <= tfar)
+                    code_c = jnp.where(tag > 1.5, -(ref + 1), ref + 1)
+
+                    @pl.when(push)
+                    def _(spn=spn, code_c=code_c):
+                        stack_ref[spn] = code_c
+
+                    spn = spn + push.astype(jnp.int32)
+                return (spn, occ)
+
+            def leaf_fn(occ):
+                trow = tris_ref[pl.ds(jnp.maximum(-code - 1, 0), 1), :]
+                for k in range(8):
+                    base = 16 * k
+                    t0x = trow[0, base + 0]
+                    t0y = trow[0, base + 1]
+                    t0z = trow[0, base + 2]
+                    t1x = trow[0, base + 3]
+                    t1y = trow[0, base + 4]
+                    t1z = trow[0, base + 5]
+                    t2x = trow[0, base + 6]
+                    t2y = trow[0, base + 7]
+                    t2z = trow[0, base + 8]
+                    e1x, e1y, e1z = t1x - t0x, t1y - t0y, t1z - t0z
+                    e2x, e2y, e2z = t2x - t0x, t2y - t0y, t2z - t0z
+                    pvx = dy * e2z - dz * e2y
+                    pvy = dz * e2x - dx * e2z
+                    pvz = dx * e2y - dy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                    tvx, tvy, tvz = ox - t0x, oy - t0y, oz - t0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    occ = occ | (
+                        (jnp.abs(det) > 1e-12)
+                        & (u >= 0.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                        & (t > t_min)
+                        & (t < limit)
+                    )
+                return (sp, occ)
+
+            return jax.lax.cond(is_leaf, leaf_fn, node_fn, occ)
+
+        _, occ = jax.lax.while_loop(cond, body, init)
+        occ_ref[:] = occ.astype(jnp.float32)
+
+    def occluded(o, d, t_max, active=None):
+        from .intersect import _as_v3
+
+        o = _as_v3(o)
+        d = _as_v3(d)
+        n = o[0].shape[0]
+        rows_total = -(-n // lanes)
+        rows_padded = -(-rows_total // r) * r
+        grid = rows_padded // r
+        pad = rows_padded * lanes - n
+
+        tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+        if active is not None:
+            tmax = jnp.where(active, tmax, np.float32(-np.inf))
+
+        def plane(a, fill=0.0):
+            return jnp.pad(a, (0, pad), constant_values=fill).reshape(
+                rows_padded, lanes
+            )
+
+        blk = pl.BlockSpec((r, lanes), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        occ = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ] + [blk] * 7,
+            out_specs=blk,
+            out_shape=jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32),
+            scratch_shapes=[pltpu.SMEM((stack_n,), jnp.int32)],
+            interpret=interpret,
+        )(
+            nodes, tris,
+            plane(o[0]), plane(o[1]), plane(o[2]),
+            plane(d[0]), plane(d[1]), plane(d[2]),
+            plane(tmax, fill=-np.inf),
+        )
+        out = occ.reshape(-1)[:n] > 0.5
+        if active is not None:
+            out = out & active
+        return out
+
+    return occluded

@@ -96,6 +96,53 @@ def test_packet_respects_tmax_and_active():
     assert np.isinf(np.asarray(pay2.t)).all()
 
 
+def test_occlusion_kernel_matches_trace():
+    """Any-hit occlusion == (closest-hit t finite within window)."""
+    from sfvp_tpu.kernels.bvh_packet import make_packet_occlusion
+
+    n = 60
+    tris = _soup(n, seed=11)
+    z = np.zeros((n, 3), np.float32)
+    buffers = from_arrays(tris, z, z)
+    wide = build_wide(
+        bvh_from_arrays(tris, leaf_size=LEAF_TRIS), materials_array(buffers)
+    )
+    occluded = make_packet_occlusion(wide, t_min=1e-3, interpret=True)
+    o, d = _rays(256, seed=12)
+    ref = trace_brute_jnp(o, d, buffers, 1e-3, 50.0)
+    got = np.asarray(
+        occluded((o[:, 0], o[:, 1], o[:, 2]), (d[:, 0], d[:, 1], d[:, 2]),
+                 50.0)
+    )
+    np.testing.assert_array_equal(got, np.isfinite(np.asarray(ref.t)))
+    # inactive lanes are never occluded
+    got2 = np.asarray(
+        occluded((o[:, 0], o[:, 1], o[:, 2]), (d[:, 0], d[:, 1], d[:, 2]),
+                 50.0, active=jnp.zeros((256,), bool))
+    )
+    assert not got2.any()
+
+
+def test_integrator_nee_with_occlusion_kernel(cornell, cornell_buffers):
+    """Payload trace + occlusion kernel NEE == jnp NEE integrator."""
+    from sfvp_tpu import RenderConfig, init_state, make_render_step
+    from sfvp_tpu.kernels.bvh_packet import make_packet_occlusion
+
+    cfg = RenderConfig(width=16, height=8, spp_per_step=1, max_depth=2,
+                       use_nee=True, sampling="cosine")
+    wide = build_wide_from_buffers(cornell_buffers)
+    trace = make_packet_trace(wide, t_min=cfg.t_min, interpret=True)
+    occl = make_packet_occlusion(wide, t_min=cfg.t_min, interpret=True)
+    step_pk = jax.jit(
+        make_render_step(cfg, cornell_buffers, trace_payload_fn=trace,
+                         occlusion_fn=occl)
+    )
+    step_jnp = jax.jit(make_render_step(cfg, cornell_buffers))
+    a = np.asarray(step_pk(init_state(8, 16)).accum)
+    b = np.asarray(step_jnp(init_state(8, 16)).accum)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
 def test_integrator_payload_path_matches_jnp(cornell, cornell_buffers):
     """Full render step via packet payload == gather-based jnp integrator
     (same sample streams; fp tolerance for differing op order)."""
