@@ -163,14 +163,16 @@ def make_render_step(
             | (expand7(q7(o[1], 1)) << 1)
             | expand7(q7(o[2], 2))
         )
+
         octant = (
             (d[0] >= 0).astype(jnp.int32) * 4
             + (d[1] >= 0).astype(jnp.int32) * 2
             + (d[2] >= 0).astype(jnp.int32)
         )
-        # octant-major measured faster than position-major on the 100k-tri
-        # sphere (16.0s vs 20.1s/step): direction alignment bounds the
-        # packet's traversal cone more tightly than origin clustering
+        # measured on the 100k-tri sphere: octant-major beats position-major
+        # (16.0s vs 20.1s/step) AND beats a finer 2-bit/axis direction key
+        # (8.8s vs 11.0s) — more direction buckets fragment position
+        # locality within packets
         key = (octant << 21) | morton
         return jnp.where(done, jnp.int32(2**30), key)
 
