@@ -1,12 +1,20 @@
 """Instancing — the TPU analog of the reference's TLAS over BLAS instances
 (ref main.cpp:514-538: one instance, 3x4 transform, cull disable).
 
-The reference only ever uses a single identity-transform instance, so the
-fast path here is *flattening*: each instance's mesh is transformed into
-world space and the results are merged into one triangle soup over which a
-single LBVH is built (equivalent to a one-level TLAS with refit-on-edit).
-A true two-level traversal (per-instance BVH + top-level over instance
-AABBs) is a planned extension for scenes with many large instances.
+Two strategies:
+
+1. *Flattening* (``flatten_instances``): each instance's mesh is
+   transformed into world space and merged into one triangle soup over
+   which a single LBVH is built. Fastest to trace; memory scales with
+   instance count. The reference's single-identity-instance setup is the
+   degenerate case and reproduces it exactly.
+
+2. *Two-level tracing* (``make_instanced_trace``): one BLAS per UNIQUE
+   mesh (shared across instances — the actual point of instancing), rays
+   transformed into each instance's object space, closest hit selected
+   across instances. Memory scales with unique meshes; trace cost scales
+   with instance count (instances are unrolled — suited to few, large
+   instances; a packet-level TLAS is future work).
 """
 
 from __future__ import annotations
@@ -42,6 +50,79 @@ class Instance:
 def identity_instance(scene: Scene) -> Instance:
     """The reference's exact setup: one instance, identity transform."""
     return Instance(scene=scene)
+
+
+def make_instanced_trace(instances: Sequence[Instance], leaf_size: int = 4):
+    """Two-level trace over instances sharing per-mesh BLASes.
+
+    Returns ``trace(o, d, scene, t_min, t_max, active) -> Hit`` with the
+    standard trace interface. Hit.prim is the FLATTENED primitive id
+    (instance-major, matching flatten_instances order) so shading tables
+    built from the flattened scene line up.
+    """
+    import jax.numpy as jnp
+
+    from ..kernels.bvh_traverse import make_trace_bvh_jnp
+    from ..kernels.intersect import Hit, _as_v3
+    from ..scene.buffers import from_arrays
+    from .lbvh import bvh_from_arrays
+
+    # one BLAS per unique mesh object
+    blas_cache = {}
+    entries = []  # (trace_fn, inv_rot (3,3), inv_trans (3,), prim_offset)
+    prim_offset = 0
+    for inst in instances:
+        key = id(inst.scene)
+        if key not in blas_cache:
+            tris = inst.scene.triangles()
+            bvh = bvh_from_arrays(tris, leaf_size=leaf_size)
+            z = np.zeros((len(tris), 3), np.float32)
+            blas_cache[key] = (
+                make_trace_bvh_jnp(bvh), from_arrays(tris, z, z)
+            )
+        trace_fn, buffers = blas_cache[key]
+        rot = inst.transform[:, :3]
+        inv_rot = np.linalg.inv(rot).astype(np.float32)
+        inv_trans = (-inv_rot @ inst.transform[:, 3]).astype(np.float32)
+        entries.append((trace_fn, buffers, inv_rot, inv_trans, prim_offset))
+        prim_offset += inst.scene.num_triangles
+
+    def trace(o, d, scene, t_min, t_max, active=None) -> Hit:
+        o = _as_v3(o)
+        d = _as_v3(d)
+        n = o[0].shape[0]
+        best = Hit(
+            t=jnp.full((n,), np.inf, jnp.float32),
+            prim=jnp.full((n,), -1, jnp.int32),
+            u=jnp.zeros((n,), jnp.float32),
+            v=jnp.zeros((n,), jnp.float32),
+        )
+        for trace_fn, buffers, ir, it, off in entries:
+            # object space: o' = iR @ o + it ; d' = iR @ d. t is preserved
+            # because intersection distances are measured along d' whose
+            # scaling matches the transformed geometry.
+            oo = tuple(
+                ir[a, 0] * o[0] + ir[a, 1] * o[1] + ir[a, 2] * o[2] + it[a]
+                for a in range(3)
+            )
+            dd = tuple(
+                ir[a, 0] * d[0] + ir[a, 1] * d[1] + ir[a, 2] * d[2]
+                for a in range(3)
+            )
+            h = trace_fn(oo, dd, buffers, t_min, t_max, active=active)
+            closer = h.t < best.t
+            best = Hit(
+                t=jnp.where(closer, h.t, best.t),
+                prim=jnp.where(
+                    closer, jnp.where(h.prim >= 0, h.prim + off, -1),
+                    best.prim,
+                ),
+                u=jnp.where(closer, h.u, best.u),
+                v=jnp.where(closer, h.v, best.v),
+            )
+        return best
+
+    return trace
 
 
 def flatten_instances(instances: Sequence[Instance]) -> Scene:

@@ -90,6 +90,59 @@ def test_instances_flatten(cornell):
     np.testing.assert_array_equal(single.vertices, cornell.vertices)
 
 
+def test_two_level_instanced_trace(cornell):
+    """Two-level tracing (per-mesh BLAS + ray transforms) must agree with
+    brute force over the flattened world-space scene, including flattened
+    primitive ids."""
+    from sfvp_tpu.accel.instances import make_instanced_trace
+    from sfvp_tpu.scene.buffers import from_arrays as fa
+
+    rot = np.asarray(
+        [[0.8, 0.0, 0.6], [0.0, 1.5, 0.0], [-0.6, 0.0, 0.8]], np.float32
+    )  # rotation+scale
+    t2 = np.hstack([rot, np.asarray([[2.5], [0.3], [-1.0]], np.float32)])
+    insts = [identity_instance(cornell), Instance(scene=cornell, transform=t2)]
+
+    merged = flatten_instances(insts)
+    z = np.zeros((merged.num_triangles, 3), np.float32)
+    flat_buffers = fa(merged.triangles(), z, z)
+
+    trace2 = make_instanced_trace(insts, leaf_size=4)
+    g = np.random.default_rng(5)
+    o = np.asarray(g.uniform(-2, 4, (512, 3)), np.float32)
+    d = g.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    h_ref = trace_brute_jnp(o, d, flat_buffers, 1e-3, 1e4)
+    h_two = trace2(o, d, None, 1e-3, 1e4)
+    rt, tt = np.asarray(h_ref.t), np.asarray(h_two.t)
+    np.testing.assert_array_equal(np.isinf(rt), np.isinf(tt))
+    fin = np.isfinite(rt)
+    np.testing.assert_allclose(tt[fin], rt[fin], rtol=2e-4)
+    agree = (np.asarray(h_ref.prim) == np.asarray(h_two.prim))
+    assert agree.mean() > 0.99  # fp ties only
+
+
+def test_two_level_instanced_render(cornell):
+    """Full render through the two-level tracer == render of the flattened
+    scene (same shading tables via flattened prim ids)."""
+    import jax
+    from sfvp_tpu import RenderConfig, init_state, make_render_step, upload
+    from sfvp_tpu.accel.instances import make_instanced_trace
+
+    insts = [identity_instance(cornell)]
+    merged = flatten_instances(insts)
+    buffers = upload(merged)
+    cfg = RenderConfig(width=16, height=16, spp_per_step=2, max_depth=3)
+    step_two = jax.jit(
+        make_render_step(cfg, buffers, trace_fn=make_instanced_trace(insts))
+    )
+    step_flat = jax.jit(make_render_step(cfg, buffers))
+    a = np.asarray(step_two(init_state(16, 16)).accum)
+    b = np.asarray(step_flat(init_state(16, 16)).accum)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
 def test_instance_transform_validation(cornell):
     with pytest.raises(ValueError, match="3, 4"):
         Instance(scene=cornell, transform=np.eye(4, dtype=np.float32))
