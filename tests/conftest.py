@@ -9,14 +9,21 @@ because the CPU client is created lazily on first use.
 
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Default: CPU jax with 8 virtual devices. Set SFVP_TEST_PLATFORM=tpu to run
+# the same suite unmodified on real hardware (e.g. a v5e-8 pod slice),
+# per SURVEY.md §4 item 4.
+_platform = os.environ.get("SFVP_TEST_PLATFORM", "cpu")
+if _platform == "cpu":
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
