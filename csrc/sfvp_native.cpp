@@ -326,7 +326,15 @@ extern "C" {
 
 // ---------------- scene loader ----------------
 void* sfvp_load_obj(const char* path, int flip_y) {
-  return load_obj_impl(path, flip_y != 0);
+  // exceptions must not cross the C ABI (malformed numeric tokens throw
+  // from std::stof/std::stoi) — convert to an error string instead
+  try {
+    return load_obj_impl(path, flip_y != 0);
+  } catch (const std::exception& e) {
+    auto* out = new SceneData();
+    out->error = std::string("parse error: ") + e.what();
+    return out;
+  }
 }
 const char* sfvp_scene_error(void* h) {
   return static_cast<SceneData*>(h)->error.c_str();

@@ -102,7 +102,9 @@ def load_obj_native(path: str, flip_y: bool = True):
     try:
         err = lib.sfvp_scene_error(h).decode()
         if err:
-            raise FileNotFoundError(err)
+            if "cannot open" in err:
+                raise FileNotFoundError(err)
+            raise ValueError(err)
         t = lib.sfvp_scene_num_tris(h)
         vertices = np.empty((3 * t, 3), np.float32)
         diffuse = np.empty((t, 3), np.float32)
