@@ -127,3 +127,55 @@ def test_cli_smoke(tmp_path):
     assert rc == 0 and os.path.exists(out)
     img = _read_png(out)
     assert img.shape == (8, 8, 3)
+
+
+def test_cli_procedural_scene(tmp_path):
+    """--scene sphere renders through the BVH path with a framing camera."""
+    from sfvp_tpu.cli import main
+
+    out = str(tmp_path / "sph.png")
+    rc = main([
+        "--scene", "sphere", "--scene-tris", "800",
+        "--width", "16", "--height", "16", "--steps", "1", "--spp", "2",
+        "--max-depth", "2", "--out", out, "--quiet", "--backend", "jnp",
+        "--sampling", "cosine",
+    ])
+    assert rc == 0
+    img = _read_png(out)
+    assert img.shape == (16, 16, 3)
+    # sphere must be visible: interior darker than the sky border
+    assert img[8, 8].mean() < img[0, 0].mean()
+
+
+def test_cli_devices_flag(capsys):
+    from sfvp_tpu.cli import main
+
+    assert main(["--devices"]) == 0
+    outp = capsys.readouterr().out
+    assert "platform" in outp
+
+
+def test_dist_checkpoint_roundtrip(tmp_path, cornell):
+    """Sharded accumulators checkpoint (host-gathered) and resume into a
+    single-device Renderer exactly."""
+    from sfvp_tpu import RenderConfig, Renderer
+    from sfvp_tpu.dist import DistRenderer
+    from sfvp_tpu.render.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = RenderConfig(width=16, height=16, spp_per_step=2, max_depth=3,
+                       backend="jnp")
+    dr = DistRenderer(cfg, cornell)
+    dr.step(2)
+    p = str(tmp_path / "dist.npz")
+    save_checkpoint(p, dr.state, cfg.config_hash())
+
+    r = Renderer(cfg, cornell)
+    r.resume(p)
+    r.step(1)
+    # equals 3 straight single-device steps (sharded == single invariant)
+    ref = Renderer(cfg, cornell)
+    ref.step(3)
+    np.testing.assert_allclose(
+        np.asarray(r.state.accum), np.asarray(ref.state.accum),
+        rtol=1e-5, atol=1e-7,
+    )
