@@ -1,12 +1,15 @@
-"""Fused Pallas path-tracing megakernel (brute-force trace) — the flagship
-TPU kernel.
+"""Fused Pallas path-tracing megakernel (brute-force trace), chunked
+variant: one wave of spp_chunk samples per kernel launch with masked lanes.
+The default production path is kernels/megakernel_regen.py (in-lane sample
+regeneration, ~15% faster); this variant is bitwise-identical to the jnp
+integrator and serves as the parity oracle (megakernel_regen=False).
 
 One kernel invocation traces a full wave: primary-ray generation (camera +
 PCG jitter), the max_depth bounce loop with Moller-Trumbore intersection
 against ALL triangles (scene resident in VMEM, scalar-broadcast per
 triangle — no gathers), closest-hit material/vertex selection, hemisphere
 sampling, and throughput/color accumulation. Per-wave HBM traffic is just
-the 3 color output planes: everything else lives in vector registers/VMEM.
+the color/segment output planes: everything else lives in registers/VMEM.
 
 This fuses what the reference splits across the RT pipeline stages
 (raygen/closesthit/miss shaders + hardware traversal,
