@@ -87,11 +87,11 @@ def main(argv=None) -> int:
             scene = terrain_mesh(n=n)
         if cfg.camera == CameraConfig():
             # reference camera doesn't frame procedural scenes; use a
-            # sensible default view
+            # sensible default view (procedural scenes are y-up)
             cfg = dataclasses.replace(
                 cfg,
                 camera=CameraConfig.look_at(
-                    origin=(0.0, -1.5, 4.0), target=(0.0, 0.0, 0.0),
+                    origin=(0.0, 2.2, 5.0), target=(0.0, 0.0, 0.0),
                     fov_y_deg=50.0,
                 ),
                 sky_emission=(0.8, 0.85, 1.0),

@@ -55,11 +55,14 @@ class CameraConfig:
         half_h = math.tan(math.radians(fov_y_deg) / 2.0)
         half_w = half_h * aspect
         center = o + fwd
+        # NDC d.y grows DOWN the image (row-major pixel convention, same as
+        # the reference frustum), so world-up must map to NEGATIVE d.y for
+        # an upright image.
         return CameraConfig(
             origin=tuple(map(float, o)),
             center=tuple(map(float, center)),
             right=tuple(map(float, r * half_w)),
-            up=tuple(map(float, u * half_h)),
+            up=tuple(map(float, -u * half_h)),
         )
 
 

@@ -362,7 +362,9 @@ def make_packet_occlusion(
         ivz = safe_inv(dz)
 
         stack_ref[0] = jnp.int32(1)
-        init = (jnp.int32(1), jnp.zeros((r, lanes), bool))
+        # occlusion mask carried as f32 (bool vectors don't legalize
+        # through Mosaic's scf.if results)
+        init = (jnp.int32(1), jnp.zeros((r, lanes), jnp.float32))
 
         def cond(c):
             return c[0] > 0
@@ -373,7 +375,7 @@ def make_packet_occlusion(
             sp = sp - 1
             is_leaf = code < 0
             # occluded lanes retire: empty window
-            limit = jnp.where(occ, jnp.float32(-np.inf), tmax0)
+            limit = jnp.where(occ > 0.5, jnp.float32(-np.inf), tmax0)
 
             def node_fn(occ):
                 nrow = nodes_ref[pl.ds(jnp.maximum(code - 1, 0), 1), :]
@@ -440,7 +442,7 @@ def make_packet_occlusion(
                     qvz = tvx * e1y - tvy * e1x
                     v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
                     t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                    occ = occ | (
+                    hit_k = (
                         (jnp.abs(det) > 1e-12)
                         & (u >= 0.0)
                         & (v >= 0.0)
@@ -448,12 +450,13 @@ def make_packet_occlusion(
                         & (t > t_min)
                         & (t < limit)
                     )
+                    occ = jnp.maximum(occ, hit_k.astype(jnp.float32))
                 return (sp, occ)
 
             return jax.lax.cond(is_leaf, leaf_fn, node_fn, occ)
 
         _, occ = jax.lax.while_loop(cond, body, init)
-        occ_ref[:] = occ.astype(jnp.float32)
+        occ_ref[:] = occ
 
     def occluded(o, d, t_max, active=None):
         from .intersect import _as_v3
