@@ -113,6 +113,7 @@ class Renderer:
                 now = time.perf_counter()
                 frame = int(self.state.frame)
                 mrays_tot = float(self.state.mrays)
+                n_samples = self.cfg.width * self.cfg.height * spp_step
                 rec = {
                     "step": frame,
                     "spp": frame * spp_step,
@@ -120,6 +121,11 @@ class Renderer:
                     "mrays_step": round(mrays_tot - mrays_prev, 3),
                     "mrays_per_s": round(
                         (mrays_tot - mrays_prev) / max(now - t_prev, 1e-9), 2
+                    ),
+                    # mean traced segments per path — the wavefront
+                    # occupancy signal (max_depth = nothing terminated)
+                    "avg_path_len": round(
+                        (mrays_tot - mrays_prev) * 1e6 / n_samples, 3
                     ),
                 }
                 t_prev, mrays_prev = now, mrays_tot
