@@ -18,7 +18,18 @@ from ..config import RenderConfig
 from ..integrate.wavefront import RenderState, init_state
 from ..scene import Scene, upload
 from .checkpoint import load_checkpoint, save_checkpoint
+from .exr import write_exr
 from .png import tonemap_srgb_u8, tonemap_unorm_u8, write_png
+
+
+def write_image(path: str, img_f32: np.ndarray, srgb: bool = False) -> None:
+    """Write by extension: .exr = linear f32 HDR; anything else = PNG
+    through the unorm (reference-parity) or sRGB tonemap."""
+    if path.lower().endswith(".exr"):
+        write_exr(path, img_f32)
+    else:
+        tonemap = tonemap_srgb_u8 if srgb else tonemap_unorm_u8
+        write_png(path, tonemap(img_f32))
 
 
 class Renderer:
@@ -76,7 +87,6 @@ class Renderer:
         progress: bool = True,
         preview_port: Optional[int] = None,
     ) -> np.ndarray:
-        tonemap = tonemap_srgb_u8 if srgb else tonemap_unorm_u8
         log_f = open(log_path, "a") if log_path else None
         preview = None
         if preview_port is not None:
@@ -143,8 +153,8 @@ class Renderer:
                     preview.update(self.image())
                 if frame_every and (i + 1) % frame_every == 0 and out:
                     base, ext = os.path.splitext(out)
-                    write_png(f"{base}_step{frame:05d}{ext or '.png'}",
-                              tonemap(self.image()))
+                    write_image(f"{base}_step{frame:05d}{ext or '.png'}",
+                                self.image(), srgb=srgb)
                 if (
                     checkpoint_path
                     and checkpoint_every
@@ -155,7 +165,7 @@ class Renderer:
                     )
             img = self.image()
             if out:
-                write_png(out, tonemap(img))
+                write_image(out, img, srgb=srgb)
             if checkpoint_path:
                 save_checkpoint(checkpoint_path, self.state, self.cfg.config_hash())
             return img
