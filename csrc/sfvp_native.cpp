@@ -362,6 +362,45 @@ void sfvp_scene_free(void* h) { delete static_cast<SceneData*>(h); }
 void* sfvp_build_lbvh(const float* tris, int num_tris, int leaf_size) {
   return build_lbvh_impl(tris, num_tris, leaf_size);
 }
+
+// Topology-only emission from pre-sorted morton codes (the sequential step
+// of the on-device build path — codes/sort/bounds run on the accelerator).
+// Returns the node count; fills caller buffers sized >= 2*ceil(t/leaf)-1
+// ... callers should allocate 2*t (safe upper bound).
+int sfvp_emit_topology(const uint32_t* codes_sorted, int t, int leaf_size,
+                       int32_t* skip, int32_t* first, int32_t* count) {
+  std::vector<uint32_t> codes(codes_sorted, codes_sorted + t);
+  struct Node { int lo, hi, left, right; };
+  std::vector<Node> nodes;
+  struct StackEntry { int lo, hi, parent, which; };
+  std::vector<StackEntry> stack{{0, t, -1, 0}};
+  while (!stack.empty()) {
+    StackEntry e = stack.back();
+    stack.pop_back();
+    int idx = static_cast<int>(nodes.size());
+    nodes.push_back({e.lo, e.hi, -1, -1});
+    if (e.parent >= 0) {
+      if (e.which == 0) nodes[e.parent].left = idx;
+      else nodes[e.parent].right = idx;
+    }
+    if (e.hi - e.lo > leaf_size) {
+      int mid = split_position(codes, e.lo, e.hi);
+      stack.push_back({mid, e.hi, idx, 1});
+      stack.push_back({e.lo, mid, idx, 0});
+    }
+  }
+  int m = static_cast<int>(nodes.size());
+  std::vector<int32_t> subtree_end(m);
+  for (int i = m - 1; i >= 0; --i)
+    subtree_end[i] = nodes[i].left < 0 ? i + 1 : subtree_end[nodes[i].right];
+  for (int i = 0; i < m; ++i) {
+    bool leaf = nodes[i].left < 0;
+    skip[i] = subtree_end[i];
+    first[i] = leaf ? nodes[i].lo : -1;
+    count[i] = leaf ? nodes[i].hi - nodes[i].lo : 0;
+  }
+  return m;
+}
 int sfvp_bvh_num_nodes(void* h) {
   return static_cast<int>(static_cast<BvhData*>(h)->skip.size());
 }

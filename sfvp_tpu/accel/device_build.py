@@ -82,9 +82,18 @@ def build_bvh_on_device(scene_buffers, leaf_size: int = 8) -> BVH:
     codes = morton_codes_device(v0, v1, v2)
     codes_sorted, order = sort_by_codes_device(codes)
 
-    # host: sequential hierarchy emission from the sorted codes
-    arr = emit_topology(np.asarray(codes_sorted), t, leaf_size)
-    skip, first, count, _ = topology_to_links(arr)
+    # host: sequential hierarchy emission from the sorted codes (native C++
+    # when built; the pure-Python emitter otherwise — identical output)
+    from .. import native as native_mod
+
+    links = native_mod.emit_topology_native(
+        np.asarray(codes_sorted), leaf_size
+    )
+    if links is not None:
+        skip, first, count = links
+    else:
+        arr = emit_topology(np.asarray(codes_sorted), t, leaf_size)
+        skip, first, count, _ = topology_to_links(arr)
 
     # device: permute triangle columns into morton order
     @jax.jit
@@ -101,7 +110,7 @@ def build_bvh_on_device(scene_buffers, leaf_size: int = 8) -> BVH:
     tv_dev = permute(order, v0, v1, v2)
 
     # bounds: skeleton BVH (zero bounds) + on-device refit sweep
-    zeros = np.zeros(arr.shape[0], np.float32)
+    zeros = np.zeros(skip.shape[0], np.float32)
     skeleton = BVH(
         bmin_x=zeros, bmin_y=zeros, bmin_z=zeros,
         bmax_x=zeros, bmax_y=zeros, bmax_z=zeros,

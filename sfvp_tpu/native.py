@@ -74,6 +74,10 @@ def _get_lib() -> Optional[ctypes.CDLL]:
     )
     lib.sfvp_bvh_free.restype = None
     lib.sfvp_bvh_free.argtypes = [ctypes.c_void_p]
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.sfvp_emit_topology.restype = ctypes.c_int
+    lib.sfvp_emit_topology.argtypes = [u32p, ctypes.c_int, ctypes.c_int,
+                                       i32p, i32p, i32p]
     _lib = lib
     return _lib
 
@@ -130,6 +134,26 @@ def load_obj_native(path: str, flip_y: bool = True):
         )
     finally:
         lib.sfvp_scene_free(h)
+
+
+def emit_topology_native(codes_sorted: np.ndarray, leaf_size: int):
+    """Native hierarchy emission from sorted morton codes; returns
+    (skip, first, count) or None when the library is unavailable.
+    Identical output to accel.lbvh.emit_topology/topology_to_links."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(np.asarray(codes_sorted, np.uint32))
+    t = codes.shape[0]
+    cap = max(1, 2 * t)
+    skip = np.empty(cap, np.int32)
+    first = np.empty(cap, np.int32)
+    count = np.empty(cap, np.int32)
+    m = lib.sfvp_emit_topology(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), t, leaf_size,
+        _iptr(skip), _iptr(first), _iptr(count),
+    )
+    return skip[:m].copy(), first[:m].copy(), count[:m].copy()
 
 
 def build_lbvh_native(tris: np.ndarray, leaf_size: int = 4):
