@@ -21,6 +21,9 @@ def main() -> int:
 
     from sfvp_tpu import RenderConfig, init_state, load_obj, upload
     from sfvp_tpu.dispatch import select_render_step
+    from sfvp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     cfg = RenderConfig(width=1024, height=1024, spp_per_step=32, max_depth=8)
     buffers = upload(load_obj())

