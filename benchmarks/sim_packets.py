@@ -1,0 +1,159 @@
+"""Host simulation of wide-BVH packet traversal on a REAL sorted bounce wave
+(dumped by profile_gi.py --dump): counts node/leaf pops as a function of
+packet width, to size the win of sub-packet traversal (8 independent 128-ray
+packets per (8,128) block) before building the kernel.
+
+Reported per variant:
+  pops_per_ray        — visited rows / rays (the culling quality)
+  lockstep_iters      — for grouped sub-packets: sum over groups of
+                        max_i(pops_i) — what an (8,128) lockstep block pays
+                        including the idle-row tail
+
+Usage: python benchmarks/sim_packets.py --wave /tmp/gi_wave.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def traverse_packet(nodes, tris_rows, ox, oy, oz, dx, dy, dz, tmax,
+                    order="min"):
+    """Ordered wide-BVH packet traversal (mirror of kernels/bvh_packet.py);
+    returns (node_pops, leaf_pops). order: "min" = packet-min tnear (the
+    shipping kernel), "center" = representative middle-lane tnear (cheaper
+    on TPU: no cross-lane reduction)."""
+    inv = lambda c: np.where(np.abs(c) > 1e-30, 1.0 / c,  # noqa: E731
+                             np.where(c >= 0, 1e30, -1e30)).astype(np.float32)
+    ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
+    bt = np.full(ox.shape, np.inf, np.float32)
+    stack = [(1, 0.0)]  # (code, key); +ref+1 internal, -(ref+1) leaf
+    n_pops = l_pops = 0
+    t_min = np.float32(1e-3)
+    with np.errstate(all="ignore"):
+        while stack:
+            code, _ = stack.pop()
+            if code < 0:
+                l_pops += 1
+                trow = tris_rows[-code - 1]
+                for k in range(8):
+                    b = 16 * k
+                    a0 = trow[b:b + 3]
+                    e1 = trow[b + 3:b + 6] - a0
+                    e2 = trow[b + 6:b + 9] - a0
+                    px = dy * e2[2] - dz * e2[1]
+                    py = dz * e2[0] - dx * e2[2]
+                    pz = dx * e2[1] - dy * e2[0]
+                    det = e1[0] * px + e1[1] * py + e1[2] * pz
+                    iv = np.where(np.abs(det) > 1e-12, 1.0 / det, 0.0)
+                    tx, ty, tz = ox - a0[0], oy - a0[1], oz - a0[2]
+                    u = (tx * px + ty * py + tz * pz) * iv
+                    qx = ty * e1[2] - tz * e1[1]
+                    qy = tz * e1[0] - tx * e1[2]
+                    qz = tx * e1[1] - ty * e1[0]
+                    v = (dx * qx + dy * qy + dz * qz) * iv
+                    t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * iv
+                    ok = ((np.abs(det) > 1e-12) & (u >= 0) & (v >= 0)
+                          & (u + v <= 1) & (t > t_min) & (t < tmax) & (t < bt))
+                    bt = np.where(ok, t, bt)
+                continue
+            n_pops += 1
+            nrow = nodes[code - 1]
+            limit = np.minimum(bt, tmax)
+            cand = []
+            for ci in range(8):
+                tag = nrow[56 + ci]
+                if tag < 0.5:
+                    continue
+                t0x = (nrow[0 + ci] - ox) * ivx
+                t1x = (nrow[24 + ci] - ox) * ivx
+                t0y = (nrow[8 + ci] - oy) * ivy
+                t1y = (nrow[32 + ci] - oy) * ivy
+                t0z = (nrow[16 + ci] - oz) * ivz
+                t1z = (nrow[40 + ci] - oz) * ivz
+                tn = np.maximum(np.maximum(np.minimum(t0x, t1x),
+                                           np.minimum(t0y, t1y)),
+                                np.maximum(np.minimum(t0z, t1z), t_min))
+                tf = np.minimum(np.minimum(np.maximum(t0x, t1x),
+                                           np.maximum(t0y, t1y)),
+                                np.minimum(np.maximum(t0z, t1z), limit))
+                hit = tn <= tf
+                if hit.any():
+                    ref = int(nrow[48 + ci])
+                    code_c = -(ref + 1) if tag > 1.5 else ref + 1
+                    if order == "min":
+                        key = float(tn[hit].min())
+                    else:
+                        mid = tn.shape[0] // 2
+                        key = float(tn[mid]) if np.isfinite(tn[mid]) else 1e30
+                    cand.append((code_c, key))
+            cand.sort(key=lambda x: -x[1])  # far first; near popped first
+            stack.extend(cand)
+    return n_pops, l_pops
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--wave", required=True)
+    p.add_argument("--groups", type=int, default=24,
+                   help="number of (8x128=1024-ray) groups to sample")
+    p.add_argument("--wave-kind", choices=["bounce", "primary"],
+                   default="bounce")
+    p.add_argument("--order", choices=["min", "center"], default="min")
+    a = p.parse_args()
+
+    z = np.load(a.wave)
+    nodes, tris_rows = z["nodes"], z["tris_rows"]
+    pre = "" if a.wave_kind == "bounce" else "p"
+    ox, oy, oz = z[pre + "ox"], z[pre + "oy"], z[pre + "oz"]
+    dx, dy, dz = z[pre + "dx"], z[pre + "dy"], z[pre + "dz"]
+    live = z["live"] if a.wave_kind == "bounce" else np.ones(ox.shape, bool)
+    tmax = np.float32(1e4)
+
+    # sample live 1024-ray groups, evenly spread over the live prefix
+    n_live_groups = int(live.reshape(-1, 1024).any(axis=1).sum())
+    gids = np.linspace(0, n_live_groups - 1, a.groups).astype(int)
+
+    out = {"wave": a.wave_kind, "sampled_groups": a.groups,
+           "live_groups": n_live_groups}
+    for width in (1024,):
+        tot_n = tot_l = 0
+        lockstep = 0
+        gw = max(width, 1024)
+        for g in gids:
+            base = min(g * 1024, ox.shape[0] - gw)
+            base -= base % gw
+            sl = slice(base, base + gw)
+            go, gd = (ox[sl], oy[sl], oz[sl]), (dx, dy, dz)
+            gl = live[sl]
+            tmx = np.where(gl, tmax, np.float32(-np.inf))
+            sub = []
+            for s in range(0, gw, width):
+                ss = slice(s, s + width)
+                n_p, l_p = traverse_packet(
+                    nodes, tris_rows,
+                    ox[sl][ss], oy[sl][ss], oz[sl][ss],
+                    dx[sl][ss], dy[sl][ss], dz[sl][ss], tmx[ss],
+                    order=a.order)
+                sub.append(n_p + l_p)
+                tot_n += n_p
+                tot_l += l_p
+            # an (8,128) lockstep block pays max over its 8 sub-packets
+            for i in range(0, len(sub), 8):
+                lockstep += max(sub[i:i + 8])
+        rays = a.groups * gw
+        out[f"w{width}_pops_per_ray"] = round((tot_n + tot_l) / rays, 4)
+        out[f"w{width}_leaf_frac"] = round(tot_l / max(tot_n + tot_l, 1), 3)
+        if width == 128:
+            out["w128_lockstep_iters_per_block"] = round(
+                lockstep / a.groups, 1)
+            out["w128_sum_iters_per_block"] = round(
+                (tot_n + tot_l) / a.groups, 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

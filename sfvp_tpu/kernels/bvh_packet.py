@@ -124,13 +124,17 @@ def make_packet_trace(
                 limit = jnp.minimum(bt, tmax)
                 keys = []
                 codes = []
+                # hoist ALL scalar lane extractions before any vector math:
+                # bunched scalar loads schedule ~1.8x better than extracts
+                # interleaved with the slab tests (benchmarks/probe_carry.py)
+                sc = [nrow[0, c] for c in range(64)]
                 for ci in range(8):
-                    bmnx = nrow[0, 0 + ci]
-                    bmny = nrow[0, 8 + ci]
-                    bmnz = nrow[0, 16 + ci]
-                    bmxx = nrow[0, 24 + ci]
-                    bmxy = nrow[0, 32 + ci]
-                    bmxz = nrow[0, 40 + ci]
+                    bmnx = sc[0 + ci]
+                    bmny = sc[8 + ci]
+                    bmnz = sc[16 + ci]
+                    bmxx = sc[24 + ci]
+                    bmxy = sc[32 + ci]
+                    bmxz = sc[40 + ci]
                     tx0 = (bmnx - ox) * ivx
                     tx1 = (bmxx - ox) * ivx
                     ty0 = (bmny - oy) * ivy
@@ -147,8 +151,8 @@ def make_packet_trace(
                                     jnp.maximum(ty0, ty1)),
                         jnp.minimum(jnp.maximum(tz0, tz1), limit),
                     )
-                    tag = nrow[0, 56 + ci]
-                    ref = nrow[0, 48 + ci].astype(jnp.int32)
+                    tag = sc[56 + ci]
+                    ref = sc[48 + ci].astype(jnp.int32)
                     hit = tnear <= tfar
                     push = (tag > 0.5) & jnp.any(hit)
                     # packet entry distance: min tnear over lanes that hit
@@ -194,17 +198,18 @@ def make_packet_trace(
                 bt, bu, bv, pay = args
                 pay = list(pay)
                 trow = tris_ref[pl.ds(jnp.maximum(-code - 1, 0), 1), :]
+                tsc = [trow[0, c] for c in range(128)]
                 for k in range(8):
                     base = 16 * k
-                    t0x = trow[0, base + 0]
-                    t0y = trow[0, base + 1]
-                    t0z = trow[0, base + 2]
-                    t1x = trow[0, base + 3]
-                    t1y = trow[0, base + 4]
-                    t1z = trow[0, base + 5]
-                    t2x = trow[0, base + 6]
-                    t2y = trow[0, base + 7]
-                    t2z = trow[0, base + 8]
+                    t0x = tsc[base + 0]
+                    t0y = tsc[base + 1]
+                    t0z = tsc[base + 2]
+                    t1x = tsc[base + 3]
+                    t1y = tsc[base + 4]
+                    t1z = tsc[base + 5]
+                    t2x = tsc[base + 6]
+                    t2y = tsc[base + 7]
+                    t2z = tsc[base + 8]
                     e1x, e1y, e1z = t1x - t0x, t1y - t0y, t1z - t0z
                     e2x, e2y, e2z = t2x - t0x, t2y - t0y, t2z - t0z
                     pvx = dy * e2z - dz * e2y
@@ -233,10 +238,10 @@ def make_packet_trace(
                     bv = jnp.where(ok, v, bv)
                     vals = (
                         t0x, t0y, t0z, t1x, t1y, t1z, t2x, t2y, t2z,
-                        trow[0, base + 9], trow[0, base + 10],
-                        trow[0, base + 11], trow[0, base + 12],
-                        trow[0, base + 13], trow[0, base + 14],
-                        trow[0, base + 15],
+                        tsc[base + 9], tsc[base + 10],
+                        tsc[base + 11], tsc[base + 12],
+                        tsc[base + 13], tsc[base + 14],
+                        tsc[base + 15],
                     )
                     pay = [
                         jnp.where(ok, sv + zero, pv)
@@ -380,13 +385,14 @@ def make_packet_occlusion(
             def node_fn(occ):
                 nrow = nodes_ref[pl.ds(jnp.maximum(code - 1, 0), 1), :]
                 spn = sp
+                sc = [nrow[0, c] for c in range(64)]
                 for ci in range(8):
-                    bmnx = nrow[0, 0 + ci]
-                    bmny = nrow[0, 8 + ci]
-                    bmnz = nrow[0, 16 + ci]
-                    bmxx = nrow[0, 24 + ci]
-                    bmxy = nrow[0, 32 + ci]
-                    bmxz = nrow[0, 40 + ci]
+                    bmnx = sc[0 + ci]
+                    bmny = sc[8 + ci]
+                    bmnz = sc[16 + ci]
+                    bmxx = sc[24 + ci]
+                    bmxy = sc[32 + ci]
+                    bmxz = sc[40 + ci]
                     tx0 = (bmnx - ox) * ivx
                     tx1 = (bmxx - ox) * ivx
                     ty0 = (bmny - oy) * ivy
@@ -403,8 +409,8 @@ def make_packet_occlusion(
                                     jnp.maximum(ty0, ty1)),
                         jnp.minimum(jnp.maximum(tz0, tz1), limit),
                     )
-                    tag = nrow[0, 56 + ci]
-                    ref = nrow[0, 48 + ci].astype(jnp.int32)
+                    tag = sc[56 + ci]
+                    ref = sc[48 + ci].astype(jnp.int32)
                     push = (tag > 0.5) & jnp.any(tnear <= tfar)
                     code_c = jnp.where(tag > 1.5, -(ref + 1), ref + 1)
 
@@ -417,17 +423,18 @@ def make_packet_occlusion(
 
             def leaf_fn(occ):
                 trow = tris_ref[pl.ds(jnp.maximum(-code - 1, 0), 1), :]
+                tsc = [trow[0, c] for c in range(128)]
                 for k in range(8):
                     base = 16 * k
-                    t0x = trow[0, base + 0]
-                    t0y = trow[0, base + 1]
-                    t0z = trow[0, base + 2]
-                    t1x = trow[0, base + 3]
-                    t1y = trow[0, base + 4]
-                    t1z = trow[0, base + 5]
-                    t2x = trow[0, base + 6]
-                    t2y = trow[0, base + 7]
-                    t2z = trow[0, base + 8]
+                    t0x = tsc[base + 0]
+                    t0y = tsc[base + 1]
+                    t0z = tsc[base + 2]
+                    t1x = tsc[base + 3]
+                    t1y = tsc[base + 4]
+                    t1z = tsc[base + 5]
+                    t2x = tsc[base + 6]
+                    t2y = tsc[base + 7]
+                    t2z = tsc[base + 8]
                     e1x, e1y, e1z = t1x - t0x, t1y - t0y, t1z - t0z
                     e2x, e2y, e2z = t2x - t0x, t2y - t0y, t2z - t0z
                     pvx = dy * e2z - dz * e2y
