@@ -19,19 +19,16 @@ def main():
     import numpy as np
     import jax
 
-    from sfvp_tpu import RenderConfig, init_state, make_render_step, upload
-    from sfvp_tpu.accel.wide import build_wide_from_buffers
+    from sfvp_tpu import RenderConfig, init_state, upload
     from sfvp_tpu.config import CameraConfig
-    from sfvp_tpu.kernels.bvh_packet import make_packet_trace
+    from sfvp_tpu.dispatch import select_render_step
     from sfvp_tpu.scene.procedural import sphere_mesh
+    from sfvp_tpu.utils.cache import enable_compilation_cache
 
+    enable_compilation_cache()
     n = max(32, int(np.sqrt(a.tris / 2)))
     scene = sphere_mesh(n_lat=n, n_lon=n, bump=0.3)
     buffers = upload(scene)
-
-    t0 = time.perf_counter()
-    wide = build_wide_from_buffers(buffers)
-    build_s = time.perf_counter() - t0
 
     cam = CameraConfig.look_at(origin=(0, 0, 4), target=(0, 0, 0),
                                fov_y_deg=50)
@@ -39,10 +36,11 @@ def main():
         width=a.size, height=a.size, spp_per_step=a.spp, max_depth=a.depth,
         camera=cam, sampling="cosine", sky_emission=(0.8, 0.85, 1.0),
     )
-    trace = make_packet_trace(wide, t_min=cfg.t_min,
-                              block_rows=cfg.packet_block_rows)
-    step = jax.jit(make_render_step(cfg, buffers, trace_payload_fn=trace),
-                   donate_argnums=(0,))
+    # dispatch picks the packet kernel and, beyond the VMEM budget, the
+    # HBM-streamed variant (includes the wide-BVH build)
+    t0 = time.perf_counter()
+    step = jax.jit(select_render_step(cfg, buffers), donate_argnums=(0,))
+    build_s = time.perf_counter() - t0
     state = init_state(cfg.height, cfg.width)
     state = step(state)
     jax.block_until_ready(state.accum)
@@ -55,7 +53,7 @@ def main():
         "metric": f"bigscene_{scene.num_triangles}tris_{a.size}px_gi",
         "value": round((float(state.mrays) - m0) / dt, 2),
         "unit": "Mrays/s",
-        "bvh_build_seconds": round(build_s, 2),
+        "setup_seconds": round(build_s, 2),
         "step_seconds": round(dt, 2),
     }))
 

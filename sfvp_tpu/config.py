@@ -113,6 +113,11 @@ class RenderConfig:
     # morton) so incoherent bounce rays form coherent packets; dead rays
     # compact to all-dead packets. Payload/packet path only.
     sort_bounce_rays: bool = True
+    # HBM-streamed triangle rows (DMA leaf prefetch, kernels/bvh_packet2):
+    # None = auto (stream when nodes+tris exceed vmem_scene_budget bytes),
+    # True/False = force. Streaming removes the VMEM scene-size cap.
+    stream_tris: "bool | None" = None
+    vmem_scene_budget: int = 10 * 1024 * 1024
     # debug config (SURVEY §5 sanitizer analog — the reference leans on the
     # Khronos validation layer): enables jax_debug_nans plus a finite-ness
     # assertion on the accumulator at every observed step boundary.

@@ -95,15 +95,30 @@ def select_render_step(
         from .kernels.bvh_packet import make_packet_occlusion, make_packet_trace
 
         wide = build_wide_from_buffers(buffers)
-        trace_payload = make_packet_trace(
-            wide, t_min=cfg.t_min, block_rows=cfg.packet_block_rows
-        )
+        scene_bytes = wide.nodes.nbytes + wide.tris.nbytes
+        stream = (cfg.stream_tris if cfg.stream_tris is not None
+                  else scene_bytes > cfg.vmem_scene_budget)
+        if stream:
+            # triangle rows stay in HBM; the v2 kernel's leaf queue issues
+            # a DMA prefetch at push time and waits at consumption (~8%
+            # over VMEM-resident on a 100k-tri wave; removes the ~150k-tri
+            # VMEM cap entirely — ref traceRayEXT traces any device-memory
+            # BVH, raygen.rgen:63 / main.cpp:414-455)
+            from .kernels.bvh_packet2 import make_packet_trace2
+
+            trace_payload = make_packet_trace2(
+                wide, t_min=cfg.t_min, stream_tris=True
+            )
+        else:
+            trace_payload = make_packet_trace(
+                wide, t_min=cfg.t_min, block_rows=cfg.packet_block_rows
+            )
         occlusion = (
             make_packet_occlusion(
                 wide, t_min=cfg.t_min, block_rows=cfg.packet_block_rows
             )
-            if cfg.use_nee
-            else None
+            if cfg.use_nee and not stream
+            else None  # streamed scenes shadow-trace via the payload kernel
         )
         return make_render_step(
             cfg, buffers, global_shape=global_shape,

@@ -51,8 +51,9 @@ N_PAY = 16        # payload planes beyond (t, u, v)
 def make_packet_trace2(
     wide: WideBVH,
     t_min: float,
-    n_packets: int = 4,
+    n_packets: int = 1,
     leaf_q: int = 64,
+    payload_in_carry: bool = True,
     interpret: Optional[bool] = None,
     stream_tris: bool = False,
 ):
@@ -89,9 +90,10 @@ def make_packet_trace2(
             ring_ref = refs[n_out + 2]   # VMEM (P, leaf_q, 128) ring slots
             sems = refs[n_out + 3]       # DMA sems (P, leaf_q)
 
-        # zero payload outputs (only leaf hits overwrite them)
-        for i in range(3, n_out):
-            out_refs[i][:] = jnp.zeros((P * R, lanes), jnp.float32)
+        if not payload_in_carry:
+            # zero payload outputs (only leaf hits overwrite them)
+            for i in range(3, n_out):
+                out_refs[i][:] = jnp.zeros((P * R, lanes), jnp.float32)
 
         def safe_inv(c):
             return jnp.where(jnp.abs(c) > 1e-30, 1.0 / c,
@@ -119,16 +121,19 @@ def make_packet_trace2(
         zero = jnp.zeros((R, lanes), jnp.float32)
         i32 = jnp.int32
 
-        # carry: per-packet (sp, lhead, ltail, bt, bu, bv)
+        # carry: per-packet (sp, lhead, ltail, bt, bu, bv [, 16 payload])
+        S = 6 + (N_PAY if payload_in_carry else 0)
         init = ()
         for p in range(P):
             init += (i32(1), i32(0), i32(0),
                      jnp.full((R, lanes), INF), zero, zero)
+            if payload_in_carry:
+                init += (zero,) * N_PAY
 
         def cond(c):
             work = i32(0)
             for p in range(P):
-                sp, lh, lt = c[6 * p], c[6 * p + 1], c[6 * p + 2]
+                sp, lh, lt = c[S * p], c[S * p + 1], c[S * p + 2]
                 work = work + sp + (lt - lh)
             return work > 0
 
@@ -137,12 +142,14 @@ def make_packet_trace2(
             for p in range(P):
                 (ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, tmax,
                  cox, coy, coz, civx, civy, civz) = pk[p]
-                sp = c[6 * p]
-                lh = c[6 * p + 1]
-                lt = c[6 * p + 2]
-                bt = c[6 * p + 3]
-                bu = c[6 * p + 4]
-                bv = c[6 * p + 5]
+                sp = c[S * p]
+                lh = c[S * p + 1]
+                lt = c[S * p + 2]
+                bt = c[S * p + 3]
+                bu = c[S * p + 4]
+                bv = c[S * p + 5]
+                pay_carry = (list(c[S * p + 6:S * p + 6 + N_PAY])
+                             if payload_in_carry else None)
 
                 # ---------------- node phase (branch-free) ----------------
                 do_node = sp > 0
@@ -161,13 +168,16 @@ def make_packet_trace2(
                 codes = []
                 pk_counts = []
                 hit_pair = None
+                # bunched scalar extraction before vector math (1.8x;
+                # see benchmarks/probe_carry.py)
+                nsc = [nrow[0, c2] for c2 in range(64)]
                 for ci in range(8):
-                    bmnx = nrow[0, 0 + ci]
-                    bmny = nrow[0, 8 + ci]
-                    bmnz = nrow[0, 16 + ci]
-                    bmxx = nrow[0, 24 + ci]
-                    bmxy = nrow[0, 32 + ci]
-                    bmxz = nrow[0, 40 + ci]
+                    bmnx = nsc[0 + ci]
+                    bmny = nsc[8 + ci]
+                    bmnz = nsc[16 + ci]
+                    bmxx = nsc[24 + ci]
+                    bmxy = nsc[32 + ci]
+                    bmxz = nsc[40 + ci]
                     tx0 = (bmnx - ox) * ivx
                     tx1 = (bmxx - ox) * ivx
                     ty0 = (bmny - oy) * ivy
@@ -201,9 +211,7 @@ def make_packet_trace2(
                                     jnp.minimum(cty0, cty1)),
                         jnp.maximum(jnp.minimum(ctz0, ctz1), t_min))
                     keys.append(ckey)
-                    tag = nrow[0, 56 + ci]
-                    ref = nrow[0, 48 + ci].astype(i32)
-                    codes.append((tag, ref))
+                    codes.append((nsc[56 + ci], nsc[48 + ci].astype(i32)))
 
                 # decode packed counts -> per-child push flags
                 push = []
@@ -308,17 +316,18 @@ def make_packet_trace2(
 
                 gate = do_leaf  # scalar; False lanes produce no updates
                 pay_new = None
+                tsc = [trow[0, c2] for c2 in range(128)]
                 for k in range(8):
                     base = 16 * k
-                    t0x = trow[0, base + 0]
-                    t0y = trow[0, base + 1]
-                    t0z = trow[0, base + 2]
-                    t1x = trow[0, base + 3]
-                    t1y = trow[0, base + 4]
-                    t1z = trow[0, base + 5]
-                    t2x = trow[0, base + 6]
-                    t2y = trow[0, base + 7]
-                    t2z = trow[0, base + 8]
+                    t0x = tsc[base + 0]
+                    t0y = tsc[base + 1]
+                    t0z = tsc[base + 2]
+                    t1x = tsc[base + 3]
+                    t1y = tsc[base + 4]
+                    t1z = tsc[base + 5]
+                    t2x = tsc[base + 6]
+                    t2y = tsc[base + 7]
+                    t2z = tsc[base + 8]
                     e1x, e1y, e1z = t1x - t0x, t1y - t0y, t1z - t0z
                     e2x, e2y, e2z = t2x - t0x, t2y - t0y, t2z - t0z
                     pvx = dy * e2z - dz * e2y
@@ -344,10 +353,10 @@ def make_packet_trace2(
                     bv = jnp.where(ok, v, bv)
                     vals = (
                         t0x, t0y, t0z, t1x, t1y, t1z, t2x, t2y, t2z,
-                        trow[0, base + 9], trow[0, base + 10],
-                        trow[0, base + 11], trow[0, base + 12],
-                        trow[0, base + 13], trow[0, base + 14],
-                        trow[0, base + 15],
+                        tsc[base + 9], tsc[base + 10],
+                        tsc[base + 11], tsc[base + 12],
+                        tsc[base + 13], tsc[base + 14],
+                        tsc[base + 15],
                     )
                     if pay_new is None:
                         pay_new = [(ok, jnp.where(ok, sv + zero, 0.0))
@@ -358,27 +367,37 @@ def make_packet_trace2(
                             for (okp, pv), sv in zip(pay_new, vals)
                         ]
 
-                # single read-modify-write of the payload refs per leaf pop
                 sl = slice(p * R, (p + 1) * R)
-                for i in range(N_PAY):
-                    okp, pv = pay_new[i]
-                    cur = out_refs[3 + i][sl, :]
-                    out_refs[3 + i][sl, :] = jnp.where(okp, pv, cur)
+                if payload_in_carry:
+                    for i in range(N_PAY):
+                        okp, pv = pay_new[i]
+                        pay_carry[i] = jnp.where(okp, pv, pay_carry[i])
+                else:
+                    # single read-modify-write of the payload refs per pop
+                    for i in range(N_PAY):
+                        okp, pv = pay_new[i]
+                        cur = out_refs[3 + i][sl, :]
+                        out_refs[3 + i][sl, :] = jnp.where(okp, pv, cur)
 
-                new[6 * p] = sp
-                new[6 * p + 1] = lh
-                new[6 * p + 2] = lt
-                new[6 * p + 3] = bt
-                new[6 * p + 4] = bu
-                new[6 * p + 5] = bv
+                new[S * p] = sp
+                new[S * p + 1] = lh
+                new[S * p + 2] = lt
+                new[S * p + 3] = bt
+                new[S * p + 4] = bu
+                new[S * p + 5] = bv
+                if payload_in_carry:
+                    new[S * p + 6:S * p + 6 + N_PAY] = pay_carry
             return tuple(new)
 
         final = jax.lax.while_loop(cond, body, init)
         for p in range(P):
             sl = slice(p * R, (p + 1) * R)
-            out_refs[0][sl, :] = final[6 * p + 3]
-            out_refs[1][sl, :] = final[6 * p + 4]
-            out_refs[2][sl, :] = final[6 * p + 5]
+            out_refs[0][sl, :] = final[S * p + 3]
+            out_refs[1][sl, :] = final[S * p + 4]
+            out_refs[2][sl, :] = final[S * p + 5]
+            if payload_in_carry:
+                for i in range(N_PAY):
+                    out_refs[3 + i][sl, :] = final[S * p + 6 + i]
 
     def trace(o, d, t_max, active=None) -> Payload:
         from .intersect import _as_v3
