@@ -1,19 +1,18 @@
 """On-device LBVH build (BASELINE config 4).
 
-The parallel-heavy stages of the build run in jnp/XLA on the accelerator:
-  1. per-triangle AABBs + centroids           (device, vectorized)
-  2. 30-bit morton codes                      (device, bit ops)
-  3. sort of (code, index) pairs              (device, lax.sort)
-  4. node AABBs for the emitted topology      (device, accel/refit.py sweeps)
+ALL build stages run in jnp/XLA on the accelerator (the reference builds
+on-device too, via a one-time command-buffer submit of
+buildAccelerationStructuresKHR, ref main.cpp:440-447):
+  1. per-triangle AABBs + centroids + 30-bit morton codes  (vectorized)
+  2. sort of (code, index) pairs                           (lax.sort)
+  3. hierarchy emission: Karras-2012 parallel radix tree, collapse to
+     <=leaf_size leaves, DFS/skip-link threading via sort+searchsorted
+     (accel/karras.py — no sequential host emission)
+  4. node AABBs: bottom-up masked level sweep over device-computed depths
 
-Only the inherently sequential hierarchy emission (splitting sorted code
-ranges at the highest differing bit) runs on host, consuming just the
-sorted codes (a single small transfer) and reusing the exact same
-emit_topology as the host builder — so a device build and a host build of
-the same scene have identical topology.
-
-(The reference builds on-device too, via a one-time command-buffer submit
-of buildAccelerationStructuresKHR, ref main.cpp:440-447.)
+The host only slices the fixed-size device result to its valid prefix and
+packs the BVH namedtuple (the final topology->wide repack; VERDICT r1 #3).
+The previous host-emission path is kept as ``emit="host"`` for comparison.
 """
 
 from __future__ import annotations
@@ -39,7 +38,7 @@ def _expand_bits_jnp(v):
 
 @jax.jit
 def morton_codes_device(v0, v1, v2):
-    """v0/v1/v2: (T, 3) f32 on device -> (codes (T,) u32, centroids)."""
+    """v0/v1/v2: (T, 3) f32 on device -> (T,) u32 morton codes."""
     tri_min = jnp.minimum(jnp.minimum(v0, v1), v2)
     tri_max = jnp.maximum(jnp.maximum(v0, v1), v2)
     cent = 0.5 * (tri_min + tri_max)
@@ -64,8 +63,7 @@ def sort_by_codes_device(codes):
     return cs, order
 
 
-def build_bvh_on_device(scene_buffers, leaf_size: int = 8) -> BVH:
-    """Device morton + sort + bounds; host topology emission."""
+def _scene_verts(scene_buffers):
     t = scene_buffers.num_tris
     v0 = jnp.stack(
         [scene_buffers.v0x[:t], scene_buffers.v0y[:t], scene_buffers.v0z[:t]],
@@ -79,37 +77,71 @@ def build_bvh_on_device(scene_buffers, leaf_size: int = 8) -> BVH:
         [scene_buffers.v2x[:t], scene_buffers.v2y[:t], scene_buffers.v2z[:t]],
         axis=1,
     )
+    return t, v0, v1, v2
+
+
+@jax.jit
+def _permute_columns(order, v0, v1, v2):
+    return tuple(
+        col[order]
+        for col in (
+            v0[:, 0], v0[:, 1], v0[:, 2],
+            v1[:, 0], v1[:, 1], v1[:, 2],
+            v2[:, 0], v2[:, 1], v2[:, 2],
+        )
+    )
+
+
+def build_bvh_on_device(scene_buffers, leaf_size: int = 8,
+                        emit: str = "karras") -> BVH:
+    """Fully on-device build (emit="karras") or the legacy path with host
+    topology emission (emit="host")."""
+    t, v0, v1, v2 = _scene_verts(scene_buffers)
     codes = morton_codes_device(v0, v1, v2)
     codes_sorted, order = sort_by_codes_device(codes)
+    tv_dev = _permute_columns(order, v0, v1, v2)
 
-    # host: sequential hierarchy emission from the sorted codes (native C++
-    # when built; the pure-Python emitter otherwise — identical output)
+    if emit == "karras" and t > leaf_size:
+        from .karras import (
+            _collapse_thread_depth, bounds_device, karras_ranges,
+        )
+
+        lo, hi, gamma = karras_ranges(codes_sorted)
+        skip_p, first_p, count_p, depth_p, valid_p, m_dev = (
+            _collapse_thread_depth(lo, hi, gamma, leaf_size)
+        )
+        m = int(m_dev)
+        skip = jnp.asarray(skip_p)[:m]
+        first = jnp.asarray(first_p)[:m]
+        count = jnp.asarray(count_p)[:m]
+        depth = jnp.asarray(depth_p)[:m]
+        is_leaf = count > 0
+        max_depth = int(jnp.max(depth)) + 1
+        bmin, bmax = jax.jit(
+            bounds_device, static_argnums=(6, 7)
+        )(skip, first, count, depth, is_leaf, tv_dev, leaf_size, max_depth)
+        bmin = np.asarray(bmin)
+        bmax = np.asarray(bmax)
+        return BVH(
+            bmin_x=bmin[:, 0], bmin_y=bmin[:, 1], bmin_z=bmin[:, 2],
+            bmax_x=bmax[:, 0], bmax_y=bmax[:, 1], bmax_z=bmax[:, 2],
+            skip=np.asarray(skip), first=np.asarray(first),
+            count=np.asarray(count),
+            tv=tuple(np.asarray(c) for c in tv_dev),
+            prim_id=np.asarray(order, np.int32),
+        )
+
+    # legacy / tiny-scene path: host emission from the sorted codes
     from .. import native as native_mod
 
-    links = native_mod.emit_topology_native(
-        np.asarray(codes_sorted), leaf_size
-    )
+    links = native_mod.emit_topology_native(np.asarray(codes_sorted),
+                                            leaf_size)
     if links is not None:
         skip, first, count = links
     else:
         arr = emit_topology(np.asarray(codes_sorted), t, leaf_size)
         skip, first, count, _ = topology_to_links(arr)
 
-    # device: permute triangle columns into morton order
-    @jax.jit
-    def permute(order, v0, v1, v2):
-        return tuple(
-            col[order]
-            for col in (
-                v0[:, 0], v0[:, 1], v0[:, 2],
-                v1[:, 0], v1[:, 1], v1[:, 2],
-                v2[:, 0], v2[:, 1], v2[:, 2],
-            )
-        )
-
-    tv_dev = permute(order, v0, v1, v2)
-
-    # bounds: skeleton BVH (zero bounds) + on-device refit sweep
     zeros = np.zeros(skip.shape[0], np.float32)
     skeleton = BVH(
         bmin_x=zeros, bmin_y=zeros, bmin_z=zeros,
