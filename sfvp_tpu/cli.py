@@ -33,6 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampling", choices=["uniform", "cosine"], default="uniform")
     p.add_argument("--rr", action="store_true", help="enable Russian roulette")
     p.add_argument("--nee", action="store_true", help="enable next-event estimation")
+    p.add_argument("--mis", action="store_true",
+                   help="balance-heuristic MIS between NEE and BSDF sampling (implies --nee)")
     p.add_argument("--traversal", choices=["auto", "brute", "bvh"], default="auto")
     p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default="auto")
     p.add_argument("--out", default="render.png")
@@ -65,7 +67,8 @@ def main(argv=None) -> int:
         spp_chunk=args.spp_chunk,
         sampling=args.sampling,
         use_rr=args.rr,
-        use_nee=args.nee,
+        use_nee=args.nee or args.mis,
+        use_mis=args.mis,
         traversal=args.traversal,
         backend=args.backend,
         camera=CameraConfig(),

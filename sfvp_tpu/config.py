@@ -85,6 +85,7 @@ class RenderConfig:
     # Extensions the reference does NOT have (ref raygen.rgen:62-84 is naive
     # PT). Off by default == parity mode.
     use_nee: bool = False            # next-event estimation
+    use_mis: bool = False            # balance-heuristic MIS (requires NEE)
     use_rr: bool = False             # Russian roulette
     rr_start_depth: int = 3
 
@@ -139,11 +140,18 @@ class RenderConfig:
         "sky_emission", "camera", "sampling", "use_nee", "use_rr",
         "rr_start_depth", "spp_chunk",
     )
+    # image-affecting fields added AFTER v1: hashed only when non-default,
+    # so hashes of configs that do not use them are stable across versions
+    # (existing checkpoints/goldens keep verifying).
+    _IMAGE_FIELDS_OPT = ("use_mis",)
 
     def config_hash(self) -> str:
         """Stable hash of everything that affects the accumulated image;
         stored in checkpoints so resume can refuse a mismatched config."""
         d = dataclasses.asdict(self)
-        d = {k: d[k] for k in self._IMAGE_FIELDS}
-        blob = json.dumps(d, sort_keys=True).encode()
+        keep = {k: d[k] for k in self._IMAGE_FIELDS}
+        for k in self._IMAGE_FIELDS_OPT:
+            if d[k] != getattr(type(self), k):
+                keep[k] = d[k]
+        blob = json.dumps(keep, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]

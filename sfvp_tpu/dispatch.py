@@ -70,6 +70,14 @@ def select_render_step(
         )
 
     backend, traversal = _resolve(cfg, buffers)
+    if cfg.use_mis and backend == "pallas" and traversal == "brute":
+        # MIS lives in the wavefront integrator; the regen megakernel's
+        # in-kernel NEE is hard-gated (non-MIS). Route to the jnp wavefront
+        # (still jit-compiled for TPU) so use_mis is honored.
+        return make_render_step(
+            cfg, buffers, trace_fn=select_trace_fn(cfg, buffers),
+            global_shape=global_shape,
+        )
     if backend == "pallas" and traversal == "brute":
         # NEE is implemented in the regen megakernel (in-kernel light
         # sampling + shadow loop); the chunked megakernel has no NEE

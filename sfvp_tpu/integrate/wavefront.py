@@ -123,6 +123,13 @@ def make_render_step(
     t_min = np.float32(cfg.t_min)
     t_max = np.float32(cfg.t_max)
     use_nee = cfg.use_nee and lights is not None
+    # balance-heuristic MIS between NEE and BSDF sampling (extension; the
+    # reference is BSDF-only). Lights are selected area-proportionally, so
+    # the NEE pdf of ANY emissive hit point is 1/total_area in area measure.
+    use_mis = cfg.use_mis and use_nee
+    inv_light_area = (
+        np.float32(1.0 / max(lights.total_area, 1e-30)) if use_nee else None
+    )
 
     use_payload = trace_payload_fn is not None
     do_sort = use_payload and cfg.sort_bounce_rays
@@ -179,7 +186,7 @@ def make_render_step(
     def _shade_from_payload(pay):
         """Derive shading inputs from a packet-trace Payload (no gathers);
         same math as shade_inputs/closesthit.rchit."""
-        miss = jnp.isinf(pay.t)
+        miss = jnp.isinf(pay.t)  # noqa: F841 (returned below)
         w = 1.0 - pay.u - pay.v
         position = vec.add(
             vec.add(vec.scale(pay.p0, w), vec.scale(pay.p1, pay.u)),
@@ -210,16 +217,16 @@ def make_render_step(
         return sh.prim >= 0
 
     def depth_body(carry, depth_idx):
-        o, d, weight, seed, done, color, segs, count_emit, pix = carry
+        o, d, weight, seed, done, color, segs, count_emit, pdf_prev, pix = carry
         if do_sort:
             key = _sort_key(o, d, done)
             (_, ox, oy, oz, dx, dy, dz, wr, wg, wb, cr, cg, cb,
-             seed_s, done_s, ce_s, pix) = jax.lax.sort(
+             seed_s, done_s, ce_s, pdf_s, pix) = jax.lax.sort(
                 (key, o[0], o[1], o[2], d[0], d[1], d[2],
                  weight[0], weight[1], weight[2],
                  color[0], color[1], color[2],
                  seed, done.astype(jnp.int32),
-                 count_emit.astype(jnp.int32), pix),
+                 count_emit.astype(jnp.int32), pdf_prev, pix),
                 num_keys=1,
             )
             o = (ox, oy, oz)
@@ -229,28 +236,50 @@ def make_render_step(
             seed = seed_s
             done = done_s.astype(bool)
             count_emit = ce_s.astype(bool)
+            pdf_prev = pdf_s
         active = jnp.logical_not(done)
         if use_payload:
             pay = trace_payload_fn(o, d, t_max, active=active)
             miss, position, normal, diffuse, emission, spec, mtype = (
                 _shade_from_payload(pay)
             )
+            hit_t = pay.t
         else:
             hit = trace_fn(o, d, scene, t_min, t_max, active=active)
             miss = hit.prim < 0
             position, normal, diffuse, emission, spec, mtype = shade_inputs(
                 scene, hit
             )
+            hit_t = hit.t
         is_mirror = (mtype == 1) & jnp.logical_not(miss)
         emission = vec.where(miss, vec.splat(cfg.sky_emission), emission)
 
-        # With NEE, BSDF-path emission is only counted where the light was
-        # not (and could not be) light-sampled: camera rays, post-specular
-        # bounces, and sky misses (the environment is not in the light
-        # table). Without NEE: every segment (ref raygen.rgen:76).
-        add_emit = active & (count_emit | miss) if use_nee else active
-        contrib = vec.mul(weight, emission)
-        color = vec.add(color, vec.where(add_emit, contrib, vec.splat((0, 0, 0))))
+        # Without NEE: emission on every segment (ref raygen.rgen:76).
+        # With NEE, BSDF-path emission is counted where the light could not
+        # be light-sampled (camera rays, post-specular, sky misses) — and,
+        # under MIS, everywhere else with the balance-heuristic weight
+        # p_bsdf / (p_bsdf + p_nee), which removes the variance cliff of
+        # hard-gating without double counting.
+        if not use_nee:
+            emit_w = active.astype(jnp.float32)
+        elif not use_mis:
+            emit_w = (active & (count_emit | miss)).astype(jnp.float32)
+        else:
+            cos_l_hit = jnp.abs(vec.dot(d, normal))
+            t_safe = jnp.where(miss, 0.0, hit_t)
+            p_nee_hit = (t_safe * t_safe) * inv_light_area / jnp.maximum(
+                cos_l_hit, np.float32(1e-6)
+            )
+            w_bsdf = pdf_prev / jnp.maximum(pdf_prev + p_nee_hit, 1e-30)
+            is_emissive = (
+                jnp.maximum(jnp.maximum(emission[0], emission[1]), emission[2])
+                > 0
+            ) & jnp.logical_not(miss)
+            emit_w = jnp.where(
+                count_emit | miss, 1.0, jnp.where(is_emissive, w_bsdf, 0.0)
+            ) * active.astype(jnp.float32)
+        contrib = vec.scale(vec.mul(weight, emission), emit_w)
+        color = vec.add(color, contrib)
 
         if use_nee:
             r_sel, seed = rng.rand(seed)
@@ -270,6 +299,17 @@ def make_render_step(
             direct = vec.scale(
                 vec.mul(vec.scale(diffuse, INV_PI), le), g_over_pdf
             )
+            if use_mis:
+                # balance heuristic in solid-angle measure
+                p_nee_sa = dist2 * pdf_area / jnp.maximum(
+                    cos_l, np.float32(1e-6)
+                )
+                if uniform:
+                    p_bsdf_l = jnp.full_like(cos_s, 1.0 / TWO_PI)
+                else:
+                    p_bsdf_l = jnp.maximum(cos_s, 0.0) * INV_PI
+                w_nee = p_nee_sa / jnp.maximum(p_nee_sa + p_bsdf_l, 1e-30)
+                direct = vec.scale(direct, w_nee)
             color = vec.add(
                 color,
                 vec.where(visible, vec.mul(weight, direct), vec.splat((0, 0, 0))),
@@ -314,8 +354,15 @@ def make_render_step(
         weight = vec.where(cont, vec.mul(weight, scale), weight)
         done = jnp.logical_not(cont)
         count_emit = is_mirror if use_nee else count_emit
+        if use_mis:
+            if uniform:
+                new_pdf = jnp.full_like(pdf_prev, 1.0 / TWO_PI)
+            else:
+                new_pdf = jnp.maximum(vec.dot(sampled, normal), 0.0) * INV_PI
+            pdf_prev = jnp.where(cont, new_pdf, pdf_prev)
         segs = segs + jnp.sum(active.astype(jnp.float32))
-        return (o, d, weight, seed, done, color, segs, count_emit, pix), None
+        return (o, d, weight, seed, done, color, segs, count_emit,
+                pdf_prev, pix), None
 
     def chunk_body(carry, chunk_idx, px, py, frame):
         color_sum, segs = carry
@@ -339,12 +386,15 @@ def make_render_step(
         done = jnp.zeros((m,), bool)
         color = vec.splat((0, 0, 0), like=o[0])
         count_emit = jnp.ones((m,), bool)
+        pdf_prev = jnp.zeros((m,), jnp.float32)
         pix = jnp.arange(m, dtype=jnp.int32)  # wave slot, travels with ray
 
-        (o, d, weight, seed, done, color, segs, count_emit, pix), _ = (
+        (o, d, weight, seed, done, color, segs, count_emit, pdf_prev,
+         pix), _ = (
             jax.lax.scan(
                 depth_body,
-                (o, d, weight, seed, done, color, segs, count_emit, pix),
+                (o, d, weight, seed, done, color, segs, count_emit,
+                 pdf_prev, pix),
                 jnp.arange(cfg.max_depth, dtype=jnp.int32),
             )
         )
