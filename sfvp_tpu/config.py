@@ -114,6 +114,10 @@ class RenderConfig:
     # morton) so incoherent bounce rays form coherent packets; dead rays
     # compact to all-dead packets. Payload/packet path only.
     sort_bounce_rays: bool = True
+    # prepend the surface material type to the bounce sort key (material-
+    # sorted queues, BASELINE config 5); only engages on scenes that mix
+    # materials. Execution knob: never changes the image.
+    sort_material_key: bool = True
     # HBM-streamed triangle rows (DMA leaf prefetch, kernels/bvh_packet2):
     # None = auto (stream when nodes+tris exceed vmem_scene_budget bytes),
     # True/False = force. Streaming removes the VMEM scene-size cap.

@@ -133,6 +133,7 @@ def make_render_step(
 
     use_payload = trace_payload_fn is not None
     do_sort = use_payload and cfg.sort_bounce_rays
+    sort_material = do_sort and cfg.sort_material_key and has_mirrors
     if do_sort:
         # static scene bounds for the morton sort key
         cols = {
@@ -150,9 +151,15 @@ def make_render_step(
         )
         inv_extent = 1.0 / np.maximum(hi - lo, 1e-6)
 
-    def _sort_key(o, d, done):
-        """(direction octant << 21) | 7-bit-per-axis position morton;
-        dead rays get the max key so they compact into all-dead packets."""
+    def _sort_key(o, d, done, mtype):
+        """(material << 24) | (direction octant << 21) | 7-bit-per-axis
+        position morton; dead rays get the max key so they compact into
+        all-dead packets (which the packet kernel retires in one pop).
+        The material bits implement BASELINE config 5's material-sorted
+        queues: rays leaving mirror vs diffuse surfaces have disjoint
+        direction structure, so splitting them sharpens packet frusta.
+        Sorting never changes the image (colors scatter back by wave
+        slot); it is purely an execution knob."""
 
         def q7(c, a):
             x = jnp.clip((c - lo[a]) * inv_extent[a], 0.0, 1.0)
@@ -181,6 +188,8 @@ def make_render_step(
         # (8.8s vs 11.0s) — more direction buckets fragment position
         # locality within packets
         key = (octant << 21) | morton
+        if sort_material:
+            key = key | (jnp.clip(mtype.astype(jnp.int32), 0, 3) << 24)
         return jnp.where(done, jnp.int32(2**30), key)
 
     def _shade_from_payload(pay):
@@ -217,9 +226,10 @@ def make_render_step(
         return sh.prim >= 0
 
     def depth_body(carry, depth_idx):
-        o, d, weight, seed, done, color, segs, count_emit, pdf_prev, pix = carry
+        (o, d, weight, seed, done, color, segs, count_emit, pdf_prev,
+         prev_mtype, pix) = carry
         if do_sort:
-            key = _sort_key(o, d, done)
+            key = _sort_key(o, d, done, prev_mtype)
             (_, ox, oy, oz, dx, dy, dz, wr, wg, wb, cr, cg, cb,
              seed_s, done_s, ce_s, pdf_s, pix) = jax.lax.sort(
                 (key, o[0], o[1], o[2], d[0], d[1], d[2],
@@ -361,8 +371,9 @@ def make_render_step(
                 new_pdf = jnp.maximum(vec.dot(sampled, normal), 0.0) * INV_PI
             pdf_prev = jnp.where(cont, new_pdf, pdf_prev)
         segs = segs + jnp.sum(active.astype(jnp.float32))
+        prev_mtype = jnp.where(cont, mtype.astype(jnp.float32), jnp.float32(0.0))
         return (o, d, weight, seed, done, color, segs, count_emit,
-                pdf_prev, pix), None
+                pdf_prev, prev_mtype, pix), None
 
     def chunk_body(carry, chunk_idx, px, py, frame):
         color_sum, segs = carry
@@ -387,14 +398,15 @@ def make_render_step(
         color = vec.splat((0, 0, 0), like=o[0])
         count_emit = jnp.ones((m,), bool)
         pdf_prev = jnp.zeros((m,), jnp.float32)
+        prev_mtype = jnp.zeros((m,), jnp.float32)
         pix = jnp.arange(m, dtype=jnp.int32)  # wave slot, travels with ray
 
         (o, d, weight, seed, done, color, segs, count_emit, pdf_prev,
-         pix), _ = (
+         prev_mtype, pix), _ = (
             jax.lax.scan(
                 depth_body,
                 (o, d, weight, seed, done, color, segs, count_emit,
-                 pdf_prev, pix),
+                 pdf_prev, prev_mtype, pix),
                 jnp.arange(cfg.max_depth, dtype=jnp.int32),
             )
         )
