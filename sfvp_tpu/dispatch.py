@@ -70,10 +70,21 @@ def select_render_step(
         )
 
     backend, traversal = _resolve(cfg, buffers)
-    if cfg.use_mis and backend == "pallas" and traversal == "brute":
-        # MIS lives in the wavefront integrator; the regen megakernel's
-        # in-kernel NEE is hard-gated (non-MIS). Route to the jnp wavefront
-        # (still jit-compiled for TPU) so use_mis is honored.
+    many_lights = False
+    if cfg.use_nee:
+        import numpy as np
+
+        t = buffers.num_tris
+        em = (np.asarray(buffers.er)[:t] > 0) | (
+            np.asarray(buffers.eg)[:t] > 0) | (np.asarray(buffers.eb)[:t] > 0)
+        many_lights = int(em.sum()) > 64
+    if ((cfg.use_mis or many_lights) and backend == "pallas"
+            and traversal == "brute"):
+        # MIS lives in the wavefront integrator (the regen megakernel's
+        # in-kernel NEE is hard-gated non-MIS), and the megakernel's
+        # unrolled light table caps at 64 lights — beyond that the
+        # wavefront path's searchsorted CDF light sampling scales to any
+        # count. Route both cases to the jnp wavefront (still TPU-jitted).
         return make_render_step(
             cfg, buffers, trace_fn=select_trace_fn(cfg, buffers),
             global_shape=global_shape,

@@ -83,10 +83,16 @@ def sample_light(lights: LightTable, r_sel, r1, r2):
     Returns (point (3-tuple), normal (3-tuple), Le (3-tuple), pdf_area).
     pdf_area == 1/total_area (triangle chosen proportional to area).
     """
-    # index via CDF compare-sum (L is small; avoids gather)
-    li = jnp.sum(
-        r_sel[..., None] > lights.cdf[(None,) * r_sel.ndim], axis=-1
-    ).astype(jnp.int32)
+    if lights.num <= 64:
+        # CDF compare-sum: cheapest for small tables (no search)
+        li = jnp.sum(
+            r_sel[..., None] > lights.cdf[(None,) * r_sel.ndim], axis=-1
+        ).astype(jnp.int32)
+    else:
+        # large light counts (the regen megakernel's 64-light table does
+        # not scale here): O(log L) vectorized CDF search
+        li = jnp.searchsorted(lights.cdf, r_sel, side="right").astype(
+            jnp.int32)
     li = jnp.minimum(li, lights.num - 1)
 
     pick = lambda t3: tuple(c[li] for c in t3)  # noqa: E731

@@ -12,6 +12,7 @@ import pytest
 from sfvp_tpu import RenderConfig, init_state, load_obj, make_render_step, upload
 from sfvp_tpu.integrate.lights import build_light_table, sample_light
 from sfvp_tpu.scene.objload import Scene
+from sfvp_tpu.scene.buffers import from_arrays
 
 
 def _scene(tris, diffuse, emission, specular=None, mat_type=None):
@@ -167,3 +168,56 @@ def test_nee_reduces_variance(cornell):
     var_bsdf = ((a1 - a2) ** 2).mean()
     var_nee = ((b1 - b2) ** 2).mean()
     assert var_nee < var_bsdf * 0.5, (var_nee, var_bsdf)
+
+
+def test_many_lights_nee_no_cliff():
+    """>64 area lights must not raise (VERDICT r1 weak #10): dispatch
+    routes NEE to the scalable wavefront path and the estimate stays
+    unbiased vs the BSDF-only estimator."""
+    import dataclasses
+
+    import jax
+
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.dispatch import select_render_step
+    from sfvp_tpu.integrate.lights import build_light_table_from_buffers
+    from sfvp_tpu.integrate.wavefront import init_state
+
+    g = np.random.default_rng(2)
+    # floor + a 10x10 grid of small emissive quads above it
+    tris = [
+        [[-6, 0, -6], [6, 0, -6], [6, 0, 6]],
+        [[-6, 0, -6], [6, 0, 6], [-6, 0, 6]],
+    ]
+    kd = [[0.7, 0.7, 0.7]] * 2
+    ke = [[0, 0, 0]] * 2
+    for i in range(10):
+        for j in range(10):
+            x, z = i - 4.5, j - 4.5
+            tris.append([[x - .2, 2, z - .2], [x + .2, 2, z + .2],
+                         [x + .2, 2, z - .2]])
+            kd.append([0, 0, 0])
+            ke.append([6.0, 5.0, 4.0])
+    buffers = from_arrays(
+        np.asarray(tris, np.float32), np.asarray(kd, np.float32),
+        np.asarray(ke, np.float32),
+    )
+    lt = build_light_table_from_buffers(buffers)
+    assert lt.num == 100
+
+    cam = CameraConfig.look_at(origin=(0, 1.0, 8.0), target=(0, 0.5, 0),
+                               fov_y_deg=45)
+    cfg = RenderConfig(width=16, height=16, spp_per_step=128, max_depth=2,
+                       sampling="cosine", camera=cam,
+                       sky_emission=(0, 0, 0), use_nee=True)
+    step = jax.jit(select_render_step(cfg, buffers))  # must not raise
+    st = step(init_state(16, 16))
+    img = np.asarray(st.accum)
+    assert np.isfinite(img).all() and img.mean() > 0
+
+    ref = jax.jit(select_render_step(
+        dataclasses.replace(cfg, use_nee=False, spp_per_step=512),
+    buffers))(init_state(16, 16))
+    rel = abs(img.mean() - float(np.asarray(ref.accum).mean())) / max(
+        float(np.asarray(ref.accum).mean()), 1e-9)
+    assert rel < 0.08, rel
