@@ -68,6 +68,9 @@ class Renderer:
     def resume(self, checkpoint_path: str) -> None:
         self.state, _ = load_checkpoint(checkpoint_path, self.cfg.config_hash())
 
+    def _save_checkpoint(self, path: str) -> None:
+        save_checkpoint(path, self.state, self.cfg.config_hash())
+
     def step(self, n: int = 1) -> RenderState:
         for _ in range(n):
             self.state = self._step(self.state)
@@ -162,14 +165,12 @@ class Renderer:
                     and checkpoint_every
                     and (i + 1) % checkpoint_every == 0
                 ):
-                    save_checkpoint(
-                        checkpoint_path, self.state, self.cfg.config_hash()
-                    )
+                    self._save_checkpoint(checkpoint_path)
             img = self.image()
             if out:
                 write_image(out, img, srgb=srgb)
             if checkpoint_path:
-                save_checkpoint(checkpoint_path, self.state, self.cfg.config_hash())
+                self._save_checkpoint(checkpoint_path)
             return img
         finally:
             if log_f:

