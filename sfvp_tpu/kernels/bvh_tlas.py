@@ -1,0 +1,323 @@
+"""Packet traversal of a two-level (TLAS over instanced BLAS) structure —
+the in-kernel analog of the reference's instance-aware traceRayEXT
+(ref main.cpp:514-538 TLAS; shaders/raygen.rgen:63).
+
+Extends the single-level packet kernel (kernels/bvh_packet.py) with:
+  - a parallel SMEM INSTANCE-CONTEXT stack: every pushed entry records
+    which instance's object space it lives in (-1 = TLAS/world);
+  - per-iteration ray re-derivation: the packet's rays are transformed by
+    the popped entry's instance inverse transform (direction NOT
+    renormalized, so hit t stays world-measure and best-t pruning works
+    across instances);
+  - TAG_INSTANCE TLAS leaves: popping one pushes the instance's BLAS root
+    under that instance's context;
+  - leaf payloads transform the winning triangle's vertices to WORLD space
+    with the instance's forward transform (scalar-side), so shading math
+    downstream (normals, barycentric position) is space-agnostic.
+
+Scales to many instances: trace cost no longer multiplies by instance
+count (the round-1 host-unrolled path did; accel/instances.py keeps it for
+few-instance scenes and as the correctness oracle).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..accel.tlas import TwoLevelBVH
+from .bvh_packet import Payload
+
+INF = np.float32(np.inf)
+_BIG = np.float32(1e30)
+_IB = 1 << 27  # instance-code base: code = -(IB + inst_id + 1)
+
+
+def make_two_level_trace(
+    tl: TwoLevelBVH,
+    t_min: float,
+    block_rows: int = 8,
+    interpret: Optional[bool] = None,
+):
+    """Build trace(o, d, t_max, active) -> Payload over (N,) SoA rays."""
+    nodes = jnp.asarray(tl.nodes)
+    tris = jnp.asarray(tl.tris)
+    inst = jnp.asarray(tl.inst)
+    stack_n = int(tl.max_stack)
+    t_min = np.float32(t_min)
+    lanes = 128
+    r = block_rows
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def kernel(nodes_ref, tris_ref, inst_ref, ox_ref, oy_ref, oz_ref,
+               dx_ref, dy_ref, dz_ref, tmax_ref, *out_refs):
+        stack_ref = out_refs[-2]
+        istack_ref = out_refs[-1]
+        outs = out_refs[:-2]
+        wox, woy, woz = ox_ref[:], oy_ref[:], oz_ref[:]
+        wdx, wdy, wdz = dx_ref[:], dy_ref[:], dz_ref[:]
+        tmax = tmax_ref[:]
+
+        def safe_inv(c):
+            return jnp.where(
+                jnp.abs(c) > 1e-30, 1.0 / c, jnp.where(c >= 0, _BIG, -_BIG)
+            )
+
+        zero = jnp.zeros((r, lanes), jnp.float32)
+        stack_ref[0] = jnp.int32(1)   # TLAS root
+        istack_ref[0] = jnp.int32(-1)  # world context
+
+        init = (
+            jnp.int32(1),
+            jnp.full((r, lanes), INF),
+            zero, zero,
+        ) + (zero,) * 16
+
+        def cond(c):
+            return c[0] > 0
+
+        def body(c):
+            sp = c[0]
+            bt = c[1]
+            bu, bv = c[2], c[3]
+            pay = tuple(c[4:])
+
+            code = stack_ref[sp - 1]
+            ictx = istack_ref[sp - 1]
+            sp = sp - 1
+
+            neg = -code - 1
+            is_inst = (code < 0) & (neg >= _IB)
+            is_leaf = (code < 0) & jnp.logical_not(is_inst)
+
+            # ---- per-iteration ray context (world or instance space) ----
+            irow = inst_ref[pl.ds(jnp.maximum(ictx, 0), 1), :]
+            tf = [irow[0, cc] for cc in range(24)]
+            in_world = ictx < 0
+            ox = jnp.where(in_world, wox,
+                           tf[0] * wox + tf[1] * woy + tf[2] * woz + tf[9])
+            oy = jnp.where(in_world, woy,
+                           tf[3] * wox + tf[4] * woy + tf[5] * woz + tf[10])
+            oz = jnp.where(in_world, woz,
+                           tf[6] * wox + tf[7] * woy + tf[8] * woz + tf[11])
+            dx = jnp.where(in_world, wdx,
+                           tf[0] * wdx + tf[1] * wdy + tf[2] * wdz)
+            dy = jnp.where(in_world, wdy,
+                           tf[3] * wdx + tf[4] * wdy + tf[5] * wdz)
+            dz = jnp.where(in_world, wdz,
+                           tf[6] * wdx + tf[7] * wdy + tf[8] * wdz)
+            ivx, ivy, ivz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+            # popped-instance row (only meaningful when is_inst)
+            iid = jnp.where(is_inst, neg - _IB, 0)
+            prow = inst_ref[pl.ds(iid, 1), :]
+            blas_root = prow[0, 24].astype(jnp.int32)
+
+            def inst_fn(args):
+                """Instance leaf: push its BLAS root under its context."""
+                bt, bu, bv, pay = args
+                stack_ref[sp] = blas_root + 1
+                istack_ref[sp] = iid
+                return (sp + 1, bt, bu, bv) + pay
+
+            def node_fn(args):
+                bt, bu, bv, pay = args
+                nrow = nodes_ref[pl.ds(jnp.maximum(code - 1, 0), 1), :]
+                limit = jnp.minimum(bt, tmax)
+                sc = [nrow[0, cc] for cc in range(64)]
+                keys = []
+                codes = []
+                for ci in range(8):
+                    tx0 = (sc[0 + ci] - ox) * ivx
+                    tx1 = (sc[24 + ci] - ox) * ivx
+                    ty0 = (sc[8 + ci] - oy) * ivy
+                    ty1 = (sc[32 + ci] - oy) * ivy
+                    tz0 = (sc[16 + ci] - oz) * ivz
+                    tz1 = (sc[40 + ci] - oz) * ivz
+                    tnear = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1),
+                                    jnp.minimum(ty0, ty1)),
+                        jnp.maximum(jnp.minimum(tz0, tz1), t_min),
+                    )
+                    tfar = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.minimum(jnp.maximum(tz0, tz1), limit),
+                    )
+                    tag = sc[56 + ci]
+                    ref = sc[48 + ci].astype(jnp.int32)
+                    hit = tnear <= tfar
+                    push = (tag > 0.5) & jnp.any(hit)
+                    key = jnp.min(jnp.where(hit, tnear, jnp.float32(np.inf)))
+                    keys.append(jnp.where(push, key, jnp.float32(-np.inf)))
+                    child = jnp.where(
+                        tag > 2.5, -(_IB + ref + 1),
+                        jnp.where(tag > 1.5, -(ref + 1), ref + 1),
+                    )
+                    codes.append(jnp.where(push, child, jnp.int32(0)))
+
+                net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+                       (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (3, 7),
+                       (1, 5), (2, 6), (1, 4), (3, 6), (2, 4), (3, 5),
+                       (3, 4)]
+                for a, b in net:
+                    swap = keys[a] < keys[b]
+                    ka = jnp.where(swap, keys[b], keys[a])
+                    kb = jnp.where(swap, keys[a], keys[b])
+                    ca = jnp.where(swap, codes[b], codes[a])
+                    cb = jnp.where(swap, codes[a], codes[b])
+                    keys[a], keys[b] = ka, kb
+                    codes[a], codes[b] = ca, cb
+
+                spn = sp
+                for ci in range(8):
+                    code_c = codes[ci]
+                    do_push = code_c != 0
+
+                    @pl.when(do_push)
+                    def _(spn=spn, code_c=code_c):
+                        stack_ref[spn] = code_c
+                        istack_ref[spn] = ictx
+
+                    spn = spn + do_push.astype(jnp.int32)
+                return (spn, bt, bu, bv) + pay
+
+            def leaf_fn(args):
+                bt, bu, bv, pay = args
+                pay = list(pay)
+                trow = tris_ref[pl.ds(jnp.maximum(neg, 0), 1), :]
+                tsc = [trow[0, cc] for cc in range(128)]
+                # forward transform of the CURRENT instance (identity-like
+                # select for world context)
+                fw = [jnp.where(in_world,
+                                jnp.float32(1.0 if cc in (0, 4, 8) else 0.0),
+                                tf[12 + cc]) for cc in range(12)]
+                for k in range(8):
+                    base = 16 * k
+                    t0x, t0y, t0z = tsc[base], tsc[base + 1], tsc[base + 2]
+                    t1x, t1y, t1z = tsc[base + 3], tsc[base + 4], tsc[base + 5]
+                    t2x, t2y, t2z = tsc[base + 6], tsc[base + 7], tsc[base + 8]
+                    e1x, e1y, e1z = t1x - t0x, t1y - t0y, t1z - t0z
+                    e2x, e2y, e2z = t2x - t0x, t2y - t0y, t2z - t0z
+                    pvx = dy * e2z - dz * e2y
+                    pvy = dz * e2x - dx * e2z
+                    pvz = dx * e2y - dy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                    tvx, tvy, tvz = ox - t0x, oy - t0y, oz - t0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    ok = (
+                        (jnp.abs(det) > 1e-12)
+                        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                        & (t > t_min) & (t < tmax) & (t < bt)
+                    )
+                    bt = jnp.where(ok, t, bt)
+                    bu = jnp.where(ok, u, bu)
+                    bv = jnp.where(ok, v, bv)
+                    # world-space vertices via the forward transform
+                    wv = []
+                    for vx, vy, vz in ((t0x, t0y, t0z), (t1x, t1y, t1z),
+                                       (t2x, t2y, t2z)):
+                        wv.extend((
+                            fw[0] * vx + fw[1] * vy + fw[2] * vz + fw[9],
+                            fw[3] * vx + fw[4] * vy + fw[5] * vz + fw[10],
+                            fw[6] * vx + fw[7] * vy + fw[8] * vz + fw[11],
+                        ))
+                    vals = tuple(wv) + (
+                        tsc[base + 9], tsc[base + 10], tsc[base + 11],
+                        tsc[base + 12], tsc[base + 13], tsc[base + 14],
+                        tsc[base + 15],
+                    )
+                    pay = [
+                        jnp.where(ok, sv + zero, pv)
+                        for sv, pv in zip(vals, pay)
+                    ]
+                return (sp, bt, bu, bv) + tuple(pay)
+
+            def not_inst(args):
+                return jax.lax.cond(is_leaf, leaf_fn, node_fn, args)
+
+            return jax.lax.cond(is_inst, inst_fn, not_inst,
+                                (bt, bu, bv, pay))
+
+        final = jax.lax.while_loop(cond, body, init)
+        bt, bu, bv = final[1], final[2], final[3]
+        pay = final[4:]
+        outs[0][:] = bt
+        outs[1][:] = bu
+        outs[2][:] = bv
+        for i in range(16):
+            outs[3 + i][:] = pay[i]
+
+    n_out = 19
+
+    def trace(o, d, t_max, active=None) -> Payload:
+        from .intersect import _as_v3
+
+        o = _as_v3(o)
+        d = _as_v3(d)
+        n = o[0].shape[0]
+        rows_total = -(-n // lanes)
+        rows_padded = -(-rows_total // r) * r
+        grid = rows_padded // r
+        pad = rows_padded * lanes - n
+
+        tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+        if active is not None:
+            tmax = jnp.where(active, tmax, np.float32(-np.inf))
+
+        def plane(a, fill=0.0):
+            a = jnp.pad(a, (0, pad), constant_values=fill)
+            return a.reshape(rows_padded, lanes)
+
+        args = [
+            plane(o[0]), plane(o[1]), plane(o[2]),
+            plane(d[0]), plane(d[1]), plane(d[2]),
+            plane(tmax, fill=-np.inf),
+        ]
+
+        blk = pl.BlockSpec((r, lanes), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3 + [blk] * 7,
+            out_specs=[blk] * n_out,
+            out_shape=[
+                jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32)
+            ] * n_out,
+            scratch_shapes=[
+                pltpu.SMEM((stack_n,), jnp.int32),
+                pltpu.SMEM((stack_n,), jnp.int32),
+            ],
+            interpret=interpret,
+        )(nodes, tris, inst, *args)
+
+        flat = lambda a: a.reshape(-1)[:n]  # noqa: E731
+        o19 = [flat(a) for a in outs]
+        bt = o19[0]
+        if active is not None:
+            bt = jnp.where(active, bt, INF)
+        return Payload(
+            t=bt, u=o19[1], v=o19[2],
+            p0=(o19[3], o19[4], o19[5]),
+            p1=(o19[6], o19[7], o19[8]),
+            p2=(o19[9], o19[10], o19[11]),
+            albedo=(o19[12], o19[13], o19[14]),
+            emission=(o19[15], o19[16], o19[17]),
+            mtype=o19[18],
+        )
+
+    return trace
