@@ -119,7 +119,7 @@ def main():
 
     out = {"wave": a.wave_kind, "sampled_groups": a.groups,
            "live_groups": n_live_groups}
-    for width in (1024,):
+    for width in (1024, 256, 128):
         tot_n = tot_l = 0
         lockstep = 0
         gw = max(width, 1024)
@@ -141,16 +141,16 @@ def main():
                 sub.append(n_p + l_p)
                 tot_n += n_p
                 tot_l += l_p
-            # an (8,128) lockstep block pays max over its 8 sub-packets
-            for i in range(0, len(sub), 8):
-                lockstep += max(sub[i:i + 8])
+            # an (8,128) lockstep block interleaving its sub-packets in one
+            # while loop pays max over the sub-packets
+            lockstep += max(sub)
         rays = a.groups * gw
         out[f"w{width}_pops_per_ray"] = round((tot_n + tot_l) / rays, 4)
         out[f"w{width}_leaf_frac"] = round(tot_l / max(tot_n + tot_l, 1), 3)
-        if width == 128:
-            out["w128_lockstep_iters_per_block"] = round(
+        if width < 1024:
+            out[f"w{width}_lockstep_iters_per_block"] = round(
                 lockstep / a.groups, 1)
-            out["w128_sum_iters_per_block"] = round(
+            out[f"w{width}_sum_iters_per_block"] = round(
                 (tot_n + tot_l) / a.groups, 1)
     print(json.dumps(out))
 

@@ -122,7 +122,9 @@ class RenderConfig:
     # None = auto (stream when nodes+tris exceed vmem_scene_budget bytes),
     # True/False = force. Streaming removes the VMEM scene-size cap.
     stream_tris: "bool | None" = None
-    vmem_scene_budget: int = 10 * 1024 * 1024
+    # measured headroom: a 12.8MB node+tri table compiles and runs alongside
+    # the packet kernels' block data on v5e (16MB VMEM)
+    vmem_scene_budget: int = 13 * 1024 * 1024
     # debug config (SURVEY §5 sanitizer analog — the reference leans on the
     # Khronos validation layer): enables jax_debug_nans plus a finite-ness
     # assertion on the accumulator at every observed step boundary.

@@ -1,0 +1,510 @@
+"""BVH regen megakernel — sample-regeneration path tracing with in-kernel
+packet BVH traversal (the large-scene counterpart of megakernel_regen.py).
+
+Why: the wavefront GI path on big scenes relaunches the packet-trace kernel
+once per bounce; by bounce 2-3 two thirds of its lanes are dead, every
+relaunch pays block IO, and each bounce pays a 17-array lax.sort. Profiling
+(benchmarks/probe_packets.py, sim_packets.py) shows the packet kernel's
+per-program fixed cost and the dead-lane waste dominate the step. This
+kernel keeps EVERY lane busy until the whole sample budget drains: each
+lane owns one pixel and runs its spp samples back-to-back (regeneration, as
+in megakernel_regen.py), while each bounce traces the full (block_rows x
+128) packet through the 8-wide BVH with the shared-SMEM-stack traversal of
+kernels/bvh_packet.py. No sort, no relaunch, no dead lanes; packets mix
+bounce depths, which costs ~15% traversal quality vs sorted wavefronts
+(sim_packets.py) and buys back far more in occupancy.
+
+Per-sample semantics identical to the reference and to the other
+integrators (ref shaders/raygen.rgen:41-91): same PCG seeding, same bounce
+math, miss = sky + terminate, emissive hits never terminate. NEE/MIS are
+NOT implemented here (dispatch routes those to the wavefront integrator).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..accel.wide import WideBVH
+from ..config import RenderConfig
+from ..utils import vec
+from .megakernel import INV_PI, TWO_PI, _pcg2d_vec, _rand_vec, _U
+
+_BIG = np.float32(1e30)
+INF = np.float32(np.inf)
+
+
+def make_bvh_regen_render_step(
+    cfg: RenderConfig,
+    scene_buffers,
+    wide: Optional[WideBVH] = None,
+    global_shape: Optional[tuple] = None,
+    block_rows: int = 8,
+    interpret: Optional[bool] = None,
+):
+    """render_step(state, row0) -> state. Whole spp per kernel call, BVH
+    traversal per bounce, in-lane sample regeneration."""
+    if wide is None:
+        from ..accel.wide import build_wide_from_buffers
+
+        wide = build_wide_from_buffers(scene_buffers)
+    nodes = jnp.asarray(wide.nodes)
+    tris = jnp.asarray(wide.tris)
+    stack_n = int(wide.max_stack)
+
+    gh, gw = global_shape if global_shape is not None else (cfg.height, cfg.width)
+    spp = cfg.spp_per_step
+    max_depth = cfg.max_depth
+    t_min = np.float32(cfg.t_min)
+    t_max = np.float32(cfg.t_max)
+    sky = tuple(np.float32(s) for s in cfg.sky_emission)
+    cam = cfg.camera
+    uniform = cfg.sampling == "uniform"
+    use_rr = cfg.use_rr
+    rr_start = cfg.rr_start_depth
+    if cfg.use_nee or cfg.use_mis:
+        raise NotImplementedError(
+            "the BVH regen megakernel has no NEE/MIS; dispatch routes those "
+            "configs to the wavefront integrator"
+        )
+
+    import numpy as _np
+
+    num_tris = scene_buffers.num_tris
+    has_mirrors = bool(
+        _np.any(_np.asarray(scene_buffers.mtype)[:num_tris] > 0)
+    )
+
+    lanes = 128
+    r = block_rows
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    inv2w = np.float32(2.0 / gw)
+    inv2h = np.float32(2.0 / gh)
+    cx, cy, cz = (np.float32(v) for v in cam.center)
+    rx, ry, rz = (np.float32(v) for v in cam.right)
+    ux, uy, uz = (np.float32(v) for v in cam.up)
+    ox0, oy0, oz0 = (np.float32(v) for v in cam.origin)
+    ts = cfg.packet_tile_size
+
+    def build_kernel(local_npix, r, swz):
+        def kernel(scal_ref, nodes_ref, tris_ref, colr_ref, colg_ref,
+                   colb_ref, segs_ref, stack_ref):
+            pid = pl.program_id(0)
+            frame = scal_ref[0]
+            row0 = scal_ref[1]
+
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (r, lanes), 0)
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (r, lanes), 1)
+            idx = (pid * r + row_ids) * lanes + lane_ids      # lane = pixel
+            # pixel-tile swizzle (same mapping as the wavefront payload
+            # path): consecutive lanes cover a compact ts x ts screen tile
+            # so primary packets are tight; gated on exact divisibility of
+            # the LOCAL shard shape (rows-only sharding keeps w == gw).
+            if swz:
+                tpw = gw // ts
+                tile = idx // (ts * ts)
+                within = idx % (ts * ts)
+                px_full = (tile % tpw) * ts + within % ts
+                py_full = (tile // tpw) * ts + within // ts
+                p_lin = jnp.minimum(idx, local_npix - 1)
+                px = jnp.where(idx < local_npix, px_full, p_lin % gw)
+                py = jnp.where(idx < local_npix, py_full, p_lin // gw) + row0
+            else:
+                p_lin = jnp.minimum(idx, local_npix - 1)
+                px = p_lin % gw
+                py = p_lin // gw + row0
+
+            zero = jnp.zeros((r, lanes), jnp.float32)
+            one = jnp.ones((r, lanes), jnp.float32)
+            izero = jnp.zeros((r, lanes), jnp.int32)
+
+            s0 = jnp.where(idx < local_npix, 0, spp).astype(jnp.int32)
+
+            init = (
+                s0, izero,                      # sample idx, bounce
+                zero, zero, zero,               # o
+                zero, zero, one,                # d
+                one, one, one,                  # weight
+                jnp.zeros((r, lanes), _U),      # seed
+                zero, zero, zero,               # color total
+                zero,                           # segs
+            )
+
+            def cond(c):
+                return jnp.any(c[0] < spp)
+
+            def body(c):
+                (s, bounce, ox, oy, oz, dx, dy, dz, wr, wg, wb, seed,
+                 tr, tg, tb, segs) = c
+                active = s < spp
+                need = active & (bounce == 0)
+
+                # ---- regenerate: seed + camera ray (ref raygen.rgen:45-57)
+                m = s.astype(_U) + _U(spp) * frame.astype(_U) + _U(1)
+                sx, sy = _pcg2d_vec(px.astype(_U) * m, py.astype(_U) * m)
+                sd = sx + sy
+                r1n, sd = _rand_vec(sd)
+                r2n, sd = _rand_vec(sd)
+                ndx = (px.astype(jnp.float32) + r1n) * inv2w - 1.0
+                ndy = (py.astype(jnp.float32) + r2n) * inv2h - 1.0
+                nd = (
+                    cx + ndx * rx + ndy * ux - ox0,
+                    cy + ndx * ry + ndy * uy - oy0,
+                    cz + ndx * rz + ndy * uz - oz0,
+                )
+                nd = vec.normalize(nd)
+                ox = jnp.where(need, ox0, ox)
+                oy = jnp.where(need, oy0, oy)
+                oz = jnp.where(need, oz0, oz)
+                dx = jnp.where(need, nd[0], dx)
+                dy = jnp.where(need, nd[1], dy)
+                dz = jnp.where(need, nd[2], dz)
+                wr = jnp.where(need, 1.0, wr)
+                wg = jnp.where(need, 1.0, wg)
+                wb = jnp.where(need, 1.0, wb)
+                seed = jnp.where(need, sd, seed)
+
+                # ---- packet BVH traversal (kernels/bvh_packet.py body) ----
+                def safe_inv(cc):
+                    return jnp.where(
+                        jnp.abs(cc) > 1e-30, 1.0 / cc,
+                        jnp.where(cc >= 0, _BIG, -_BIG),
+                    )
+
+                ivx = safe_inv(dx)
+                ivy = safe_inv(dy)
+                ivz = safe_inv(dz)
+                tmax_l = jnp.where(active, t_max, np.float32(-np.inf))
+
+                stack_ref[0] = jnp.int32(1)
+                t_init = (
+                    jnp.int32(1),
+                    jnp.full((r, lanes), INF),   # bt
+                    zero, zero,                  # bu, bv
+                ) + (zero,) * 16                 # payload planes
+
+                def t_cond(tc):
+                    return tc[0] > 0
+
+                def t_body(tc):
+                    sp = tc[0]
+                    bt = tc[1]
+                    bu, bv = tc[2], tc[3]
+                    pay = tuple(tc[4:])
+                    code = stack_ref[sp - 1]
+                    sp = sp - 1
+                    is_leaf = code < 0
+
+                    def node_fn(args):
+                        bt, bu, bv, pay = args
+                        nrow = nodes_ref[pl.ds(jnp.maximum(code - 1, 0), 1), :]
+                        limit = jnp.minimum(bt, tmax_l)
+                        keys = []
+                        codes = []
+                        sc = [nrow[0, cc] for cc in range(64)]
+                        for ci in range(8):
+                            bmnx = sc[0 + ci]
+                            bmny = sc[8 + ci]
+                            bmnz = sc[16 + ci]
+                            bmxx = sc[24 + ci]
+                            bmxy = sc[32 + ci]
+                            bmxz = sc[40 + ci]
+                            tx0 = (bmnx - ox) * ivx
+                            tx1 = (bmxx - ox) * ivx
+                            ty0 = (bmny - oy) * ivy
+                            ty1 = (bmxy - oy) * ivy
+                            tz0 = (bmnz - oz) * ivz
+                            tz1 = (bmxz - oz) * ivz
+                            tnear = jnp.maximum(
+                                jnp.maximum(jnp.minimum(tx0, tx1),
+                                            jnp.minimum(ty0, ty1)),
+                                jnp.maximum(jnp.minimum(tz0, tz1), t_min),
+                            )
+                            tfar = jnp.minimum(
+                                jnp.minimum(jnp.maximum(tx0, tx1),
+                                            jnp.maximum(ty0, ty1)),
+                                jnp.minimum(jnp.maximum(tz0, tz1), limit),
+                            )
+                            tag = sc[56 + ci]
+                            ref = sc[48 + ci].astype(jnp.int32)
+                            hit = tnear <= tfar
+                            push = (tag > 0.5) & jnp.any(hit)
+                            key = jnp.min(
+                                jnp.where(hit, tnear, jnp.float32(np.inf))
+                            )
+                            keys.append(
+                                jnp.where(push, key, jnp.float32(-np.inf))
+                            )
+                            codes.append(
+                                jnp.where(
+                                    push,
+                                    jnp.where(tag > 1.5, -(ref + 1), ref + 1),
+                                    jnp.int32(0),
+                                )
+                            )
+                        net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+                               (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (3, 7),
+                               (1, 5), (2, 6), (1, 4), (3, 6), (2, 4), (3, 5),
+                               (3, 4)]
+                        for a, b in net:
+                            swap = keys[a] < keys[b]
+                            ka = jnp.where(swap, keys[b], keys[a])
+                            kb = jnp.where(swap, keys[a], keys[b])
+                            ca = jnp.where(swap, codes[b], codes[a])
+                            cb = jnp.where(swap, codes[a], codes[b])
+                            keys[a], keys[b] = ka, kb
+                            codes[a], codes[b] = ca, cb
+                        spn = sp
+                        for ci in range(8):
+                            code_c = codes[ci]
+                            do_push = code_c != 0
+
+                            @pl.when(do_push)
+                            def _(spn=spn, code_c=code_c):
+                                stack_ref[spn] = code_c
+
+                            spn = spn + do_push.astype(jnp.int32)
+                        return (spn, bt, bu, bv) + pay
+
+                    def leaf_fn(args):
+                        bt, bu, bv, pay = args
+                        pay = list(pay)
+                        trow = tris_ref[pl.ds(jnp.maximum(-code - 1, 0), 1), :]
+                        tsc = [trow[0, cc] for cc in range(128)]
+                        for k in range(8):
+                            base = 16 * k
+                            t0x = tsc[base + 0]
+                            t0y = tsc[base + 1]
+                            t0z = tsc[base + 2]
+                            t1x = tsc[base + 3]
+                            t1y = tsc[base + 4]
+                            t1z = tsc[base + 5]
+                            t2x = tsc[base + 6]
+                            t2y = tsc[base + 7]
+                            t2z = tsc[base + 8]
+                            e1x, e1y, e1z = t1x - t0x, t1y - t0y, t1z - t0z
+                            e2x, e2y, e2z = t2x - t0x, t2y - t0y, t2z - t0z
+                            pvx = dy * e2z - dz * e2y
+                            pvy = dz * e2x - dx * e2z
+                            pvz = dx * e2y - dy * e2x
+                            det = e1x * pvx + e1y * pvy + e1z * pvz
+                            inv_det = jnp.where(
+                                jnp.abs(det) > 1e-12, 1.0 / det, 0.0
+                            )
+                            tvx, tvy, tvz = ox - t0x, oy - t0y, oz - t0z
+                            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                            qvx = tvy * e1z - tvz * e1y
+                            qvy = tvz * e1x - tvx * e1z
+                            qvz = tvx * e1y - tvy * e1x
+                            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                            ok = (
+                                (jnp.abs(det) > 1e-12)
+                                & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                                & (t > t_min) & (t < tmax_l) & (t < bt)
+                            )
+                            bt = jnp.where(ok, t, bt)
+                            bu = jnp.where(ok, u, bu)
+                            bv = jnp.where(ok, v, bv)
+                            vals = (
+                                t0x, t0y, t0z, t1x, t1y, t1z, t2x, t2y, t2z,
+                                tsc[base + 9], tsc[base + 10],
+                                tsc[base + 11], tsc[base + 12],
+                                tsc[base + 13], tsc[base + 14],
+                                tsc[base + 15],
+                            )
+                            pay = [
+                                jnp.where(ok, sv + zero, pv)
+                                for sv, pv in zip(vals, pay)
+                            ]
+                        return (sp, bt, bu, bv) + tuple(pay)
+
+                    return jax.lax.cond(is_leaf, leaf_fn, node_fn,
+                                        (bt, bu, bv, pay))
+
+                t_final = jax.lax.while_loop(t_cond, t_body, t_init)
+                bt = t_final[1]
+                bu, bv = t_final[2], t_final[3]
+                pay = t_final[4:]
+                b0 = (pay[0], pay[1], pay[2])
+                b1 = (pay[3], pay[4], pay[5])
+                b2 = (pay[6], pay[7], pay[8])
+                albedo = (pay[9], pay[10], pay[11])
+                ke = (pay[12], pay[13], pay[14])
+                mt = pay[15]
+
+                # ---- shade (ref closesthit.rchit:50-65 / miss.rmiss) ----
+                miss = jnp.isinf(bt)
+                bw = 1.0 - bu - bv
+                position = (
+                    b0[0] * bw + b1[0] * bu + b2[0] * bv,
+                    b0[1] * bw + b1[1] * bu + b2[1] * bv,
+                    b0[2] * bw + b1[2] * bu + b2[2] * bv,
+                )
+                nrm = vec.cross(vec.sub(b1, b0), vec.sub(b2, b0))
+                inv_len = jax.lax.rsqrt(jnp.maximum(vec.dot(nrm, nrm), 1e-30))
+                normal = vec.scale(nrm, -inv_len)
+                diffuse = albedo
+                emission = vec.where(
+                    miss,
+                    (sky[0] + zero, sky[1] + zero, sky[2] + zero),
+                    ke,
+                )
+                if has_mirrors:
+                    is_mirror = (mt > 0.5) & jnp.logical_not(miss)
+                else:
+                    is_mirror = jnp.zeros((r, lanes), bool)
+
+                tr = tr + jnp.where(active, wr * emission[0], 0.0)
+                tg = tg + jnp.where(active, wg * emission[1], 0.0)
+                tb = tb + jnp.where(active, wb * emission[2], 0.0)
+
+                # ---- next direction (ref raygen.rgen:77-80) ----
+                r1, seed = _rand_vec(seed)
+                r2, seed = _rand_vec(seed)
+                nx, ny, nz = normal
+                use_x = jnp.abs(nx) > jnp.abs(ny)
+                inv_a = jax.lax.rsqrt(jnp.maximum(nx * nx + nz * nz, 1e-30))
+                inv_b = jax.lax.rsqrt(jnp.maximum(ny * ny + nz * nz, 1e-30))
+                tang = (
+                    jnp.where(use_x, nz * inv_a, 0.0),
+                    jnp.where(use_x, 0.0, -nz * inv_b),
+                    jnp.where(use_x, -nx * inv_a, ny * inv_b),
+                )
+                bit = vec.cross(normal, tang)
+                if uniform:
+                    sq = jnp.sqrt(jnp.maximum(0.0, 1.0 - r1 * r1))
+                    lz = r1
+                else:
+                    sq = jnp.sqrt(jnp.maximum(0.0, r1))
+                    lz = jnp.sqrt(jnp.maximum(0.0, 1.0 - r1))
+                phi = TWO_PI * r2
+                new_dir = vec.add(
+                    vec.add(vec.scale(tang, jnp.cos(phi) * sq),
+                            vec.scale(bit, jnp.sin(phi) * sq)),
+                    vec.scale(normal, lz),
+                )
+                if uniform:
+                    cos_t = vec.dot(new_dir, normal)
+                    scale3 = vec.scale(diffuse, (INV_PI * TWO_PI) * cos_t)
+                else:
+                    scale3 = diffuse
+
+                if has_mirrors:
+                    n_dot_d = dx * normal[0] + dy * normal[1] + dz * normal[2]
+                    n_f = vec.where(n_dot_d > 0, vec.scale(normal, -1.0),
+                                    normal)
+                    d3 = (dx, dy, dz)
+                    refl = vec.sub(d3, vec.scale(n_f, 2.0 * vec.dot(d3, n_f)))
+                    new_dir = vec.where(is_mirror, refl, new_dir)
+                    # the wide layout stores Ks in the albedo lanes for
+                    # mirrors (accel/wide.py), so the tint is just albedo
+                    scale3 = vec.where(is_mirror, albedo, scale3)
+
+                cont = active & jnp.logical_not(miss) & (bounce + 1 < max_depth)
+                if use_rr:
+                    pmax = jnp.clip(
+                        vec.maxc(vec.mul((wr, wg, wb), scale3)), 0.05, 0.95
+                    )
+                    r_rr, seed = _rand_vec(seed)
+                    rr_on = bounce >= rr_start
+                    survive = jnp.logical_not(rr_on) | (r_rr < pmax)
+                    scale3 = vec.where(rr_on, vec.scale(scale3, 1.0 / pmax),
+                                       scale3)
+                    cont = cont & survive
+
+                ox = jnp.where(cont, position[0], ox)
+                oy = jnp.where(cont, position[1], oy)
+                oz = jnp.where(cont, position[2], oz)
+                dx = jnp.where(cont, new_dir[0], dx)
+                dy = jnp.where(cont, new_dir[1], dy)
+                dz = jnp.where(cont, new_dir[2], dz)
+                wr = jnp.where(cont, wr * scale3[0], wr)
+                wg = jnp.where(cont, wg * scale3[1], wg)
+                wb = jnp.where(cont, wb * scale3[2], wb)
+
+                finished = active & jnp.logical_not(cont)
+                s = s + finished.astype(jnp.int32)
+                bounce = jnp.where(cont, bounce + 1, 0)
+                segs = segs + jnp.where(active, 1.0, 0.0)
+                return (s, bounce, ox, oy, oz, dx, dy, dz, wr, wg, wb, seed,
+                        tr, tg, tb, segs)
+
+            final = jax.lax.while_loop(cond, body, init)
+            tr, tg, tb, segs = final[12], final[13], final[14], final[15]
+            colr_ref[:] = tr
+            colg_ref[:] = tg
+            colb_ref[:] = tb
+            segs_ref[:] = segs
+
+        return kernel
+
+    from ..integrate.wavefront import RenderState
+
+    def render_step(state: RenderState, row0=0) -> RenderState:
+        h, w = state.accum.shape[0], state.accum.shape[1]
+        npix = h * w
+        rows_total = -(-npix // lanes)
+        rr = max(8, min(r, rows_total))
+        rows_padded = -(-rows_total // rr) * rr
+        grid = rows_padded // rr
+        swz = bool(ts) and w % ts == 0 and h % ts == 0
+        kernel = build_kernel(npix, rr, swz)
+
+        scal = jnp.stack([
+            jnp.asarray(state.frame, jnp.int32),
+            jnp.asarray(row0, jnp.int32),
+        ])
+        blk = pl.BlockSpec((rr, lanes), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        colr, colg, colb, segs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[blk] * 4,
+            out_shape=[
+                jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32)
+            ] * 4,
+            scratch_shapes=[pltpu.SMEM((stack_n,), jnp.int32)],
+            interpret=interpret,
+        )(scal, nodes, tris)
+
+        # undo the tile swizzle: lane i held pixel (px, py) computed in the
+        # kernel; build the static inverse permutation
+        flat = lambda a: a.reshape(-1)[:npix]  # noqa: E731
+        if swz:
+            ii = np.arange(npix)
+            tpw = w // ts
+            px = (ii // (ts * ts) % tpw) * ts + (ii % (ts * ts)) % ts
+            py = (ii // (ts * ts) // tpw) * ts + (ii % (ts * ts)) // ts
+            perm = py * w + px
+            inv = np.empty_like(perm)
+            inv[perm] = ii
+            inv = jnp.asarray(inv.astype(np.int32))
+            colr, colg, colb = (flat(a)[inv] for a in (colr, colg, colb))
+        else:
+            colr, colg, colb = (flat(a) for a in (colr, colg, colb))
+        color = jnp.stack(
+            [colr.reshape(h, w), colg.reshape(h, w), colb.reshape(h, w)],
+            axis=-1,
+        ) / np.float32(spp)
+        f = state.frame.astype(jnp.float32)
+        accum = (color + state.accum * f) / (f + 1.0)
+        return RenderState(
+            accum=accum,
+            frame=state.frame + 1,
+            mrays=state.mrays + jnp.sum(flat(segs)) / np.float32(1e6),
+        )
+
+    return render_step

@@ -1,0 +1,74 @@
+"""BVH regen megakernel (kernels/megakernel_bvh.py) equivalence tests:
+identical per-sample streams to the jnp wavefront integrator, with the
+closest hit coming from in-kernel packet BVH traversal instead of brute
+force (interpret mode; tiny shapes — interpret is ~100x slow)."""
+
+import numpy as np
+import jax
+import pytest
+
+from sfvp_tpu import RenderConfig, init_state, load_obj, upload
+from sfvp_tpu.integrate.wavefront import make_render_step
+from sfvp_tpu.kernels.megakernel_bvh import make_bvh_regen_render_step
+
+
+@pytest.fixture(scope="module")
+def buffers():
+    return upload(load_obj())
+
+
+def test_bvh_regen_equivalence(buffers):
+    """Same per-sample streams as the jnp integrator; summation order may
+    differ by ~1 ulp (direct accumulation vs per-sample subtotals)."""
+    cfg = RenderConfig(width=16, height=8, spp_per_step=3, max_depth=3)
+    a = jax.jit(make_render_step(cfg, buffers))(init_state(8, 16))
+    b = jax.jit(make_bvh_regen_render_step(cfg, buffers, interpret=True))(
+        init_state(8, 16)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-5, atol=1e-7
+    )
+    assert float(a.mrays) == float(b.mrays)
+
+
+def test_bvh_regen_equivalence_cosine_rr(buffers):
+    cfg = RenderConfig(
+        width=16, height=8, spp_per_step=2, max_depth=3,
+        sampling="cosine", use_rr=True, rr_start_depth=1,
+    )
+    a = jax.jit(make_render_step(cfg, buffers))(init_state(8, 16))
+    b = jax.jit(make_bvh_regen_render_step(cfg, buffers, interpret=True))(
+        init_state(8, 16)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_bvh_regen_swizzle_and_row_offset(buffers):
+    """Tile swizzle on (32x32 = one full tile) and a sharded row offset must
+    both reproduce the unsharded pixels exactly."""
+    cfg = RenderConfig(width=32, height=32, spp_per_step=1, max_depth=2,
+                       packet_tile_size=16)
+    a = jax.jit(make_render_step(cfg, buffers))(init_state(32, 32))
+    b = jax.jit(make_bvh_regen_render_step(cfg, buffers, interpret=True))(
+        init_state(32, 32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-5, atol=1e-7
+    )
+
+    # bottom-half shard (row0=16) == bottom half of the full image
+    step = make_bvh_regen_render_step(
+        cfg, buffers, global_shape=(32, 32), interpret=True
+    )
+    sh = jax.jit(lambda s: step(s, 16))(init_state(16, 32))
+    np.testing.assert_allclose(
+        np.asarray(sh.accum), np.asarray(a.accum)[16:], rtol=1e-5, atol=1e-7
+    )
+
+
+def test_bvh_regen_rejects_nee(buffers):
+    cfg = RenderConfig(width=8, height=8, use_nee=True, sampling="cosine")
+    with pytest.raises(NotImplementedError):
+        make_bvh_regen_render_step(cfg, buffers, interpret=True)
