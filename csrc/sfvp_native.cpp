@@ -32,7 +32,7 @@ struct Material {
   float kd[3] = {0, 0, 0};
   float ke[3] = {0, 0, 0};
   float ks[3] = {0, 0, 0};
-  float ns = 0.f, ni = 1.f, illum = 2.f;
+  float ns = 0.f, ni = 1.f, illum = 2.f, pr = 0.f;
 };
 
 struct SceneData {
@@ -41,6 +41,7 @@ struct SceneData {
   std::vector<float> emission;   // T * 3
   std::vector<float> specular;   // T * 3
   std::vector<int32_t> mat_type; // T
+  std::vector<float> rough;      // T (GGX roughness, mtype 2)
   std::vector<int32_t> mat_id;   // T
   std::string names;             // newline-joined material names
   std::string error;
@@ -87,6 +88,8 @@ bool parse_mtl(const std::string& path, std::vector<std::string>* order,
       (*mats)[cur].ni = std::stof(parts[1]);
     } else if (!cur.empty() && parts.size() >= 2 && key == "illum") {
       (*mats)[cur].illum = std::stof(parts[1]);
+    } else if (!cur.empty() && parts.size() >= 2 && key == "Pr") {
+      (*mats)[cur].pr = std::stof(parts[1]);
     }
   }
   return true;
@@ -150,6 +153,7 @@ SceneData* load_obj_impl(const std::string& path, bool flip_y) {
   out->emission.assign(3 * t, 0.f);
   out->specular.assign(3 * t, 0.f);
   out->mat_type.assign(t, 0);
+  out->rough.assign(t, 0.f);
   out->mat_id.resize(t);
   for (size_t i = 0; i < t; ++i) {
     const int vs[3] = {tris[i].a, tris[i].b, tris[i].c};
@@ -165,7 +169,14 @@ SceneData* load_obj_impl(const std::string& path, bool flip_y) {
         out->specular[3 * i + a] = m.ks[a];
       }
       bool ks_nonzero = m.ks[0] > 0 || m.ks[1] > 0 || m.ks[2] > 0;
-      if (m.illum >= 3.f && ks_nonzero) out->mat_type[i] = 1;
+      // PBR 'Pr' roughness + Ks -> GGX glossy (2); classic illum>=3 ->
+      // perfect mirror (1). Mirrors semantics in scene/objload.py.
+      if (m.pr > 0.f && ks_nonzero) {
+        out->mat_type[i] = 2;
+        out->rough[i] = m.pr < 1.f ? m.pr : 1.f;
+      } else if (m.illum >= 3.f && ks_nonzero) {
+        out->mat_type[i] = 1;
+      }
     }
   }
   std::ostringstream names;
@@ -355,6 +366,10 @@ void sfvp_scene_fill(void* h, float* vertices, float* diffuse,
   std::memcpy(specular, s->specular.data(), s->specular.size() * 4);
   std::memcpy(mat_type, s->mat_type.data(), s->mat_type.size() * 4);
   std::memcpy(mat_id, s->mat_id.data(), s->mat_id.size() * 4);
+}
+void sfvp_scene_fill_rough(void* h, float* rough) {
+  auto* s = static_cast<SceneData*>(h);
+  std::memcpy(rough, s->rough.data(), s->rough.size() * 4);
 }
 void sfvp_scene_free(void* h) { delete static_cast<SceneData*>(h); }
 

@@ -182,17 +182,22 @@ def _wide_depth(nodes: np.ndarray) -> int:
 def materials_array(scene_buffers) -> np.ndarray:
     """(T, 7) albedo/ke/mtype table from SceneBuffers (original tri order).
 
-    The 16-lane tri slot only fits one albedo triple, so mirrors (mtype 1,
-    which never use Kd) store their Ks tint in the albedo lanes."""
+    The 16-lane tri slot only fits one albedo triple, so mirrors and glossy
+    surfaces (mtype 1/2, which never use Kd) store their Ks tint in the
+    albedo lanes. The final lane packs ``mtype + roughness``: roughness is
+    clamped to [0, 0.96], so ``floor`` recovers the integer material type
+    and the fraction recovers the GGX roughness without widening the slot."""
     t = scene_buffers.num_tris
     col = lambda f: np.asarray(getattr(scene_buffers, f))[:t]  # noqa: E731
     mtype = col("mtype")
+    rough = np.clip(col("rough"), 0.0, 0.96)
     kd = np.stack([col("dr"), col("dg"), col("db")], axis=1)
     ks = np.stack([col("sr"), col("sg"), col("sb")], axis=1)
     ke = np.stack([col("er"), col("eg"), col("eb")], axis=1)
-    albedo = np.where(mtype[:, None] == 1, ks, kd)
+    albedo = np.where(mtype[:, None] >= 1, ks, kd)
+    packed = mtype.astype(np.float32) + np.where(mtype == 2, rough, 0.0)
     return np.concatenate(
-        [albedo, ke, mtype[:, None].astype(np.float32)], axis=1
+        [albedo, ke, packed[:, None]], axis=1
     ).astype(np.float32)
 
 

@@ -70,15 +70,18 @@ def select_render_step(
         )
 
     backend, traversal = _resolve(cfg, buffers)
+    import numpy as np
+
+    t = buffers.num_tris
     many_lights = False
     if cfg.use_nee:
-        import numpy as np
-
-        t = buffers.num_tris
         em = (np.asarray(buffers.er)[:t] > 0) | (
             np.asarray(buffers.eg)[:t] > 0) | (np.asarray(buffers.eb)[:t] > 0)
         many_lights = int(em.sum()) > 64
-    if ((cfg.use_mis or many_lights) and backend == "pallas"
+    # GGX glossy surfaces (mtype 2) are implemented in the wavefront
+    # integrator only; the megakernels' in-kernel shading is diffuse+mirror
+    has_glossy = bool(np.any(np.asarray(buffers.mtype)[:t] == 2))
+    if ((cfg.use_mis or many_lights or has_glossy) and backend == "pallas"
             and traversal == "brute"):
         # MIS lives in the wavefront integrator (the regen megakernel's
         # in-kernel NEE is hard-gated non-MIS), and the megakernel's
@@ -118,7 +121,7 @@ def select_render_step(
         stream = (cfg.stream_tris if cfg.stream_tris is not None
                   else scene_bytes > cfg.vmem_scene_budget)
         if (cfg.megakernel_regen and not stream and not cfg.use_nee
-                and not cfg.use_mis):
+                and not cfg.use_mis and not has_glossy):
             # fused BVH regen megakernel: whole spp per kernel call with
             # in-lane sample regeneration and in-kernel packet traversal —
             # no per-bounce relaunch, no dead lanes, no bounce sort

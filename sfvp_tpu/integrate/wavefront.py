@@ -35,7 +35,15 @@ from .. import rng
 from ..camera import generate_rays_soa
 from ..config import RenderConfig
 from ..kernels.intersect import trace_brute_jnp
-from ..sampling import sample_direction_cosine_soa, sample_direction_uniform_soa
+from ..sampling import (
+    coordinate_system_soa,
+    ggx_d,
+    ggx_lambda,
+    ggx_sample_vndf_local,
+    ggx_vndf_pdf,
+    sample_direction_cosine_soa,
+    sample_direction_uniform_soa,
+)
 from ..utils import vec
 from .lights import sample_light
 
@@ -75,8 +83,9 @@ def shade_inputs(scene, hit):
     diffuse = (scene.dr[prim], scene.dg[prim], scene.db[prim])
     emission = (scene.er[prim], scene.eg[prim], scene.eb[prim])
     specular = (scene.sr[prim], scene.sg[prim], scene.sb[prim])
-    mtype = scene.mtype[prim]
-    return position, normal, diffuse, emission, specular, mtype
+    mtype = scene.mtype[prim].astype(jnp.float32)
+    rough = scene.rough[prim]
+    return position, normal, diffuse, emission, specular, mtype, rough
 
 
 def make_render_step(
@@ -111,7 +120,10 @@ def make_render_step(
 
         lights = build_light_table_from_buffers(scene)
     has_mirrors = bool(
-        _np.any(_np.asarray(scene.mtype)[: scene.num_tris] > 0)
+        _np.any(_np.asarray(scene.mtype)[: scene.num_tris] == 1)
+    )
+    has_glossy = bool(
+        _np.any(_np.asarray(scene.mtype)[: scene.num_tris] == 2)
     )
     if trace_fn is None:
         trace_fn = trace_brute_jnp
@@ -204,8 +216,12 @@ def make_render_step(
         nrm = vec.cross(vec.sub(pay.p1, pay.p0), vec.sub(pay.p2, pay.p0))
         inv_len = jax.lax.rsqrt(jnp.maximum(vec.dot(nrm, nrm), 1e-30))
         normal = vec.scale(nrm, -inv_len)
-        # the wide layout stores Ks in the albedo lanes for mirrors
-        return miss, position, normal, pay.albedo, pay.emission, pay.albedo, pay.mtype
+        # the wide layout stores Ks in the albedo lanes for mirrors/glossy
+        # and packs mtype + roughness into one lane (accel/wide.py)
+        mtype = jnp.floor(pay.mtype)
+        rough = pay.mtype - mtype
+        return (miss, position, normal, pay.albedo, pay.emission,
+                pay.albedo, mtype, rough)
 
     def _shadow_occluded(position, wl, dist, shadow_q):
         if occlusion_fn is not None:
@@ -250,19 +266,56 @@ def make_render_step(
         active = jnp.logical_not(done)
         if use_payload:
             pay = trace_payload_fn(o, d, t_max, active=active)
-            miss, position, normal, diffuse, emission, spec, mtype = (
-                _shade_from_payload(pay)
-            )
+            (miss, position, normal, diffuse, emission, spec, mtype,
+             rough) = _shade_from_payload(pay)
             hit_t = pay.t
         else:
             hit = trace_fn(o, d, scene, t_min, t_max, active=active)
             miss = hit.prim < 0
-            position, normal, diffuse, emission, spec, mtype = shade_inputs(
-                scene, hit
-            )
+            (position, normal, diffuse, emission, spec, mtype,
+             rough) = shade_inputs(scene, hit)
             hit_t = hit.t
         is_mirror = (mtype == 1) & jnp.logical_not(miss)
         emission = vec.where(miss, vec.splat(cfg.sky_emission), emission)
+
+        if has_glossy:
+            # GGX glossy (extension): build the view-oriented shading frame
+            # once — both NEE (light-sample eval) and the bounce (VNDF
+            # sampling) use it. Geometry is double-sided, so the frame
+            # normal flips toward the incoming ray.
+            is_glossy = (mtype == 2) & jnp.logical_not(miss)
+            wo = vec.scale(d, -1.0)
+            n_g = vec.where(vec.dot(d, normal) > 0,
+                            vec.scale(normal, -1.0), normal)
+            tng, btg = coordinate_system_soa(n_g)
+            woz = jnp.maximum(vec.dot(wo, n_g), 1e-6)
+            wo_l = (vec.dot(wo, tng), vec.dot(wo, btg), woz)
+            alpha_g = jnp.maximum(rough * rough, 1e-4)
+            lam_o = ggx_lambda(woz, alpha_g)
+
+            def ggx_f(coh):
+                """Schlick fresnel with the Ks tint as F0."""
+                m1 = 1.0 - coh
+                f5 = m1 * m1
+                f5 = f5 * f5 * m1
+                return tuple(s + (1.0 - s) * f5 for s in spec)
+
+            def ggx_eval(wl):
+                """(f_r per channel, bsdf pdf) for a light direction."""
+                wl_l = (vec.dot(wl, tng), vec.dot(wl, btg), vec.dot(wl, n_g))
+                cos_i = wl_l[2]
+                h = vec.add(wo_l, wl_l)
+                inv_h = jax.lax.rsqrt(jnp.maximum(vec.dot(h, h), 1e-20))
+                h = vec.scale(h, inv_h)
+                dgg = ggx_d(h[2], alpha_g)
+                g2 = 1.0 / (1.0 + lam_o + ggx_lambda(cos_i, alpha_g))
+                coh = jnp.maximum(vec.dot(wo_l, h), 1e-6)
+                fr = ggx_f(coh)
+                denom = jnp.maximum(4.0 * woz * jnp.maximum(cos_i, 1e-6),
+                                    1e-6)
+                f = tuple(fc * dgg * g2 / denom for fc in fr)
+                pdf = ggx_vndf_pdf(woz, h[2], alpha_g)
+                return f, pdf, cos_i
 
         # Without NEE: emission on every segment (ref raygen.rgen:76).
         # With NEE, BSDF-path emission is counted where the light could not
@@ -301,14 +354,17 @@ def make_render_step(
             dist = jnp.sqrt(dist2)
             wl = vec.scale(to_l, 1.0 / dist)
             cos_s = vec.dot(wl, normal)
+            brdf_l = vec.scale(diffuse, INV_PI)
+            if has_glossy:
+                f_g, pdf_g_l, cos_i_g = ggx_eval(wl)
+                cos_s = jnp.where(is_glossy, cos_i_g, cos_s)
+                brdf_l = vec.where(is_glossy, f_g, brdf_l)
             cos_l = jnp.abs(vec.dot(wl, nl))  # double-sided light
             shadow_q = active & jnp.logical_not(miss | is_mirror) & (cos_s > 0)
             occluded = _shadow_occluded(position, wl, dist, shadow_q)
             visible = shadow_q & jnp.logical_not(occluded)
             g_over_pdf = cos_s * cos_l / (dist2 * pdf_area)
-            direct = vec.scale(
-                vec.mul(vec.scale(diffuse, INV_PI), le), g_over_pdf
-            )
+            direct = vec.scale(vec.mul(brdf_l, le), g_over_pdf)
             if use_mis:
                 # balance heuristic in solid-angle measure
                 p_nee_sa = dist2 * pdf_area / jnp.maximum(
@@ -318,6 +374,8 @@ def make_render_step(
                     p_bsdf_l = jnp.full_like(cos_s, 1.0 / TWO_PI)
                 else:
                     p_bsdf_l = jnp.maximum(cos_s, 0.0) * INV_PI
+                if has_glossy:
+                    p_bsdf_l = jnp.where(is_glossy, pdf_g_l, p_bsdf_l)
                 w_nee = p_nee_sa / jnp.maximum(p_nee_sa + p_bsdf_l, 1e-30)
                 direct = vec.scale(direct, w_nee)
             color = vec.add(
@@ -337,6 +395,29 @@ def make_render_step(
             # pdf = cos/pi cancels the cosine: weight *= Kd
             scale = diffuse
 
+        glossy_kill = None
+        if has_glossy:
+            # GGX bounce: VNDF half-vector sample (reusing the same r1/r2
+            # draws as the hemisphere sample keeps RNG streams material-
+            # independent), reflect, weight = F * G2_hc / G1(wo).
+            h_l = ggx_sample_vndf_local(r1, r2, wo_l, alpha_g)
+            coh = jnp.maximum(vec.dot(wo_l, h_l), 1e-6)
+            wi_l = vec.sub(vec.scale(h_l, 2.0 * coh), wo_l)
+            g_valid = wi_l[2] > 1e-5
+            wi_g = vec.add(
+                vec.add(vec.scale(tng, wi_l[0]), vec.scale(btg, wi_l[1])),
+                vec.scale(n_g, wi_l[2]),
+            )
+            g2_over_g1 = (1.0 + lam_o) / (
+                1.0 + lam_o + ggx_lambda(wi_l[2], alpha_g)
+            )
+            scale_g = vec.scale(ggx_f(coh), g2_over_g1)
+            sampled = vec.where(is_glossy, wi_g, sampled)
+            scale = vec.where(is_glossy, scale_g, scale)
+            # a sampled direction below the surface is absorbed (standard
+            # single-scattering GGX energy loss)
+            glossy_kill = is_glossy & jnp.logical_not(g_valid)
+
         if has_mirrors:
             # perfect mirror (extension): reflect about the normal flipped
             # toward the incoming ray (geometry is double-sided)
@@ -349,6 +430,8 @@ def make_render_step(
             new_dir = sampled
 
         cont = active & jnp.logical_not(miss)
+        if glossy_kill is not None:
+            cont = cont & jnp.logical_not(glossy_kill)
         if cfg.use_rr:
             # Russian roulette (extension; OFF in parity mode): from
             # rr_start_depth on, continue with probability p and compensate.
@@ -369,6 +452,10 @@ def make_render_step(
                 new_pdf = jnp.full_like(pdf_prev, 1.0 / TWO_PI)
             else:
                 new_pdf = jnp.maximum(vec.dot(sampled, normal), 0.0) * INV_PI
+            if has_glossy:
+                new_pdf = jnp.where(
+                    is_glossy, ggx_vndf_pdf(woz, h_l[2], alpha_g), new_pdf
+                )
             pdf_prev = jnp.where(cont, new_pdf, pdf_prev)
         segs = segs + jnp.sum(active.astype(jnp.float32))
         prev_mtype = jnp.where(cont, mtype.astype(jnp.float32), jnp.float32(0.0))

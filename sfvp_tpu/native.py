@@ -62,6 +62,10 @@ def _get_lib() -> Optional[ctypes.CDLL]:
     lib.sfvp_scene_material_names.argtypes = [ctypes.c_void_p]
     lib.sfvp_scene_fill.restype = None
     lib.sfvp_scene_fill.argtypes = [ctypes.c_void_p] + [f32p] * 4 + [i32p] * 2
+    if hasattr(lib, "sfvp_scene_fill_rough"):
+        # added after v1 of the .so; older builds fall back to zeros
+        lib.sfvp_scene_fill_rough.restype = None
+        lib.sfvp_scene_fill_rough.argtypes = [ctypes.c_void_p, f32p]
     lib.sfvp_scene_free.restype = None
     lib.sfvp_scene_free.argtypes = [ctypes.c_void_p]
     lib.sfvp_build_lbvh.restype = ctypes.c_void_p
@@ -120,6 +124,9 @@ def load_obj_native(path: str, flip_y: bool = True):
             h, _fptr(vertices), _fptr(diffuse), _fptr(emission),
             _fptr(specular), _iptr(mat_type), _iptr(mat_id),
         )
+        rough = np.zeros((t,), np.float32)
+        if hasattr(lib, "sfvp_scene_fill_rough"):
+            lib.sfvp_scene_fill_rough(h, _fptr(rough))
         names_blob = lib.sfvp_scene_material_names(h).decode()
         names = names_blob.split("\n") if names_blob else []
         return Scene(
@@ -129,6 +136,7 @@ def load_obj_native(path: str, flip_y: bool = True):
             face_emission=emission,
             face_specular=specular,
             face_mat_type=mat_type,
+            face_rough=rough,
             material_names=names,
             face_material_id=mat_id,
         )

@@ -72,6 +72,73 @@ def sample_direction_cosine_soa(r1, r2, n):
     return to_world_soa(hemisphere_cosine_local(r1, r2), n)
 
 
+# ------------------------------ GGX microfacet -----------------------------
+# Extension (BASELINE config 3 family): trowbridge-reitz/GGX glossy
+# reflection with Smith height-correlated shadowing and VNDF importance
+# sampling (Heitz 2018, "Sampling the GGX Distribution of Visible Normals").
+# The reference's shader model is diffuse+emission only
+# (ref closesthit.rchit:60-62); parity mode never reaches this code.
+
+
+def ggx_lambda(cos_t, alpha):
+    """Smith Lambda for GGX; cos_t clamped away from 0."""
+    c = jnp.maximum(jnp.abs(cos_t), 1e-6)
+    c2 = c * c
+    tan2 = jnp.maximum(1.0 - c2, 0.0) / c2
+    return 0.5 * (-1.0 + jnp.sqrt(1.0 + alpha * alpha * tan2))
+
+
+def ggx_d(cos_h, alpha):
+    """GGX normal distribution D(h) (isotropic)."""
+    a2 = alpha * alpha
+    c = jnp.maximum(cos_h, 0.0)
+    denom = c * c * (a2 - 1.0) + 1.0
+    return a2 * INV_PI / jnp.maximum(denom * denom, 1e-12)
+
+
+def ggx_sample_vndf_local(r1, r2, wo_l, alpha):
+    """Sample a half-vector from the distribution of visible normals, in
+    the local (tangent, bitangent, normal) frame; wo_l.z > 0 required."""
+    wox, woy, woz = wo_l
+    # stretch the view vector into the hemisphere configuration
+    vx, vy, vz = alpha * wox, alpha * woy, woz
+    inv_len = jax.lax.rsqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-20))
+    vx, vy, vz = vx * inv_len, vy * inv_len, vz * inv_len
+    # orthonormal basis around v
+    lensq = vx * vx + vy * vy
+    inv_l = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
+    ok = lensq > 1e-12
+    t1 = (
+        jnp.where(ok, -vy * inv_l, 1.0),
+        jnp.where(ok, vx * inv_l, 0.0),
+        jnp.zeros_like(vx),
+    )
+    t2 = vec.cross((vx, vy, vz), t1)
+    # disk sample warped toward the hemisphere seen from v
+    rr = jnp.sqrt(jnp.maximum(r1, 0.0))
+    phi = TWO_PI * r2
+    p1 = rr * jnp.cos(phi)
+    p2 = rr * jnp.sin(phi)
+    s = 0.5 * (1.0 + vz)
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) + s * p2
+    p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+    nh = vec.add(
+        vec.add(vec.scale(t1, p1), vec.scale(t2, p2)),
+        vec.scale((vx, vy, vz), p3),
+    )
+    # unstretch back to the ellipsoid
+    hx, hy, hz = alpha * nh[0], alpha * nh[1], jnp.maximum(nh[2], 1e-6)
+    inv_h = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-20))
+    return (hx * inv_h, hy * inv_h, hz * inv_h)
+
+
+def ggx_vndf_pdf(cos_o, cos_h, alpha):
+    """Solid-angle pdf of a VNDF-sampled outgoing direction:
+    G1(wo) * D(h) / (4 cos_o)."""
+    g1 = 1.0 / (1.0 + ggx_lambda(cos_o, alpha))
+    return g1 * ggx_d(cos_h, alpha) / jnp.maximum(4.0 * cos_o, 1e-6)
+
+
 # ------------------------ array-interface wrappers -------------------------
 
 

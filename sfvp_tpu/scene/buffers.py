@@ -36,10 +36,11 @@ class SceneBuffers(NamedTuple):
     eg: jnp.ndarray
     eb: jnp.ndarray
     # material extensions (BASELINE config 3; zero/diffuse in parity mode)
-    sr: jnp.ndarray      # Ks columns (mirror tint)
+    sr: jnp.ndarray      # Ks columns (mirror tint / glossy F0)
     sg: jnp.ndarray
     sb: jnp.ndarray
-    mtype: jnp.ndarray   # (Tp,) i32: 0=diffuse, 1=mirror
+    mtype: jnp.ndarray   # (Tp,) i32: 0=diffuse, 1=mirror, 2=glossy GGX
+    rough: jnp.ndarray   # (Tp,) f32 GGX roughness (mtype 2 only)
     num_tris: int  # static: real (unpadded) triangle count
 
     # --- convenience AoS views (tests, BVH build, host-side tools) ---
@@ -75,8 +76,10 @@ class SceneBuffers(NamedTuple):
 def from_arrays(tris: np.ndarray, diffuse: np.ndarray, emission: np.ndarray,
                 specular: Optional[np.ndarray] = None,
                 mat_type: Optional[np.ndarray] = None,
+                rough: Optional[np.ndarray] = None,
                 pad_to: Optional[int] = None) -> SceneBuffers:
-    """tris: (T, 3, 3); diffuse/emission/specular: (T, 3); mat_type: (T,)."""
+    """tris: (T, 3, 3); diffuse/emission/specular: (T, 3); mat_type/rough:
+    (T,)."""
     tris = np.asarray(tris, np.float32)
     diffuse = np.asarray(diffuse, np.float32)
     emission = np.asarray(emission, np.float32)
@@ -85,8 +88,11 @@ def from_arrays(tris: np.ndarray, diffuse: np.ndarray, emission: np.ndarray,
         specular = np.zeros((t, 3), np.float32)
     if mat_type is None:
         mat_type = np.zeros((t,), np.int32)
+    if rough is None:
+        rough = np.zeros((t,), np.float32)
     specular = np.asarray(specular, np.float32)
     mat_type = np.asarray(mat_type, np.int32)
+    rough = np.asarray(rough, np.float32)
     tp = t if pad_to is None else max(pad_to, t)
 
     def pad(a):
@@ -101,6 +107,7 @@ def from_arrays(tris: np.ndarray, diffuse: np.ndarray, emission: np.ndarray,
     emi_p = pad(emission)
     spe_p = pad(specular)
     mt_p = pad(mat_type)
+    rg_p = pad(rough)
     cols = []
     for corner in range(3):
         for axis in range(3):
@@ -109,6 +116,7 @@ def from_arrays(tris: np.ndarray, diffuse: np.ndarray, emission: np.ndarray,
         for axis in range(3):
             cols.append(jnp.asarray(np.ascontiguousarray(arr[:, axis])))
     cols.append(jnp.asarray(mt_p))
+    cols.append(jnp.asarray(rg_p))
     return SceneBuffers(*cols, num_tris=t)
 
 
@@ -119,5 +127,6 @@ def upload(scene, pad_to: Optional[int] = None) -> SceneBuffers:
         scene.face_emission,
         getattr(scene, "face_specular", None),
         getattr(scene, "face_mat_type", None),
+        getattr(scene, "face_rough", None),
         pad_to=pad_to,
     )

@@ -39,8 +39,9 @@ class Scene:
     face_diffuse: np.ndarray   # (T, 3) float32 (Kd)
     face_emission: np.ndarray  # (T, 3) float32 (Ke)
     # extensions beyond the reference's {Kd, Ke} model (BASELINE config 3):
-    face_specular: np.ndarray = None   # (T, 3) float32 (Ks), mirror tint
-    face_mat_type: np.ndarray = None   # (T,) int32: 0=diffuse, 1=mirror
+    face_specular: np.ndarray = None   # (T, 3) float32 (Ks), mirror/F0 tint
+    face_mat_type: np.ndarray = None   # (T,) i32: 0=diffuse 1=mirror 2=glossy
+    face_rough: np.ndarray = None      # (T,) float32 GGX roughness (mtype 2)
     material_names: List[str] = dataclasses.field(default_factory=list)
     face_material_id: Optional[np.ndarray] = None  # (T,) int32
 
@@ -73,13 +74,14 @@ def _parse_mtl(path: str) -> Tuple[Dict[str, Dict[str, np.ndarray]], List[str]]:
                     "Ns": np.float32(0.0),
                     "Ni": np.float32(1.0),
                     "illum": np.float32(2.0),
+                    "Pr": np.float32(0.0),
                 }
                 order.append(cur)
             elif cur is not None and key in ("Kd", "Ke", "Ks"):
                 materials[cur][key] = np.array(
                     [float(parts[1]), float(parts[2]), float(parts[3])], np.float32
                 )
-            elif cur is not None and key in ("Ns", "Ni", "illum"):
+            elif cur is not None and key in ("Ns", "Ni", "illum", "Pr"):
                 materials[cur][key] = np.float32(float(parts[1]))
     return materials, order
 
@@ -157,6 +159,7 @@ def load_obj(
     emission = np.zeros((ntris, 3), np.float32)
     specular = np.zeros((ntris, 3), np.float32)
     mat_type = np.zeros((ntris,), np.int32)
+    rough = np.zeros((ntris,), np.float32)
     mat_ids = np.asarray(tri_material, np.int32)
     for t, (a, b, c) in enumerate(tri_indices):
         vertices[3 * t + 0] = pos[a]
@@ -168,11 +171,15 @@ def load_obj(
             diffuse[t] = mat["Kd"]
             emission[t] = mat["Ke"]
             specular[t] = mat["Ks"]
-            # MTL convention: illum >= 3 enables ray-traced reflection;
-            # treated as a perfect mirror tinted by Ks (extension — the
-            # reference's shader model is diffuse+emission only,
-            # ref closesthit.rchit:60-62)
-            if float(mat["illum"]) >= 3.0 and np.any(mat["Ks"] > 0):
+            # extensions (the reference's shader model is diffuse+emission
+            # only, ref closesthit.rchit:60-62):
+            # - PBR MTL 'Pr' roughness + nonzero Ks -> GGX glossy (mtype 2)
+            # - classic 'illum >= 3' ray-traced reflection -> perfect
+            #   mirror tinted by Ks (mtype 1)
+            if float(mat["Pr"]) > 0.0 and np.any(mat["Ks"] > 0):
+                mat_type[t] = 2
+                rough[t] = min(float(mat["Pr"]), 1.0)
+            elif float(mat["illum"]) >= 3.0 and np.any(mat["Ks"] > 0):
                 mat_type[t] = 1
 
     return Scene(
@@ -182,6 +189,7 @@ def load_obj(
         face_emission=emission,
         face_specular=specular,
         face_mat_type=mat_type,
+        face_rough=rough,
         material_names=mat_order,
         face_material_id=mat_ids,
     )
