@@ -33,6 +33,7 @@ struct Material {
   float ke[3] = {0, 0, 0};
   float ks[3] = {0, 0, 0};
   float ns = 0.f, ni = 1.f, illum = 2.f, pr = 0.f;
+  std::string map_kd;  // absolute path, empty = none
 };
 
 struct SceneData {
@@ -42,6 +43,9 @@ struct SceneData {
   std::vector<float> specular;   // T * 3
   std::vector<int32_t> mat_type; // T
   std::vector<float> rough;      // T (GGX roughness, mtype 2)
+  std::vector<float> uvs;        // T * 6 per-corner vt (0 when absent)
+  std::vector<int32_t> face_tex; // T texture index, -1 = none
+  std::string tex_paths;         // newline-joined absolute texture paths
   std::vector<int32_t> mat_id;   // T
   std::string names;             // newline-joined material names
   std::string error;
@@ -90,6 +94,11 @@ bool parse_mtl(const std::string& path, std::vector<std::string>* order,
       (*mats)[cur].illum = std::stof(parts[1]);
     } else if (!cur.empty() && parts.size() >= 2 && key == "Pr") {
       (*mats)[cur].pr = std::stof(parts[1]);
+    } else if (!cur.empty() && parts.size() >= 2 && key == "map_Kd") {
+      std::string dir = ".";
+      size_t slash = path.find_last_of("/\\");
+      if (slash != std::string::npos) dir = path.substr(0, slash);
+      (*mats)[cur].map_kd = dir + "/" + parts.back();
     }
   }
   return true;
@@ -99,6 +108,19 @@ int resolve_index(const std::string& tok, int nverts) {
   // 'v', 'v/vt', 'v//vn'; 1-based; negative = relative
   int i = std::stoi(tok.substr(0, tok.find('/')));
   return i < 0 ? nverts + i : i - 1;
+}
+
+int resolve_vt_index(const std::string& tok, int nvt) {
+  // vt index from a face token, or -1 when absent ('v' or 'v//vn')
+  size_t s1 = tok.find('/');
+  if (s1 == std::string::npos) return -1;
+  size_t s2 = tok.find('/', s1 + 1);
+  std::string vt = s2 == std::string::npos
+                       ? tok.substr(s1 + 1)
+                       : tok.substr(s1 + 1, s2 - s1 - 1);
+  if (vt.empty()) return -1;
+  int i = std::stoi(vt);
+  return i < 0 ? nvt + i : i - 1;
 }
 
 SceneData* load_obj_impl(const std::string& path, bool flip_y) {
@@ -113,7 +135,8 @@ SceneData* load_obj_impl(const std::string& path, bool flip_y) {
   if (slash != std::string::npos) base = path.substr(0, slash);
 
   std::vector<float> pos;  // packed xyz
-  struct Tri { int a, b, c, mat; };
+  std::vector<float> vts;  // packed uv
+  struct Tri { int a, b, c, mat; int ta, tb, tc; };
   std::vector<Tri> tris;
   std::vector<std::string> order;
   std::map<std::string, Material> mats;
@@ -128,13 +151,20 @@ SceneData* load_obj_impl(const std::string& path, bool flip_y) {
       pos.push_back(std::stof(parts[1]));
       pos.push_back(std::stof(parts[2]));
       pos.push_back(std::stof(parts[3]));
+    } else if (key == "vt" && parts.size() >= 2) {
+      vts.push_back(std::stof(parts[1]));
+      vts.push_back(parts.size() >= 3 ? std::stof(parts[2]) : 0.f);
     } else if (key == "f" && parts.size() >= 4) {
       int nv = static_cast<int>(pos.size() / 3);
-      std::vector<int> idx;
-      for (size_t k = 1; k < parts.size(); ++k)
+      int nvt = static_cast<int>(vts.size() / 2);
+      std::vector<int> idx, vti;
+      for (size_t k = 1; k < parts.size(); ++k) {
         idx.push_back(resolve_index(parts[k], nv));
+        vti.push_back(resolve_vt_index(parts[k], nvt));
+      }
       for (size_t k = 0; k + 2 < idx.size(); ++k)
-        tris.push_back({idx[0], idx[k + 1], idx[k + 2], cur_mat});
+        tris.push_back({idx[0], idx[k + 1], idx[k + 2], cur_mat,
+                        vti[0], vti[k + 1], vti[k + 2]});
     } else if (key == "usemtl" && parts.size() >= 2) {
       auto it = std::find(order.begin(), order.end(), parts[1]);
       cur_mat = it == order.end() ? -1
@@ -154,12 +184,22 @@ SceneData* load_obj_impl(const std::string& path, bool flip_y) {
   out->specular.assign(3 * t, 0.f);
   out->mat_type.assign(t, 0);
   out->rough.assign(t, 0.f);
+  out->uvs.assign(6 * t, 0.f);
+  out->face_tex.assign(t, -1);
   out->mat_id.resize(t);
+  std::vector<std::string> tex_list;
+  std::map<std::string, int> tex_index;
   for (size_t i = 0; i < t; ++i) {
     const int vs[3] = {tris[i].a, tris[i].b, tris[i].c};
     for (int c = 0; c < 3; ++c)
       for (int a = 0; a < 3; ++a)
         out->vertices[9 * i + 3 * c + a] = pos[3 * vs[c] + a];
+    const int ts3[3] = {tris[i].ta, tris[i].tb, tris[i].tc};
+    bool has_uv = ts3[0] >= 0 && ts3[1] >= 0 && ts3[2] >= 0;
+    if (has_uv)
+      for (int c = 0; c < 3; ++c)
+        for (int a = 0; a < 2; ++a)
+          out->uvs[6 * i + 2 * c + a] = vts[2 * ts3[c] + a];
     out->mat_id[i] = tris[i].mat;
     if (tris[i].mat >= 0) {
       const Material& m = mats[order[tris[i].mat]];
@@ -177,6 +217,18 @@ SceneData* load_obj_impl(const std::string& path, bool flip_y) {
       } else if (m.illum >= 3.f && ks_nonzero) {
         out->mat_type[i] = 1;
       }
+      if (!m.map_kd.empty() && has_uv) {
+        auto it = tex_index.find(m.map_kd);
+        int ti;
+        if (it == tex_index.end()) {
+          ti = static_cast<int>(tex_list.size());
+          tex_index[m.map_kd] = ti;
+          tex_list.push_back(m.map_kd);
+        } else {
+          ti = it->second;
+        }
+        out->face_tex[i] = ti;
+      }
     }
   }
   std::ostringstream names;
@@ -185,6 +237,12 @@ SceneData* load_obj_impl(const std::string& path, bool flip_y) {
     names << order[i];
   }
   out->names = names.str();
+  std::ostringstream texs;
+  for (size_t i = 0; i < tex_list.size(); ++i) {
+    if (i) texs << "\n";
+    texs << tex_list[i];
+  }
+  out->tex_paths = texs.str();
   return out;
 }
 
@@ -370,6 +428,14 @@ void sfvp_scene_fill(void* h, float* vertices, float* diffuse,
 void sfvp_scene_fill_rough(void* h, float* rough) {
   auto* s = static_cast<SceneData*>(h);
   std::memcpy(rough, s->rough.data(), s->rough.size() * 4);
+}
+void sfvp_scene_fill_uv(void* h, float* uv, int32_t* face_tex) {
+  auto* s = static_cast<SceneData*>(h);
+  std::memcpy(uv, s->uvs.data(), s->uvs.size() * 4);
+  std::memcpy(face_tex, s->face_tex.data(), s->face_tex.size() * 4);
+}
+const char* sfvp_scene_texture_paths(void* h) {
+  return static_cast<SceneData*>(h)->tex_paths.c_str();
 }
 void sfvp_scene_free(void* h) { delete static_cast<SceneData*>(h); }
 

@@ -78,11 +78,13 @@ def select_render_step(
         em = (np.asarray(buffers.er)[:t] > 0) | (
             np.asarray(buffers.eg)[:t] > 0) | (np.asarray(buffers.eb)[:t] > 0)
         many_lights = int(em.sum()) > 64
-    # GGX glossy surfaces (mtype 2) are implemented in the wavefront
-    # integrator only; the megakernels' in-kernel shading is diffuse+mirror
+    # GGX glossy surfaces (mtype 2) and map_Kd textures are implemented in
+    # the wavefront integrator only; the megakernels' in-kernel shading is
+    # flat diffuse+mirror, and the packet payload carries no uv/tex ids
     has_glossy = bool(np.any(np.asarray(buffers.mtype)[:t] == 2))
-    if ((cfg.use_mis or many_lights or has_glossy) and backend == "pallas"
-            and traversal == "brute"):
+    has_tex = buffers.has_textures
+    if ((cfg.use_mis or many_lights or has_glossy or has_tex)
+            and backend == "pallas" and traversal == "brute"):
         # MIS lives in the wavefront integrator (the regen megakernel's
         # in-kernel NEE is hard-gated non-MIS), and the megakernel's
         # unrolled light table caps at 64 lights — beyond that the
@@ -109,7 +111,7 @@ def select_render_step(
                 cfg, buffers, global_shape=global_shape,
                 block_rows=cfg.pallas_block_rows,
             )
-    if backend == "pallas" and traversal == "bvh":
+    if backend == "pallas" and traversal == "bvh" and not has_tex:
         # packet-traversal kernel returns the full shade payload (no XLA
         # gathers); used for large scenes on TPU. NEE shadow rays use the
         # dedicated any-hit occlusion kernel.

@@ -85,6 +85,16 @@ def shade_inputs(scene, hit):
     specular = (scene.sr[prim], scene.sg[prim], scene.sb[prim])
     mtype = scene.mtype[prim].astype(jnp.float32)
     rough = scene.rough[prim]
+    if getattr(scene, "textures", None) is not None:
+        # map_Kd modulation (extension): interpolate the per-corner vt with
+        # the same barycentrics as the position, bilinear-fetch the texel
+        from ..scene.textures import sample_bilinear
+
+        u_hit = scene.u0[prim] * w + scene.u1[prim] * hit.u + scene.u2[prim] * hit.v
+        v_hit = (scene.v0t[prim] * w + scene.v1t[prim] * hit.u
+                 + scene.v2t[prim] * hit.v)
+        texc = sample_bilinear(scene.textures, scene.tex[prim], u_hit, v_hit)
+        diffuse = vec.mul(diffuse, texc)
     return position, normal, diffuse, emission, specular, mtype, rough
 
 

@@ -66,6 +66,11 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         # added after v1 of the .so; older builds fall back to zeros
         lib.sfvp_scene_fill_rough.restype = None
         lib.sfvp_scene_fill_rough.argtypes = [ctypes.c_void_p, f32p]
+    if hasattr(lib, "sfvp_scene_fill_uv"):
+        lib.sfvp_scene_fill_uv.restype = None
+        lib.sfvp_scene_fill_uv.argtypes = [ctypes.c_void_p, f32p, i32p]
+        lib.sfvp_scene_texture_paths.restype = ctypes.c_char_p
+        lib.sfvp_scene_texture_paths.argtypes = [ctypes.c_void_p]
     lib.sfvp_scene_free.restype = None
     lib.sfvp_scene_free.argtypes = [ctypes.c_void_p]
     lib.sfvp_build_lbvh.restype = ctypes.c_void_p
@@ -127,6 +132,13 @@ def load_obj_native(path: str, flip_y: bool = True):
         rough = np.zeros((t,), np.float32)
         if hasattr(lib, "sfvp_scene_fill_rough"):
             lib.sfvp_scene_fill_rough(h, _fptr(rough))
+        face_uv = np.zeros((t, 3, 2), np.float32)
+        face_tex = np.full((t,), -1, np.int32)
+        tex_paths = []
+        if hasattr(lib, "sfvp_scene_fill_uv"):
+            lib.sfvp_scene_fill_uv(h, _fptr(face_uv), _iptr(face_tex))
+            blob = lib.sfvp_scene_texture_paths(h).decode()
+            tex_paths = blob.split("\n") if blob else []
         names_blob = lib.sfvp_scene_material_names(h).decode()
         names = names_blob.split("\n") if names_blob else []
         return Scene(
@@ -137,6 +149,9 @@ def load_obj_native(path: str, flip_y: bool = True):
             face_specular=specular,
             face_mat_type=mat_type,
             face_rough=rough,
+            face_uv=face_uv,
+            face_tex=face_tex,
+            texture_paths=tex_paths,
             material_names=names,
             face_material_id=mat_id,
         )

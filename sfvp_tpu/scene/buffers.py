@@ -42,6 +42,20 @@ class SceneBuffers(NamedTuple):
     mtype: jnp.ndarray   # (Tp,) i32: 0=diffuse, 1=mirror, 2=glossy GGX
     rough: jnp.ndarray   # (Tp,) f32 GGX roughness (mtype 2 only)
     num_tris: int  # static: real (unpadded) triangle count
+    # texture extension (None on untextured scenes): per-corner vt columns,
+    # per-face texture id, and the packed texel pool (scene/textures.py)
+    u0: "jnp.ndarray | None" = None
+    v0t: "jnp.ndarray | None" = None
+    u1: "jnp.ndarray | None" = None
+    v1t: "jnp.ndarray | None" = None
+    u2: "jnp.ndarray | None" = None
+    v2t: "jnp.ndarray | None" = None
+    tex: "jnp.ndarray | None" = None   # (Tp,) i32, -1 = untextured
+    textures: "object | None" = None   # TextureTable
+
+    @property
+    def has_textures(self) -> bool:
+        return self.textures is not None
 
     # --- convenience AoS views (tests, BVH build, host-side tools) ---
     @property
@@ -77,7 +91,10 @@ def from_arrays(tris: np.ndarray, diffuse: np.ndarray, emission: np.ndarray,
                 specular: Optional[np.ndarray] = None,
                 mat_type: Optional[np.ndarray] = None,
                 rough: Optional[np.ndarray] = None,
-                pad_to: Optional[int] = None) -> SceneBuffers:
+                pad_to: Optional[int] = None,
+                face_uv: Optional[np.ndarray] = None,
+                face_tex: Optional[np.ndarray] = None,
+                textures=None) -> SceneBuffers:
     """tris: (T, 3, 3); diffuse/emission/specular: (T, 3); mat_type/rough:
     (T,)."""
     tris = np.asarray(tris, np.float32)
@@ -117,10 +134,34 @@ def from_arrays(tris: np.ndarray, diffuse: np.ndarray, emission: np.ndarray,
             cols.append(jnp.asarray(np.ascontiguousarray(arr[:, axis])))
     cols.append(jnp.asarray(mt_p))
     cols.append(jnp.asarray(rg_p))
-    return SceneBuffers(*cols, num_tris=t)
+    tex_kw = {}
+    if textures is not None and face_uv is not None and face_tex is not None:
+        uv_p = pad(np.asarray(face_uv, np.float32))
+        tex_kw = {
+            "u0": jnp.asarray(np.ascontiguousarray(uv_p[:, 0, 0])),
+            "v0t": jnp.asarray(np.ascontiguousarray(uv_p[:, 0, 1])),
+            "u1": jnp.asarray(np.ascontiguousarray(uv_p[:, 1, 0])),
+            "v1t": jnp.asarray(np.ascontiguousarray(uv_p[:, 1, 1])),
+            "u2": jnp.asarray(np.ascontiguousarray(uv_p[:, 2, 0])),
+            "v2t": jnp.asarray(np.ascontiguousarray(uv_p[:, 2, 1])),
+            # padded faces are untextured
+            "tex": jnp.asarray(
+                np.pad(np.asarray(face_tex, np.int32), (0, tp - t),
+                       constant_values=-1)
+            ),
+            "textures": textures,
+        }
+    return SceneBuffers(*cols, num_tris=t, **tex_kw)
 
 
 def upload(scene, pad_to: Optional[int] = None) -> SceneBuffers:
+    textures = None
+    tex_paths = getattr(scene, "texture_paths", None)
+    face_tex = getattr(scene, "face_tex", None)
+    if tex_paths and face_tex is not None and (np.asarray(face_tex) >= 0).any():
+        from .textures import build_texture_table
+
+        textures = build_texture_table(tex_paths)
     return from_arrays(
         scene.triangles(),
         scene.face_diffuse,
@@ -129,4 +170,7 @@ def upload(scene, pad_to: Optional[int] = None) -> SceneBuffers:
         getattr(scene, "face_mat_type", None),
         getattr(scene, "face_rough", None),
         pad_to=pad_to,
+        face_uv=getattr(scene, "face_uv", None),
+        face_tex=face_tex,
+        textures=textures,
     )

@@ -42,6 +42,9 @@ class Scene:
     face_specular: np.ndarray = None   # (T, 3) float32 (Ks), mirror/F0 tint
     face_mat_type: np.ndarray = None   # (T,) i32: 0=diffuse 1=mirror 2=glossy
     face_rough: np.ndarray = None      # (T,) float32 GGX roughness (mtype 2)
+    face_uv: np.ndarray = None         # (T, 3, 2) float32 per-corner vt
+    face_tex: np.ndarray = None        # (T,) i32 texture index, -1 = none
+    texture_paths: List[str] = dataclasses.field(default_factory=list)
     material_names: List[str] = dataclasses.field(default_factory=list)
     face_material_id: Optional[np.ndarray] = None  # (T,) int32
 
@@ -75,6 +78,7 @@ def _parse_mtl(path: str) -> Tuple[Dict[str, Dict[str, np.ndarray]], List[str]]:
                     "Ni": np.float32(1.0),
                     "illum": np.float32(2.0),
                     "Pr": np.float32(0.0),
+                    "map_Kd": None,
                 }
                 order.append(cur)
             elif cur is not None and key in ("Kd", "Ke", "Ks"):
@@ -83,6 +87,11 @@ def _parse_mtl(path: str) -> Tuple[Dict[str, Dict[str, np.ndarray]], List[str]]:
                 )
             elif cur is not None and key in ("Ns", "Ni", "illum", "Pr"):
                 materials[cur][key] = np.float32(float(parts[1]))
+            elif cur is not None and key == "map_Kd":
+                # last token = filename (options like -bm are not supported)
+                materials[cur]["map_Kd"] = os.path.join(
+                    os.path.dirname(os.path.abspath(path)), parts[-1]
+                )
     return materials, order
 
 
@@ -92,6 +101,15 @@ def _resolve_index(tok: str, nverts: int) -> int:
     v = tok.split("/")[0]
     i = int(v)
     return (nverts + i) if i < 0 else (i - 1)
+
+
+def _resolve_vt_index(tok: str, nvt: int) -> int:
+    """vt index from a face token, or -1 when absent ('v' or 'v//vn')."""
+    parts = tok.split("/")
+    if len(parts) < 2 or not parts[1]:
+        return -1
+    i = int(parts[1])
+    return (nvt + i) if i < 0 else (i - 1)
 
 
 def load_obj(
@@ -120,7 +138,9 @@ def load_obj(
     base = os.path.dirname(os.path.abspath(path))
 
     positions: List[Tuple[float, float, float]] = []
+    texcoords: List[Tuple[float, float]] = []
     tri_indices: List[Tuple[int, int, int]] = []
+    tri_vt: List[Tuple[int, int, int]] = []
     tri_material: List[int] = []
     materials: Dict[str, Dict[str, np.ndarray]] = {}
     mat_order: List[str] = []
@@ -135,11 +155,16 @@ def load_obj(
             key = parts[0]
             if key == "v":
                 positions.append((float(parts[1]), float(parts[2]), float(parts[3])))
+            elif key == "vt":
+                texcoords.append((float(parts[1]),
+                                  float(parts[2]) if len(parts) > 2 else 0.0))
             elif key == "f":
                 idx = [_resolve_index(t, len(positions)) for t in parts[1:]]
+                vts = [_resolve_vt_index(t, len(texcoords)) for t in parts[1:]]
                 # fan triangulation, tinyobjloader default
                 for k in range(len(idx) - 2):
                     tri_indices.append((idx[0], idx[k + 1], idx[k + 2]))
+                    tri_vt.append((vts[0], vts[k + 1], vts[k + 2]))
                     tri_material.append(cur_mat)
             elif key == "usemtl":
                 name = parts[1]
@@ -160,17 +185,36 @@ def load_obj(
     specular = np.zeros((ntris, 3), np.float32)
     mat_type = np.zeros((ntris,), np.int32)
     rough = np.zeros((ntris,), np.float32)
+    face_uv = np.zeros((ntris, 3, 2), np.float32)
+    face_tex = np.full((ntris,), -1, np.int32)
+    tex_paths: List[str] = []
+    tex_index: Dict[str, int] = {}
+    uv = np.asarray(texcoords, np.float32) if texcoords else None
     mat_ids = np.asarray(tri_material, np.int32)
     for t, (a, b, c) in enumerate(tri_indices):
         vertices[3 * t + 0] = pos[a]
         vertices[3 * t + 1] = pos[b]
         vertices[3 * t + 2] = pos[c]
+        vta, vtb, vtc = tri_vt[t]
+        if uv is not None and vta >= 0 and vtb >= 0 and vtc >= 0:
+            face_uv[t, 0] = uv[vta]
+            face_uv[t, 1] = uv[vtb]
+            face_uv[t, 2] = uv[vtc]
+            has_uv = True
+        else:
+            has_uv = False
         m = tri_material[t]
         if m >= 0:
             mat = materials[mat_order[m]]
             diffuse[t] = mat["Kd"]
             emission[t] = mat["Ke"]
             specular[t] = mat["Ks"]
+            map_kd = mat.get("map_Kd")
+            if map_kd is not None and has_uv:
+                if map_kd not in tex_index:
+                    tex_index[map_kd] = len(tex_paths)
+                    tex_paths.append(map_kd)
+                face_tex[t] = tex_index[map_kd]
             # extensions (the reference's shader model is diffuse+emission
             # only, ref closesthit.rchit:60-62):
             # - PBR MTL 'Pr' roughness + nonzero Ks -> GGX glossy (mtype 2)
@@ -190,6 +234,9 @@ def load_obj(
         face_specular=specular,
         face_mat_type=mat_type,
         face_rough=rough,
+        face_uv=face_uv,
+        face_tex=face_tex,
+        texture_paths=tex_paths,
         material_names=mat_order,
         face_material_id=mat_ids,
     )

