@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve a live-updating preview at this HTTP port")
     p.add_argument("--devices", action="store_true",
                    help="print the device capability report and exit")
+    p.add_argument("--adaptive", type=float, default=None, metavar="FRAC",
+                   help="variance-driven adaptive sampling: after warmup, "
+                        "each step renders only the noisiest FRAC of tiles")
+    p.add_argument("--adaptive-tile", type=int, default=16)
+    p.add_argument("--adaptive-warmup", type=int, default=2)
     return p
 
 
@@ -99,6 +104,16 @@ def main(argv=None) -> int:
                 ),
                 sky_emission=(0.8, 0.85, 1.0),
             )
+    if args.adaptive is not None:
+        from .integrate.adaptive import AdaptiveRenderer
+
+        r = AdaptiveRenderer(
+            cfg, scene, frac=args.adaptive, tile=args.adaptive_tile,
+            warmup=args.adaptive_warmup,
+        )
+        r.run(steps=args.steps, out=args.out, srgb=args.srgb,
+              progress=not args.quiet)
+        return 0
     r = Renderer(cfg, scene)
     if args.resume and args.checkpoint:
         r.resume(args.checkpoint)

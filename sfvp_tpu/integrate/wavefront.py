@@ -522,6 +522,22 @@ def make_render_step(
     # full-width image row — measured 5.6x on a 100k-tri scene
     ts = cfg.packet_tile_size if use_payload else 0
 
+    def render_pixels(px, py, frame):
+        """Trace cfg.spp_per_step samples for an arbitrary batch of GLOBAL
+        pixel coordinates; returns (color_sum tuple of (N,), segs). The
+        building block of both the full-frame step below and the adaptive
+        sampler (integrate/adaptive.py)."""
+        zero3 = vec.splat(
+            (0, 0, 0), like=jnp.zeros(px.shape, jnp.float32)
+        )
+        init = (zero3, jnp.zeros((), jnp.float32))
+        (color_sum, segs), _ = jax.lax.scan(
+            partial(chunk_body, px=px, py=py, frame=frame),
+            init,
+            jnp.arange(n_chunks, dtype=jnp.uint32),
+        )
+        return color_sum, segs
+
     def render_step(state: RenderState, row0=0) -> RenderState:
         h, w = state.accum.shape[0], state.accum.shape[1]
         idx = jnp.arange(h * w, dtype=jnp.int32)
@@ -548,13 +564,7 @@ def make_render_step(
         py = py_local + jnp.asarray(row0, jnp.int32)
 
         frame = state.frame
-        zero3 = vec.splat((0, 0, 0), like=jnp.zeros((h * w,), jnp.float32))
-        init = (zero3, jnp.zeros((), jnp.float32))
-        (color_sum, segs), _ = jax.lax.scan(
-            partial(chunk_body, px=px, py=py, frame=frame),
-            init,
-            jnp.arange(n_chunks, dtype=jnp.uint32),
-        )
+        color_sum, segs = render_pixels(px, py, frame)
         if swizzle:
             color_sum = tuple(c[inv] for c in color_sum)
         color = vec.to_array(
@@ -568,4 +578,5 @@ def make_render_step(
             mrays=state.mrays + segs / np.float32(1e6),
         )
 
+    render_step.render_pixels = render_pixels
     return render_step
