@@ -120,14 +120,20 @@ def make_sharded_render_step(
     )
 
     def init() -> RenderState:
-        row_sh = NamedSharding(mesh, P(AXIS, None, None))
-        rep = NamedSharding(mesh, P())
+        from .multihost import make_global_array
+
+        n_local = sum(
+            d.process_index == jax.process_index() for d in mesh.devices.flat
+        )
+        fully_local = n_local == n
+        rows_here = cfg.height if fully_local else h_local * n_local
         return RenderState(
-            accum=jax.device_put(
-                np.zeros((cfg.height, cfg.width, 3), np.float32), row_sh
+            accum=make_global_array(
+                mesh, P(AXIS, None, None),
+                np.zeros((rows_here, cfg.width, 3), np.float32),
             ),
-            frame=jax.device_put(np.zeros((), np.int32), rep),
-            mrays=jax.device_put(np.zeros((), np.float32), rep),
+            frame=make_global_array(mesh, P(), np.zeros((), np.int32)),
+            mrays=make_global_array(mesh, P(), np.zeros((), np.float32)),
         )
 
     return step, init
@@ -148,8 +154,14 @@ class DistRenderer:
     ):
         from ..scene import upload
         from ..utils.cache import enable_compilation_cache
+        from .multihost import init_distributed
 
         enable_compilation_cache()
+        if mesh is None:
+            # multi-host runs (JAX_COORDINATOR_ADDRESS etc.) bootstrap the
+            # distributed runtime before the default mesh enumerates
+            # devices; a single process is a no-op
+            init_distributed()
         self.cfg = cfg
         self.scene = scene
         self.mesh = mesh if mesh is not None else default_mesh()
@@ -171,8 +183,11 @@ class DistRenderer:
 
     def image(self) -> np.ndarray:
         """Current progressive estimate, gathered to host (H, W, 3) f32.
-        This is the ONLY cross-shard data movement in the pipeline."""
-        return np.asarray(self.state.accum)
+        This is the ONLY cross-shard data movement in the pipeline (an
+        all-gather over DCN on multi-host meshes)."""
+        from .multihost import fetch_global
+
+        return fetch_global(self.state.accum)
 
     def resume(self, checkpoint_path: str) -> None:
         from ..render.checkpoint import load_checkpoint_sharded
