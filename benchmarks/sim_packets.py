@@ -21,7 +21,7 @@ import numpy as np
 
 
 def traverse_packet(nodes, tris_rows, ox, oy, oz, dx, dy, dz, tmax,
-                    order="min"):
+                    order="min", width=8):
     """Ordered wide-BVH packet traversal (mirror of kernels/bvh_packet.py);
     returns (node_pops, leaf_pops). order: "min" = packet-min tnear (the
     shipping kernel), "center" = representative middle-lane tnear (cheaper
@@ -64,16 +64,17 @@ def traverse_packet(nodes, tris_rows, ox, oy, oz, dx, dy, dz, tmax,
             nrow = nodes[code - 1]
             limit = np.minimum(bt, tmax)
             cand = []
-            for ci in range(8):
-                tag = nrow[56 + ci]
+            W = width
+            for ci in range(W):
+                tag = nrow[7 * W + ci]
                 if tag < 0.5:
                     continue
-                t0x = (nrow[0 + ci] - ox) * ivx
-                t1x = (nrow[24 + ci] - ox) * ivx
-                t0y = (nrow[8 + ci] - oy) * ivy
-                t1y = (nrow[32 + ci] - oy) * ivy
-                t0z = (nrow[16 + ci] - oz) * ivz
-                t1z = (nrow[40 + ci] - oz) * ivz
+                t0x = (nrow[0 * W + ci] - ox) * ivx
+                t1x = (nrow[3 * W + ci] - ox) * ivx
+                t0y = (nrow[1 * W + ci] - oy) * ivy
+                t1y = (nrow[4 * W + ci] - oy) * ivy
+                t0z = (nrow[2 * W + ci] - oz) * ivz
+                t1z = (nrow[5 * W + ci] - oz) * ivz
                 tn = np.maximum(np.maximum(np.minimum(t0x, t1x),
                                            np.minimum(t0y, t1y)),
                                 np.maximum(np.minimum(t0z, t1z), t_min))
@@ -82,7 +83,7 @@ def traverse_packet(nodes, tris_rows, ox, oy, oz, dx, dy, dz, tmax,
                                 np.minimum(np.maximum(t0z, t1z), limit))
                 hit = tn <= tf
                 if hit.any():
-                    ref = int(nrow[48 + ci])
+                    ref = int(nrow[6 * W + ci])
                     code_c = -(ref + 1) if tag > 1.5 else ref + 1
                     if order == "min":
                         key = float(tn[hit].min())
@@ -107,6 +108,7 @@ def main():
 
     z = np.load(a.wave)
     nodes, tris_rows = z["nodes"], z["tris_rows"]
+    node_width = int(z["node_width"]) if "node_width" in z else 8
     pre = "" if a.wave_kind == "bounce" else "p"
     ox, oy, oz = z[pre + "ox"], z[pre + "oy"], z[pre + "oz"]
     dx, dy, dz = z[pre + "dx"], z[pre + "dy"], z[pre + "dz"]
@@ -137,7 +139,7 @@ def main():
                     nodes, tris_rows,
                     ox[sl][ss], oy[sl][ss], oz[sl][ss],
                     dx[sl][ss], dy[sl][ss], dz[sl][ss], tmx[ss],
-                    order=a.order)
+                    order=a.order, width=node_width)
                 sub.append(n_p + l_p)
                 tot_n += n_p
                 tot_l += l_p

@@ -53,33 +53,106 @@ def _binary_children(bvh: BVH, i: int):
     return left, right
 
 
-def _collect_wide_children(bvh: BVH, root: int, levels: int = 3):
-    """Descendants of `root` cut at `levels` below (or at binary leaves) —
-    up to 2^levels = 8 children."""
-    out = []
+def _collect_wide_children(bvh: BVH, root: int, levels: int = 3,
+                           width: int = WIDTH, greedy: bool = True,
+                           nleaf=None):
+    """Children of the wide node rooted at binary node `root`.
 
-    def rec(i, depth):
-        if int(bvh.count[i]) > 0 or depth == levels:
-            out.append(i)
-            return
-        l, r = _binary_children(bvh, i)
-        rec(l, depth + 1)
-        rec(r, depth + 1)
+    greedy (default): start from root's two binary children and repeatedly
+    replace the INTERNAL candidate with the largest surface area by its two
+    children until `width` candidates exist — the classic wide-BVH greedy
+    collapse. Fills nodes to ~width children (the blind `levels`-cut
+    averaged ~4.1 of 8 on the 100k-tri SAH tree) and splits big boxes
+    first, which is exactly what packet culling wants.
 
+    greedy=False: the legacy fixed-depth cut at `levels` below root."""
     if int(bvh.count[root]) > 0:
         return [root]
     l, r = _binary_children(bvh, root)
-    rec(l, 1)
-    rec(r, 1)
-    return out
+    if not greedy:
+        out = []
+
+        def rec(i, depth):
+            if int(bvh.count[i]) > 0 or depth == levels:
+                out.append(i)
+                return
+            a, b = _binary_children(bvh, i)
+            rec(a, depth + 1)
+            rec(b, depth + 1)
+
+        rec(l, 1)
+        rec(r, 1)
+        return out
+
+    def area(i):
+        dx = float(bvh.bmax_x[i] - bvh.bmin_x[i])
+        dy = float(bvh.bmax_y[i] - bvh.bmin_y[i])
+        dz = float(bvh.bmax_z[i] - bvh.bmin_z[i])
+        return dx * dy + dy * dz + dz * dx
+
+    if nleaf is None:
+        nleaf = _subtree_leaves(bvh)
+    cand = [l, r]
+    while len(cand) < width:
+        internals = [
+            (k, i) for k, i in enumerate(cand) if int(bvh.count[i]) == 0
+        ]
+        if not internals:
+            break
+        budget = width - len(cand)
+        # absorb whole SMALL subtrees first: an internal candidate whose
+        # leaf count fits the remaining slots never spawns an underfilled
+        # wide child; among those pick the smallest (cheapest commitment)
+        fitting = [
+            (int(nleaf[i]), k) for k, i in internals
+            if int(nleaf[i]) <= budget + 1
+        ]
+        if fitting:
+            best = min(fitting)[1]
+        else:
+            # nothing fits whole: split the largest box (packet culling
+            # benefits most from separating big bounds)
+            best = max(internals, key=lambda ki: area(ki[1]))[0]
+        i = cand.pop(best)
+        a, b = _binary_children(bvh, i)
+        cand.append(a)
+        cand.append(b)
+    return cand
 
 
-def build_wide(bvh: BVH, materials: np.ndarray) -> WideBVH:
+def _subtree_leaves(bvh: BVH) -> np.ndarray:
+    """Per binary node: number of leaf nodes in its subtree (the DFS layout
+    makes this the leaf count in rows [i, skip[i]))."""
+    is_leaf = (bvh.count > 0).astype(np.int64)
+    pref = np.concatenate([[0], np.cumsum(is_leaf)])
+    return pref[bvh.skip] - pref[np.arange(bvh.num_nodes)]
+
+
+def node_layout(width: int):
+    """Lane offsets of the node-row fields for a given fan-out.
+
+    width 8:  6 box sections of 8 lanes + ref/tag at 48/56 (64 lanes used)
+    width 16: 6 box sections of 16 lanes + ref/tag at 96/112 (exactly 128)
+    """
+    if width not in (8, 16):
+        raise ValueError(f"unsupported wide-BVH width {width}")
+    return {
+        "bmin_x": 0 * width, "bmin_y": 1 * width, "bmin_z": 2 * width,
+        "bmax_x": 3 * width, "bmax_y": 4 * width, "bmax_z": 5 * width,
+        "ref": 6 * width, "tag": 7 * width,
+    }
+
+
+def build_wide(bvh: BVH, materials: np.ndarray, width: int = WIDTH) -> WideBVH:
     """bvh: binary LBVH with leaf_size <= 8.
     materials: (T, 7) f32 per ORIGINAL triangle: kd(3), ke(3), mtype(1).
+    width: node fan-out (8 = default; 16 packs one full 128-lane row).
     """
     if int(bvh.count.max()) > LEAF_TRIS:
         raise ValueError("wide BVH requires binary leaf_size <= 8")
+    lay = node_layout(width)
+    levels = width.bit_length() - 1  # 8 -> 3, 16 -> 4
+    nleaf_table = _subtree_leaves(bvh)
 
     tv = bvh.tv  # 9 sorted-tri coordinate columns
     prim = bvh.prim_id
@@ -97,28 +170,30 @@ def build_wide(bvh: BVH, materials: np.ndarray) -> WideBVH:
         my_idx = len(node_rows)
         row = np.zeros(128, np.float32)
         node_rows.append(row)
-        kids = _collect_wide_children(bvh, root)
-        assert 1 <= len(kids) <= WIDTH
+        kids = _collect_wide_children(
+            bvh, root, levels=levels, width=width, nleaf=nleaf_table
+        )
+        assert 1 <= len(kids) <= width
         for c, b in enumerate(kids):
-            row[0 + c] = bvh.bmin_x[b]
-            row[8 + c] = bvh.bmin_y[b]
-            row[16 + c] = bvh.bmin_z[b]
-            row[24 + c] = bvh.bmax_x[b]
-            row[32 + c] = bvh.bmax_y[b]
-            row[40 + c] = bvh.bmax_z[b]
+            row[lay["bmin_x"] + c] = bvh.bmin_x[b]
+            row[lay["bmin_y"] + c] = bvh.bmin_y[b]
+            row[lay["bmin_z"] + c] = bvh.bmin_z[b]
+            row[lay["bmax_x"] + c] = bvh.bmax_x[b]
+            row[lay["bmax_y"] + c] = bvh.bmax_y[b]
+            row[lay["bmax_z"] + c] = bvh.bmax_z[b]
             if int(bvh.count[b]) > 0:
                 ref = emit_leaf_row(int(bvh.first[b]), int(bvh.count[b]))
-                row[48 + c] = float(ref)
-                row[56 + c] = TAG_LEAF
+                row[lay["ref"] + c] = float(ref)
+                row[lay["tag"] + c] = TAG_LEAF
             else:
                 ref = emit_wide(b)
-                row[48 + c] = float(ref)
-                row[56 + c] = TAG_INTERNAL
+                row[lay["ref"] + c] = float(ref)
+                row[lay["tag"] + c] = TAG_INTERNAL
         # mark remaining slots invalid with never-hit boxes
-        for c in range(len(kids), WIDTH):
-            row[0 + c] = 1.0
-            row[24 + c] = -1.0  # bmin > bmax -> empty slab
-            row[56 + c] = TAG_INVALID
+        for c in range(len(kids), width):
+            row[lay["bmin_x"] + c] = 1.0
+            row[lay["bmax_x"] + c] = -1.0  # bmin > bmax -> empty slab
+            row[lay["tag"] + c] = TAG_INVALID
         return my_idx
 
     import sys
@@ -155,9 +230,9 @@ def build_wide(bvh: BVH, materials: np.ndarray) -> WideBVH:
         tris = np.zeros((1, 128), np.float32)
         prim_rows = np.full((1, LEAF_TRIS), -1, np.int32)
 
-    # worst-case stack: depth * (WIDTH-1) + slack; compute exact depth
-    depth = _wide_depth(nodes)
-    max_stack = depth * WIDTH + WIDTH + 2
+    # worst-case stack: depth * (width-1) + slack; compute exact depth
+    depth = _wide_depth(nodes, width)
+    max_stack = depth * width + width + 2
 
     return WideBVH(
         nodes=nodes,
@@ -167,15 +242,18 @@ def build_wide(bvh: BVH, materials: np.ndarray) -> WideBVH:
     )
 
 
-def _wide_depth(nodes: np.ndarray) -> int:
+def _wide_depth(nodes: np.ndarray, width: int = WIDTH) -> int:
     """Tree depth over the emitted wide nodes (children always have larger
     row indices, so a reverse sweep works)."""
+    lay = node_layout(width)
     m = nodes.shape[0]
     depth = np.ones(m, np.int64)
     for i in range(m - 1, -1, -1):
-        for c in range(WIDTH):
-            if nodes[i, 56 + c] == TAG_INTERNAL:
-                depth[i] = max(depth[i], 1 + depth[int(nodes[i, 48 + c])])
+        for c in range(width):
+            if nodes[i, lay["tag"] + c] == TAG_INTERNAL:
+                depth[i] = max(
+                    depth[i], 1 + depth[int(nodes[i, lay["ref"] + c])]
+                )
     return int(depth[0])
 
 
