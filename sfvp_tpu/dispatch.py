@@ -122,12 +122,13 @@ def select_render_step(
         scene_bytes = wide.nodes.nbytes + wide.tris.nbytes
         stream = (cfg.stream_tris if cfg.stream_tris is not None
                   else scene_bytes > cfg.vmem_scene_budget)
-        if (cfg.megakernel_regen and not stream and not cfg.use_nee
-                and not cfg.use_mis and not has_glossy):
+        if (cfg.megakernel_regen and not stream and not cfg.use_mis
+                and not has_glossy and not (cfg.use_nee and many_lights)):
             # fused BVH regen megakernel: whole spp per kernel call with
             # in-lane sample regeneration and in-kernel packet traversal —
             # no per-bounce relaunch, no dead lanes, no bounce sort
-            # (1.2-1.8x over the wavefront loop on 100k-tri GI)
+            # (1.2-1.8x over the wavefront loop on 100k-tri GI); NEE runs
+            # in-kernel up to 64 lights
             from .kernels.megakernel_bvh import make_bvh_regen_render_step
 
             return make_bvh_regen_render_step(

@@ -16,8 +16,10 @@ bounce depths, which costs ~15% traversal quality vs sorted wavefronts
 
 Per-sample semantics identical to the reference and to the other
 integrators (ref shaders/raygen.rgen:41-91): same PCG seeding, same bounce
-math, miss = sky + terminate, emissive hits never terminate. NEE/MIS are
-NOT implemented here (dispatch routes those to the wavefront integrator).
+math, miss = sky + terminate, emissive hits never terminate. NEE (<= 64
+lights) runs in-kernel with an any-hit shadow packet traversal per bounce;
+MIS is NOT implemented here (dispatch routes it to the wavefront
+integrator).
 """
 
 from __future__ import annotations
@@ -67,10 +69,10 @@ def make_bvh_regen_render_step(
     uniform = cfg.sampling == "uniform"
     use_rr = cfg.use_rr
     rr_start = cfg.rr_start_depth
-    if cfg.use_nee or cfg.use_mis:
+    if cfg.use_mis:
         raise NotImplementedError(
-            "the BVH regen megakernel has no NEE/MIS; dispatch routes those "
-            "configs to the wavefront integrator"
+            "the BVH regen megakernel has no MIS; dispatch routes it to "
+            "the wavefront integrator"
         )
 
     import numpy as _np
@@ -79,6 +81,33 @@ def make_bvh_regen_render_step(
     has_mirrors = bool(
         _np.any(_np.asarray(scene_buffers.mtype)[:num_tris] > 0)
     )
+
+    # in-kernel NEE light table, identical layout to megakernel_regen.py:
+    # (16, L) rows = v0(3) v1(3) v2(3) normal(3) Le(3) cdf(1); shadow
+    # occlusion runs as a second (any-hit) packet traversal per bounce
+    use_nee = cfg.use_nee
+    num_lights = 0
+    total_area = 1.0
+    light_table = None
+    if use_nee:
+        from ..integrate.lights import build_light_table_from_buffers
+
+        lt = build_light_table_from_buffers(scene_buffers)
+        if lt is None:
+            use_nee = False
+        else:
+            num_lights = lt.num
+            if num_lights > 64:
+                raise NotImplementedError(
+                    "in-kernel NEE supports <= 64 lights; use the jnp "
+                    "integrator for more"
+                )
+            total_area = lt.total_area
+            rows = []
+            for t3 in (lt.v0, lt.v1, lt.v2, lt.n, lt.le):
+                rows.extend(np.asarray(c) for c in t3)
+            rows.append(np.asarray(lt.cdf))
+            light_table = jnp.asarray(np.stack(rows, axis=0))
 
     lanes = 128
     r = block_rows
@@ -94,11 +123,21 @@ def make_bvh_regen_render_step(
     ts = cfg.packet_tile_size
 
     def build_kernel(local_npix, r, swz):
-        def kernel(scal_ref, nodes_ref, tris_ref, colr_ref, colg_ref,
-                   colb_ref, segs_ref, stack_ref):
+        def kernel(scal_ref, nodes_ref, tris_ref, *refs):
+            if use_nee:
+                light_ref = refs[0]
+                colr_ref, colg_ref, colb_ref, segs_ref, stack_ref = refs[1:]
+            else:
+                colr_ref, colg_ref, colb_ref, segs_ref, stack_ref = refs
             pid = pl.program_id(0)
             frame = scal_ref[0]
             row0 = scal_ref[1]
+
+            # hoisted light scalars: [v0(3) v1(3) v2(3) n(3) Le(3) cdf]
+            lights = []
+            if use_nee:
+                for i in range(num_lights):
+                    lights.append(tuple(light_ref[k, i] for k in range(16)))
 
             row_ids = jax.lax.broadcasted_iota(jnp.int32, (r, lanes), 0)
             lane_ids = jax.lax.broadcasted_iota(jnp.int32, (r, lanes), 1)
@@ -135,6 +174,7 @@ def make_bvh_regen_render_step(
                 jnp.zeros((r, lanes), _U),      # seed
                 zero, zero, zero,               # color total
                 zero,                           # segs
+                jnp.ones((r, lanes), jnp.int32),  # count_emit (NEE gating)
             )
 
             def cond(c):
@@ -142,7 +182,7 @@ def make_bvh_regen_render_step(
 
             def body(c):
                 (s, bounce, ox, oy, oz, dx, dy, dz, wr, wg, wb, seed,
-                 tr, tg, tb, segs) = c
+                 tr, tg, tb, segs, count_emit) = c
                 active = s < spp
                 need = active & (bounce == 0)
 
@@ -170,6 +210,7 @@ def make_bvh_regen_render_step(
                 wg = jnp.where(need, 1.0, wg)
                 wb = jnp.where(need, 1.0, wb)
                 seed = jnp.where(need, sd, seed)
+                count_emit = jnp.where(need, 1, count_emit)
 
                 # ---- packet BVH traversal (kernels/bvh_packet.py body) ----
                 def safe_inv(cc):
@@ -362,9 +403,184 @@ def make_bvh_regen_render_step(
                 else:
                     is_mirror = jnp.zeros((r, lanes), bool)
 
-                tr = tr + jnp.where(active, wr * emission[0], 0.0)
-                tg = tg + jnp.where(active, wg * emission[1], 0.0)
-                tb = tb + jnp.where(active, wb * emission[2], 0.0)
+                # NEE gating: BSDF-path emission only on camera rays,
+                # post-specular bounces, and sky misses (non-MIS hard gate,
+                # same as megakernel_regen.py / the wavefront integrator)
+                add_emit = (
+                    active & ((count_emit > 0) | miss) if use_nee else active
+                )
+                tr = tr + jnp.where(add_emit, wr * emission[0], 0.0)
+                tg = tg + jnp.where(add_emit, wg * emission[1], 0.0)
+                tb = tb + jnp.where(add_emit, wb * emission[2], 0.0)
+
+                if use_nee:
+                    r_sel, seed = _rand_vec(seed)
+                    rl1, seed = _rand_vec(seed)
+                    rl2, seed = _rand_vec(seed)
+                    # CDF select (unrolled; L is small and static)
+                    li = jnp.zeros((r, lanes), jnp.int32)
+                    for i in range(num_lights - 1):
+                        li = li + (r_sel > lights[i][15]).astype(jnp.int32)
+                    fld = [f + zero for f in lights[0][:15]]
+                    for i in range(1, num_lights):
+                        pick = li == i
+                        fld = [
+                            jnp.where(pick, lights[i][k], f)
+                            for k, f in enumerate(fld)
+                        ]
+                    lv0 = fld[0:3]
+                    lv1 = fld[3:6]
+                    lv2 = fld[6:9]
+                    ln = fld[9:12]
+                    le = fld[12:15]
+                    su = jnp.sqrt(jnp.maximum(rl1, 0.0))
+                    b0w = 1.0 - su
+                    b1w = su * (1.0 - rl2)
+                    b2w = su * rl2
+                    q = [
+                        lv0[a] * b0w + lv1[a] * b1w + lv2[a] * b2w
+                        for a in range(3)
+                    ]
+                    tlx = q[0] - position[0]
+                    tly = q[1] - position[1]
+                    tlz = q[2] - position[2]
+                    dist2 = jnp.maximum(
+                        tlx * tlx + tly * tly + tlz * tlz, 1e-12
+                    )
+                    inv_dist = jax.lax.rsqrt(dist2)
+                    wlx = tlx * inv_dist
+                    wly = tly * inv_dist
+                    wlz = tlz * inv_dist
+                    cos_s = wlx * normal[0] + wly * normal[1] + wlz * normal[2]
+                    cos_l = jnp.abs(wlx * ln[0] + wly * ln[1] + wlz * ln[2])
+                    shadow_q = (
+                        active & jnp.logical_not(miss | is_mirror)
+                        & (cos_s > 0)
+                    )
+                    smax = (1.0 / inv_dist) * np.float32(1.0 - 1e-3)
+                    # ---- any-hit shadow packet traversal (the in-kernel
+                    # analog of kernels/bvh_packet.make_packet_occlusion;
+                    # the SMEM stack is empty again after the main pass) --
+                    sivx = safe_inv(wlx)
+                    sivy = safe_inv(wly)
+                    sivz = safe_inv(wlz)
+                    sox, soy, soz = position
+                    stack_ref[0] = jnp.int32(1)
+                    s_init = (jnp.int32(1), jnp.zeros((r, lanes), jnp.float32))
+
+                    def s_cond(sc_):
+                        return sc_[0] > 0
+
+                    def s_body(sc_):
+                        sp, occ = sc_
+                        code = stack_ref[sp - 1]
+                        sp = sp - 1
+                        is_leaf = code < 0
+                        slimit = jnp.where(
+                            shadow_q & (occ < 0.5), smax,
+                            jnp.float32(-np.inf),
+                        )
+
+                        def node_fn(occ):
+                            nrow = nodes_ref[
+                                pl.ds(jnp.maximum(code - 1, 0), 1), :
+                            ]
+                            spn = sp
+                            nsc = [nrow[0, cc] for cc in range(64)]
+                            for ci in range(8):
+                                tx0 = (nsc[0 + ci] - sox) * sivx
+                                tx1 = (nsc[24 + ci] - sox) * sivx
+                                ty0 = (nsc[8 + ci] - soy) * sivy
+                                ty1 = (nsc[32 + ci] - soy) * sivy
+                                tz0 = (nsc[16 + ci] - soz) * sivz
+                                tz1 = (nsc[40 + ci] - soz) * sivz
+                                tnear = jnp.maximum(
+                                    jnp.maximum(jnp.minimum(tx0, tx1),
+                                                jnp.minimum(ty0, ty1)),
+                                    jnp.maximum(jnp.minimum(tz0, tz1),
+                                                t_min),
+                                )
+                                tfar = jnp.minimum(
+                                    jnp.minimum(jnp.maximum(tx0, tx1),
+                                                jnp.maximum(ty0, ty1)),
+                                    jnp.minimum(jnp.maximum(tz0, tz1),
+                                                slimit),
+                                )
+                                tag = nsc[56 + ci]
+                                ref = nsc[48 + ci].astype(jnp.int32)
+                                push = (tag > 0.5) & jnp.any(tnear <= tfar)
+                                code_c = jnp.where(
+                                    tag > 1.5, -(ref + 1), ref + 1
+                                )
+
+                                @pl.when(push)
+                                def _(spn=spn, code_c=code_c):
+                                    stack_ref[spn] = code_c
+
+                                spn = spn + push.astype(jnp.int32)
+                            return (spn, occ)
+
+                        def leaf_fn(occ):
+                            trow = tris_ref[
+                                pl.ds(jnp.maximum(-code - 1, 0), 1), :
+                            ]
+                            tsc = [trow[0, cc] for cc in range(128)]
+                            for k in range(8):
+                                base = 16 * k
+                                t0x = tsc[base + 0]
+                                t0y = tsc[base + 1]
+                                t0z = tsc[base + 2]
+                                e1x = tsc[base + 3] - t0x
+                                e1y = tsc[base + 4] - t0y
+                                e1z = tsc[base + 5] - t0z
+                                e2x = tsc[base + 6] - t0x
+                                e2y = tsc[base + 7] - t0y
+                                e2z = tsc[base + 8] - t0z
+                                pvx = wly * e2z - wlz * e2y
+                                pvy = wlz * e2x - wlx * e2z
+                                pvz = wlx * e2y - wly * e2x
+                                det = e1x * pvx + e1y * pvy + e1z * pvz
+                                inv_det = jnp.where(
+                                    jnp.abs(det) > 1e-12, 1.0 / det, 0.0
+                                )
+                                tvx = sox - t0x
+                                tvy = soy - t0y
+                                tvz = soz - t0z
+                                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                                qvx = tvy * e1z - tvz * e1y
+                                qvy = tvz * e1x - tvx * e1z
+                                qvz = tvx * e1y - tvy * e1x
+                                v = (wlx * qvx + wly * qvy + wlz * qvz) * inv_det
+                                t_ = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                                slimit_k = jnp.where(
+                                    shadow_q & (occ < 0.5), smax,
+                                    jnp.float32(-np.inf),
+                                )
+                                hit_k = (
+                                    (jnp.abs(det) > 1e-12)
+                                    & (u >= 0.0) & (v >= 0.0)
+                                    & (u + v <= 1.0)
+                                    & (t_ > t_min) & (t_ < slimit_k)
+                                )
+                                occ = jnp.maximum(
+                                    occ, hit_k.astype(jnp.float32)
+                                )
+                            return (sp, occ)
+
+                        return jax.lax.cond(is_leaf, leaf_fn, node_fn, occ)
+
+                    _, occ_f = jax.lax.while_loop(s_cond, s_body, s_init)
+                    g_pdf = cos_s * cos_l / dist2 * np.float32(total_area)
+                    vis = shadow_q & (occ_f < 0.5)
+                    tr = tr + jnp.where(
+                        vis, wr * (albedo[0] * INV_PI) * le[0] * g_pdf, 0.0
+                    )
+                    tg = tg + jnp.where(
+                        vis, wg * (albedo[1] * INV_PI) * le[1] * g_pdf, 0.0
+                    )
+                    tb = tb + jnp.where(
+                        vis, wb * (albedo[2] * INV_PI) * le[2] * g_pdf, 0.0
+                    )
 
                 # ---- next direction (ref raygen.rgen:77-80) ----
                 r1, seed = _rand_vec(seed)
@@ -433,9 +649,11 @@ def make_bvh_regen_render_step(
                 finished = active & jnp.logical_not(cont)
                 s = s + finished.astype(jnp.int32)
                 bounce = jnp.where(cont, bounce + 1, 0)
+                if use_nee:
+                    count_emit = is_mirror.astype(jnp.int32)
                 segs = segs + jnp.where(active, 1.0, 0.0)
                 return (s, bounce, ox, oy, oz, dx, dy, dz, wr, wg, wb, seed,
-                        tr, tg, tb, segs)
+                        tr, tg, tb, segs, count_emit)
 
             final = jax.lax.while_loop(cond, body, init)
             tr, tg, tb, segs = final[12], final[13], final[14], final[15]
@@ -464,21 +682,26 @@ def make_bvh_regen_render_step(
         ])
         blk = pl.BlockSpec((rr, lanes), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        args = [scal, nodes, tris]
+        if use_nee:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            args.append(light_table)
         colr, colg, colb, segs = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[blk] * 4,
             out_shape=[
                 jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32)
             ] * 4,
             scratch_shapes=[pltpu.SMEM((stack_n,), jnp.int32)],
             interpret=interpret,
-        )(scal, nodes, tris)
+        )(*args)
 
         # undo the tile swizzle: lane i held pixel (px, py) computed in the
         # kernel; build the static inverse permutation

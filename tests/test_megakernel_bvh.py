@@ -68,7 +68,25 @@ def test_bvh_regen_swizzle_and_row_offset(buffers):
     )
 
 
-def test_bvh_regen_rejects_nee(buffers):
-    cfg = RenderConfig(width=8, height=8, use_nee=True, sampling="cosine")
+def test_bvh_regen_nee_equivalence(buffers):
+    """In-kernel NEE (CDF light select + any-hit shadow packet traversal)
+    == the jnp wavefront NEE path."""
+    cfg = RenderConfig(
+        width=16, height=8, spp_per_step=2, max_depth=3, use_nee=True,
+        sampling="cosine", use_rr=True, rr_start_depth=1,
+    )
+    a = jax.jit(make_render_step(cfg, buffers))(init_state(8, 16))
+    b = jax.jit(make_bvh_regen_render_step(cfg, buffers, interpret=True))(
+        init_state(8, 16)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-4, atol=1e-6
+    )
+    assert float(a.mrays) == float(b.mrays)
+
+
+def test_bvh_regen_rejects_mis(buffers):
+    cfg = RenderConfig(width=8, height=8, use_nee=True, use_mis=True,
+                       sampling="cosine")
     with pytest.raises(NotImplementedError):
         make_bvh_regen_render_step(cfg, buffers, interpret=True)
