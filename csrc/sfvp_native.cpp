@@ -389,6 +389,226 @@ BvhData* build_lbvh_impl(const float* tris, int t, int leaf_size) {
   return out;
 }
 
+
+// ----------------------------------------------------------------------
+// Binned-SAH builder (identical output to sfvp_tpu/accel/sah.py: same
+// float32 aggregates, float64 cost math, stable partitions)
+// ----------------------------------------------------------------------
+
+float half_area_f32(const float lo[3], const float hi[3]) {
+  float d0 = std::max(hi[0] - lo[0], 0.0f);
+  float d1 = std::max(hi[1] - lo[1], 0.0f);
+  float d2 = std::max(hi[2] - lo[2], 0.0f);
+  return d0 * d1 + d1 * d2 + d2 * d0;
+}
+
+BvhData* build_sah_impl(const float* tris, int t, int leaf_size,
+                        int max_leaf) {
+  constexpr int NB = 16;
+  std::vector<float> tmin(3 * t), tmax(3 * t), cent(3 * t);
+  for (int i = 0; i < t; ++i) {
+    for (int a = 0; a < 3; ++a) {
+      float v0 = tris[9 * i + a], v1 = tris[9 * i + 3 + a],
+            v2 = tris[9 * i + 6 + a];
+      float lo = std::min(v0, std::min(v1, v2));
+      float hi = std::max(v0, std::max(v1, v2));
+      tmin[3 * i + a] = lo;
+      tmax[3 * i + a] = hi;
+      cent[3 * i + a] = 0.5f * (lo + hi);
+    }
+  }
+
+  std::vector<int64_t> order(t);
+  std::iota(order.begin(), order.end(), 0);
+  std::vector<int64_t> scratch(t);
+
+  struct Node { int lo, hi, left, right; };
+  std::vector<Node> nodes;
+  struct StackEntry { int lo, hi, parent, which; };
+  std::vector<StackEntry> stack{{0, t, -1, 0}};
+  while (!stack.empty()) {
+    StackEntry e = stack.back();
+    stack.pop_back();
+    int idx = static_cast<int>(nodes.size());
+    nodes.push_back({e.lo, e.hi, -1, -1});
+    if (e.parent >= 0) {
+      if (e.which == 0) nodes[e.parent].left = idx;
+      else nodes[e.parent].right = idx;
+    }
+    int n = e.hi - e.lo;
+    if (n <= 1) continue;
+
+    float cmin[3] = {1e30f, 1e30f, 1e30f};
+    float cmax[3] = {-1e30f, -1e30f, -1e30f};
+    for (int k = e.lo; k < e.hi; ++k)
+      for (int a = 0; a < 3; ++a) {
+        float c = cent[3 * order[k] + a];
+        cmin[a] = std::min(cmin[a], c);
+        cmax[a] = std::max(cmax[a], c);
+      }
+    float ext[3] = {cmax[0] - cmin[0], cmax[1] - cmin[1], cmax[2] - cmin[2]};
+    int axis = 0;  // numpy argmax: first max wins
+    if (ext[1] > ext[axis]) axis = 1;
+    if (ext[2] > ext[axis]) axis = 2;
+    if (ext[axis] <= 0.0f) {
+      if (n <= max_leaf) continue;
+      int mid = e.lo + n / 2;
+      stack.push_back({mid, e.hi, idx, 1});
+      stack.push_back({e.lo, mid, idx, 0});
+      continue;
+    }
+
+    double scale = NB * (1.0 - 1e-6) / static_cast<double>(ext[axis]);
+    int bin_cnt[NB] = {0};
+    float bmin[NB][3], bmax[NB][3];
+    for (int b = 0; b < NB; ++b)
+      for (int a = 0; a < 3; ++a) {
+        bmin[b][a] = 1e30f;
+        bmax[b][a] = -1e30f;
+      }
+    std::vector<int8_t> bins(n);
+    for (int k = 0; k < n; ++k) {
+      int64_t id = order[e.lo + k];
+      // numpy: ((c - cmin) * scale).astype(int32) truncates toward zero
+      float dc = cent[3 * id + axis] - cmin[axis];
+      int b = static_cast<int>(static_cast<double>(dc) * scale);
+      b = std::min(std::max(b, 0), NB - 1);
+      bins[k] = static_cast<int8_t>(b);
+      bin_cnt[b] += 1;
+      for (int a = 0; a < 3; ++a) {
+        bmin[b][a] = std::min(bmin[b][a], tmin[3 * id + a]);
+        bmax[b][a] = std::max(bmax[b][a], tmax[3 * id + a]);
+      }
+    }
+
+    // left/right sweeps over the NB-1 split planes
+    double best_cost = std::numeric_limits<double>::infinity();
+    int best = -1;
+    {
+      float lmin[3] = {1e30f, 1e30f, 1e30f};
+      float lmax[3] = {-1e30f, -1e30f, -1e30f};
+      // suffix aggregates first
+      float rmins[NB][3], rmaxs[NB][3];
+      float smin[3] = {1e30f, 1e30f, 1e30f};
+      float smax2[3] = {-1e30f, -1e30f, -1e30f};
+      for (int b = NB - 1; b >= 1; --b) {
+        for (int a = 0; a < 3; ++a) {
+          smin[a] = std::min(smin[a], bmin[b][a]);
+          smax2[a] = std::max(smax2[a], bmax[b][a]);
+          rmins[b][a] = smin[a];
+          rmaxs[b][a] = smax2[a];
+        }
+      }
+      int64_t lcnt = 0;
+      for (int b = 0; b < NB - 1; ++b) {
+        lcnt += bin_cnt[b];
+        int64_t rcnt = n - lcnt;
+        for (int a = 0; a < 3; ++a) {
+          lmin[a] = std::min(lmin[a], bmin[b][a]);
+          lmax[a] = std::max(lmax[a], bmax[b][a]);
+        }
+        if (lcnt > 0 && rcnt > 0) {
+          double c = static_cast<double>(half_area_f32(lmin, lmax)) * lcnt +
+                     static_cast<double>(half_area_f32(rmins[b + 1],
+                                                       rmaxs[b + 1])) * rcnt;
+          if (c < best_cost) {  // numpy argmin: first minimum wins
+            best_cost = c;
+            best = b;
+          }
+        }
+      }
+    }
+
+    double leaf_cost = static_cast<double>(n);
+    float pmin[3] = {1e30f, 1e30f, 1e30f};
+    float pmax2[3] = {-1e30f, -1e30f, -1e30f};
+    for (int k = e.lo; k < e.hi; ++k)
+      for (int a = 0; a < 3; ++a) {
+        pmin[a] = std::min(pmin[a], tmin[3 * order[k] + a]);
+        pmax2[a] = std::max(pmax2[a], tmax[3 * order[k] + a]);
+      }
+    float pa = half_area_f32(pmin, pmax2);
+    double parent_area = pa > 1e-30f ? static_cast<double>(pa) : 1e-30;
+    double split_cost = 1.0 + best_cost / parent_area;
+    if (n <= max_leaf && (n <= leaf_size || split_cost >= leaf_cost)) continue;
+
+    // stable partition (numpy concatenate keeps within-side order)
+    int mid;
+    int64_t nl = 0;
+    for (int k = 0; k < n; ++k) nl += (best >= 0 && bins[k] <= best) ? 1 : 0;
+    if (best < 0 || nl == 0 || nl == n) {
+      // degenerate: stable sort by centroid on the split axis, median cut
+      std::copy(order.begin() + e.lo, order.begin() + e.hi, scratch.begin());
+      std::stable_sort(
+          scratch.begin(), scratch.begin() + n,
+          [&](int64_t x, int64_t y) {
+            return cent[3 * x + axis] < cent[3 * y + axis];
+          });
+      std::copy(scratch.begin(), scratch.begin() + n, order.begin() + e.lo);
+      mid = e.lo + n / 2;
+    } else {
+      int64_t* dst_l = scratch.data();
+      int64_t* dst_r = scratch.data() + nl;
+      for (int k = 0; k < n; ++k) {
+        if (bins[k] <= best) *dst_l++ = order[e.lo + k];
+        else *dst_r++ = order[e.lo + k];
+      }
+      std::copy(scratch.begin(), scratch.begin() + n, order.begin() + e.lo);
+      mid = e.lo + static_cast<int>(nl);
+    }
+    stack.push_back({mid, e.hi, idx, 1});
+    stack.push_back({e.lo, mid, idx, 0});
+  }
+
+  // flatten: identical to the LBVH path (skip links, AABBs, sorted tv)
+  int m = static_cast<int>(nodes.size());
+  auto* out = new BvhData();
+  out->skip.resize(m);
+  out->first.resize(m);
+  out->count.resize(m);
+  out->bmin.assign(3 * m, 0.f);
+  out->bmax.assign(3 * m, 0.f);
+  std::vector<int32_t> subtree_end(m);
+  for (int i = m - 1; i >= 0; --i)
+    subtree_end[i] = nodes[i].left < 0 ? i + 1 : subtree_end[nodes[i].right];
+  for (int i = m - 1; i >= 0; --i) {
+    bool leaf = nodes[i].left < 0;
+    out->skip[i] = subtree_end[i];
+    out->first[i] = leaf ? nodes[i].lo : -1;
+    out->count[i] = leaf ? nodes[i].hi - nodes[i].lo : 0;
+    if (leaf) {
+      for (int a = 0; a < 3; ++a) {
+        float lo = 1e30f, hi = -1e30f;
+        for (int k = nodes[i].lo; k < nodes[i].hi; ++k) {
+          lo = std::min(lo, tmin[3 * order[k] + a]);
+          hi = std::max(hi, tmax[3 * order[k] + a]);
+        }
+        out->bmin[3 * i + a] = lo;
+        out->bmax[3 * i + a] = hi;
+      }
+    } else {
+      int l = nodes[i].left, r = nodes[i].right;
+      for (int a = 0; a < 3; ++a) {
+        out->bmin[3 * i + a] =
+            std::min(out->bmin[3 * l + a], out->bmin[3 * r + a]);
+        out->bmax[3 * i + a] =
+            std::max(out->bmax[3 * l + a], out->bmax[3 * r + a]);
+      }
+    }
+  }
+  out->tv.resize(9 * static_cast<size_t>(t));
+  out->prim_id.resize(t);
+  for (int i = 0; i < t; ++i) {
+    int src = static_cast<int>(order[i]);
+    out->prim_id[i] = src;
+    for (int c = 0; c < 3; ++c)
+      for (int a = 0; a < 3; ++a)
+        out->tv[(3 * c + a) * static_cast<size_t>(t) + i] =
+            tris[9 * src + 3 * c + a];
+  }
+  return out;
+}
+
 }  // namespace
 
 extern "C" {
@@ -442,6 +662,11 @@ void sfvp_scene_free(void* h) { delete static_cast<SceneData*>(h); }
 // ---------------- LBVH builder ----------------
 void* sfvp_build_lbvh(const float* tris, int num_tris, int leaf_size) {
   return build_lbvh_impl(tris, num_tris, leaf_size);
+}
+
+void* sfvp_build_sah(const float* tris, int num_tris, int leaf_size,
+                     int max_leaf) {
+  return build_sah_impl(tris, num_tris, leaf_size, max_leaf);
 }
 
 // Topology-only emission from pre-sorted morton codes (the sequential step

@@ -282,11 +282,18 @@ def materials_array(scene_buffers) -> np.ndarray:
 def build_wide_from_buffers(
     scene_buffers, native: str = "auto", builder: str = "auto"
 ) -> WideBVH:
-    """builder: "sah" = binned-SAH binary tree (best trace quality, host
-    numpy, ~3s at 100k tris); "lbvh" = Morton build (fastest build, native
-    C++ when available); "auto" = SAH up to 200k tris, LBVH beyond."""
+    """builder: "sah" = binned-SAH binary tree (best trace quality; native
+    C++ when built — 0.5s at 500k tris — NumPy fallback ~3s at 100k);
+    "lbvh" = Morton build (fastest build). "auto" = SAH whenever the native
+    builder is present, else SAH up to 200k tris and LBVH beyond (the
+    NumPy SAH build gets too slow)."""
     if builder == "auto":
-        builder = "sah" if scene_buffers.num_tris <= 200_000 else "lbvh"
+        from .. import native as native_mod
+
+        if native_mod.sah_available() or scene_buffers.num_tris <= 200_000:
+            builder = "sah"
+        else:
+            builder = "lbvh"
     if builder == "sah":
         from .sah import build_sah_bvh
 

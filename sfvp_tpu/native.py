@@ -75,6 +75,11 @@ def _get_lib() -> Optional[ctypes.CDLL]:
     lib.sfvp_scene_free.argtypes = [ctypes.c_void_p]
     lib.sfvp_build_lbvh.restype = ctypes.c_void_p
     lib.sfvp_build_lbvh.argtypes = [f32p, ctypes.c_int, ctypes.c_int]
+    if hasattr(lib, "sfvp_build_sah"):
+        lib.sfvp_build_sah.restype = ctypes.c_void_p
+        lib.sfvp_build_sah.argtypes = [
+            f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int
+        ]
     lib.sfvp_bvh_num_nodes.restype = ctypes.c_int
     lib.sfvp_bvh_num_nodes.argtypes = [ctypes.c_void_p]
     lib.sfvp_bvh_fill.restype = None
@@ -93,6 +98,12 @@ def _get_lib() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _get_lib() is not None
+
+
+def sah_available() -> bool:
+    """True when the .so is built AND new enough to have the SAH symbol."""
+    lib = _get_lib()
+    return lib is not None and hasattr(lib, "sfvp_build_sah")
 
 
 def _fptr(a: np.ndarray):
@@ -190,6 +201,45 @@ def build_lbvh_native(tris: np.ndarray, leaf_size: int = 4):
     tris = np.ascontiguousarray(np.asarray(tris, np.float32))
     t = tris.shape[0]
     h = lib.sfvp_build_lbvh(_fptr(tris), t, leaf_size)
+    try:
+        m = lib.sfvp_bvh_num_nodes(h)
+        bmin = np.empty((m, 3), np.float32)
+        bmax = np.empty((m, 3), np.float32)
+        skip = np.empty((m,), np.int32)
+        first = np.empty((m,), np.int32)
+        count = np.empty((m,), np.int32)
+        tv = np.empty((9, t), np.float32)
+        prim_id = np.empty((t,), np.int32)
+        lib.sfvp_bvh_fill(
+            h, _fptr(bmin), _fptr(bmax), _iptr(skip), _iptr(first),
+            _iptr(count), _fptr(tv), _iptr(prim_id),
+        )
+        return BVH(
+            bmin_x=bmin[:, 0].copy(), bmin_y=bmin[:, 1].copy(),
+            bmin_z=bmin[:, 2].copy(),
+            bmax_x=bmax[:, 0].copy(), bmax_y=bmax[:, 1].copy(),
+            bmax_z=bmax[:, 2].copy(),
+            skip=skip, first=first, count=count,
+            tv=tuple(tv[i].copy() for i in range(9)),
+            prim_id=prim_id,
+        )
+    finally:
+        lib.sfvp_bvh_free(h)
+
+
+def build_sah_native(tris: np.ndarray, leaf_size: int = 8,
+                     max_leaf: int = 8):
+    """Native binned-SAH build; returns a BVH identical to
+    sah.sah_bvh_from_arrays or None when the library (or the symbol, on
+    old .so builds) is unavailable. tris: (T, 3, 3) float32."""
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "sfvp_build_sah"):
+        return None
+    from .accel.lbvh import BVH
+
+    tris = np.ascontiguousarray(np.asarray(tris, np.float32))
+    t = tris.shape[0]
+    h = lib.sfvp_build_sah(_fptr(tris), t, leaf_size, max_leaf)
     try:
         m = lib.sfvp_bvh_num_nodes(h)
         bmin = np.empty((m, 3), np.float32)

@@ -86,3 +86,44 @@ def test_build_bvh_auto_prefers_native(cornell_buffers):
     a = build_bvh(cornell_buffers, native="never")
     b = build_bvh(cornell_buffers, native="require")
     np.testing.assert_array_equal(a.skip, b.skip)
+
+
+@pytest.mark.parametrize("n", [36, 500, 5000, 3])
+def test_sah_parity(n):
+    """Native binned-SAH builder output is BIT-identical to the NumPy
+    builder (same f32 aggregates, f64 cost math, stable partitions)."""
+    from sfvp_tpu.accel.sah import sah_bvh_from_arrays
+
+    g = np.random.default_rng(n + 17)
+    tris = (
+        g.uniform(-10, 10, (n, 1, 3)) + g.normal(0, 0.5, (n, 3, 3))
+    ).astype(np.float32)
+    a = sah_bvh_from_arrays(tris, native="never")
+    b = native.build_sah_native(tris)
+    if b is None:
+        pytest.skip("native library unavailable")
+    assert a.num_nodes == b.num_nodes
+    np.testing.assert_array_equal(a.skip, b.skip)
+    np.testing.assert_array_equal(a.first, b.first)
+    np.testing.assert_array_equal(a.count, b.count)
+    np.testing.assert_array_equal(a.prim_id, b.prim_id)
+    for i in range(9):
+        np.testing.assert_array_equal(a.tv[i], b.tv[i])
+    for f in ("bmin_x", "bmin_y", "bmin_z", "bmax_x", "bmax_y", "bmax_z"):
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f))
+    check_invariants(b, tris)
+
+
+def test_sah_parity_degenerate_centroids():
+    """All-identical centroids: the stable-median fallback must agree."""
+    from sfvp_tpu.accel.sah import sah_bvh_from_arrays
+
+    g = np.random.default_rng(3)
+    tri = g.normal(size=(1, 3, 3)).astype(np.float32)
+    tris = np.repeat(tri, 41, axis=0)
+    a = sah_bvh_from_arrays(tris, native="never")
+    b = native.build_sah_native(tris)
+    if b is None:
+        pytest.skip("native library unavailable")
+    np.testing.assert_array_equal(a.skip, b.skip)
+    np.testing.assert_array_equal(a.prim_id, b.prim_id)
