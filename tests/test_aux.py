@@ -206,6 +206,12 @@ def test_compilation_cache_roundtrip(tmp_path):
         # idempotent: second call keeps the configured dir
         assert cache_mod.enable_compilation_cache("ignored") == "ignored" or True
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # jax pins its cache object to the FIRST directory used in the
+        # process; earlier tests (Renderer/DistRenderer/Adaptive ctors)
+        # enable the default-dir cache, so force a re-init onto tmp_path
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
 
         def make():
             @jax.jit
