@@ -123,7 +123,7 @@ def select_render_step(
         stream = (cfg.stream_tris if cfg.stream_tris is not None
                   else scene_bytes > cfg.vmem_scene_budget)
         if (cfg.megakernel_regen and not stream and not cfg.use_mis
-                and not has_glossy and not (cfg.use_nee and many_lights)):
+                and not (cfg.use_nee and many_lights)):
             # fused BVH regen megakernel: whole spp per kernel call with
             # in-lane sample regeneration and in-kernel packet traversal —
             # no per-bounce relaunch, no dead lanes, no bounce sort

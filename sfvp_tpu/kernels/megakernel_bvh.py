@@ -79,7 +79,10 @@ def make_bvh_regen_render_step(
 
     num_tris = scene_buffers.num_tris
     has_mirrors = bool(
-        _np.any(_np.asarray(scene_buffers.mtype)[:num_tris] > 0)
+        _np.any(_np.asarray(scene_buffers.mtype)[:num_tris] == 1)
+    )
+    has_glossy = bool(
+        _np.any(_np.asarray(scene_buffers.mtype)[:num_tris] == 2)
     )
 
     # in-kernel NEE light table, identical layout to megakernel_regen.py:
@@ -399,9 +402,65 @@ def make_bvh_regen_render_step(
                     ke,
                 )
                 if has_mirrors:
-                    is_mirror = (mt > 0.5) & jnp.logical_not(miss)
+                    # packed material lane: 1.0 = mirror, 2.0+rough = glossy
+                    is_mirror = (
+                        (mt > 0.5) & (mt < 1.5) & jnp.logical_not(miss)
+                    )
                 else:
                     is_mirror = jnp.zeros((r, lanes), bool)
+
+                if has_glossy:
+                    # GGX shading frame (same math as the wavefront
+                    # integrator: view-oriented normal, branch-exact
+                    # tangent basis); used by both NEE eval and the
+                    # VNDF bounce below
+                    is_glossy = (mt > 1.5) & jnp.logical_not(miss)
+                    rough_g = jnp.where(is_glossy, mt - 2.0, 0.0)
+                    alpha_g = jnp.maximum(rough_g * rough_g, 1e-4)
+                    d3v = (dx, dy, dz)
+                    n_g = vec.where(
+                        vec.dot(d3v, normal) > 0,
+                        vec.scale(normal, -1.0), normal,
+                    )
+                    ngx, ngy, ngz = n_g
+                    g_use_x = jnp.abs(ngx) > jnp.abs(ngy)
+                    g_inv_a = jax.lax.rsqrt(
+                        jnp.maximum(ngx * ngx + ngz * ngz, 1e-30))
+                    g_inv_b = jax.lax.rsqrt(
+                        jnp.maximum(ngy * ngy + ngz * ngz, 1e-30))
+                    tng = (
+                        jnp.where(g_use_x, ngz * g_inv_a, 0.0),
+                        jnp.where(g_use_x, 0.0, -ngz * g_inv_b),
+                        jnp.where(g_use_x, -ngx * g_inv_a, ngy * g_inv_b),
+                    )
+                    btg = vec.cross(n_g, tng)
+                    wo = vec.scale(d3v, -1.0)
+                    woz = jnp.maximum(vec.dot(wo, n_g), 1e-6)
+                    wo_l = (vec.dot(wo, tng), vec.dot(wo, btg), woz)
+
+                    def ggx_lambda_k(cos_t):
+                        cth = jnp.maximum(jnp.abs(cos_t), 1e-6)
+                        c2 = cth * cth
+                        tan2 = jnp.maximum(1.0 - c2, 0.0) / c2
+                        return 0.5 * (
+                            -1.0 + jnp.sqrt(1.0 + alpha_g * alpha_g * tan2)
+                        )
+
+                    def ggx_d_k(cos_h):
+                        a2 = alpha_g * alpha_g
+                        ch = jnp.maximum(cos_h, 0.0)
+                        den = ch * ch * (a2 - 1.0) + 1.0
+                        return a2 * INV_PI / jnp.maximum(den * den, 1e-12)
+
+                    def ggx_f_k(coh):
+                        m1 = 1.0 - coh
+                        f5 = m1 * m1
+                        f5 = f5 * f5 * m1
+                        return tuple(
+                            s_ + (1.0 - s_) * f5 for s_ in albedo
+                        )
+
+                    lam_o = ggx_lambda_k(woz)
 
                 # NEE gating: BSDF-path emission only on camera rays,
                 # post-specular bounces, and sky misses (non-MIS hard gate,
@@ -452,6 +511,28 @@ def make_bvh_regen_render_step(
                     wly = tly * inv_dist
                     wlz = tlz * inv_dist
                     cos_s = wlx * normal[0] + wly * normal[1] + wlz * normal[2]
+                    brdf_l = tuple(a * INV_PI for a in albedo)
+                    if has_glossy:
+                        wl3 = (wlx, wly, wlz)
+                        wl_l = (vec.dot(wl3, tng), vec.dot(wl3, btg),
+                                vec.dot(wl3, n_g))
+                        cos_i_g = wl_l[2]
+                        hh = vec.add(wo_l, wl_l)
+                        inv_hh = jax.lax.rsqrt(
+                            jnp.maximum(vec.dot(hh, hh), 1e-20))
+                        hh = vec.scale(hh, inv_hh)
+                        dgg = ggx_d_k(hh[2])
+                        g2_l = 1.0 / (1.0 + lam_o + ggx_lambda_k(cos_i_g))
+                        coh_l = jnp.maximum(vec.dot(wo_l, hh), 1e-6)
+                        fr_l = ggx_f_k(coh_l)
+                        den_l = jnp.maximum(
+                            4.0 * woz * jnp.maximum(cos_i_g, 1e-6), 1e-6)
+                        f_g = tuple(fc * dgg * g2_l / den_l for fc in fr_l)
+                        cos_s = jnp.where(is_glossy, cos_i_g, cos_s)
+                        brdf_l = tuple(
+                            jnp.where(is_glossy, fg, bl)
+                            for fg, bl in zip(f_g, brdf_l)
+                        )
                     cos_l = jnp.abs(wlx * ln[0] + wly * ln[1] + wlz * ln[2])
                     shadow_q = (
                         active & jnp.logical_not(miss | is_mirror)
@@ -573,13 +654,13 @@ def make_bvh_regen_render_step(
                     g_pdf = cos_s * cos_l / dist2 * np.float32(total_area)
                     vis = shadow_q & (occ_f < 0.5)
                     tr = tr + jnp.where(
-                        vis, wr * (albedo[0] * INV_PI) * le[0] * g_pdf, 0.0
+                        vis, wr * brdf_l[0] * le[0] * g_pdf, 0.0
                     )
                     tg = tg + jnp.where(
-                        vis, wg * (albedo[1] * INV_PI) * le[1] * g_pdf, 0.0
+                        vis, wg * brdf_l[1] * le[1] * g_pdf, 0.0
                     )
                     tb = tb + jnp.where(
-                        vis, wb * (albedo[2] * INV_PI) * le[2] * g_pdf, 0.0
+                        vis, wb * brdf_l[2] * le[2] * g_pdf, 0.0
                     )
 
                 # ---- next direction (ref raygen.rgen:77-80) ----
@@ -613,6 +694,61 @@ def make_bvh_regen_render_step(
                 else:
                     scale3 = diffuse
 
+                glossy_kill = None
+                if has_glossy:
+                    # VNDF half-vector sample (Heitz 2018), same r1/r2
+                    # draws as the hemisphere sample — matches
+                    # sampling.ggx_sample_vndf_local op-for-op
+                    vx = alpha_g * wo_l[0]
+                    vy = alpha_g * wo_l[1]
+                    vz = woz
+                    v_inv = jax.lax.rsqrt(
+                        jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-20))
+                    vx, vy, vz = vx * v_inv, vy * v_inv, vz * v_inv
+                    lensq = vx * vx + vy * vy
+                    t_inv = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
+                    okl = lensq > 1e-12
+                    vt1 = (
+                        jnp.where(okl, -vy * t_inv, 1.0),
+                        jnp.where(okl, vx * t_inv, 0.0),
+                        jnp.zeros_like(vx),
+                    )
+                    vt2 = vec.cross((vx, vy, vz), vt1)
+                    rr_ = jnp.sqrt(jnp.maximum(r1, 0.0))
+                    phi_g = TWO_PI * r2
+                    p1_ = rr_ * jnp.cos(phi_g)
+                    p2_ = rr_ * jnp.sin(phi_g)
+                    s_ = 0.5 * (1.0 + vz)
+                    p2_ = (1.0 - s_) * jnp.sqrt(
+                        jnp.maximum(1.0 - p1_ * p1_, 0.0)) + s_ * p2_
+                    p3_ = jnp.sqrt(
+                        jnp.maximum(1.0 - p1_ * p1_ - p2_ * p2_, 0.0))
+                    nh = vec.add(
+                        vec.add(vec.scale(vt1, p1_), vec.scale(vt2, p2_)),
+                        vec.scale((vx, vy, vz), p3_),
+                    )
+                    hx_ = alpha_g * nh[0]
+                    hy_ = alpha_g * nh[1]
+                    hz_ = jnp.maximum(nh[2], 1e-6)
+                    h_inv = jax.lax.rsqrt(
+                        jnp.maximum(hx_ * hx_ + hy_ * hy_ + hz_ * hz_, 1e-20))
+                    h_l = (hx_ * h_inv, hy_ * h_inv, hz_ * h_inv)
+                    coh = jnp.maximum(vec.dot(wo_l, h_l), 1e-6)
+                    wi_l = vec.sub(vec.scale(h_l, 2.0 * coh), wo_l)
+                    g_valid = wi_l[2] > 1e-5
+                    wi_g = vec.add(
+                        vec.add(vec.scale(tng, wi_l[0]),
+                                vec.scale(btg, wi_l[1])),
+                        vec.scale(n_g, wi_l[2]),
+                    )
+                    g2_over_g1 = (1.0 + lam_o) / (
+                        1.0 + lam_o + ggx_lambda_k(wi_l[2])
+                    )
+                    scale_g = vec.scale(ggx_f_k(coh), g2_over_g1)
+                    new_dir = vec.where(is_glossy, wi_g, new_dir)
+                    scale3 = vec.where(is_glossy, scale_g, scale3)
+                    glossy_kill = is_glossy & jnp.logical_not(g_valid)
+
                 if has_mirrors:
                     n_dot_d = dx * normal[0] + dy * normal[1] + dz * normal[2]
                     n_f = vec.where(n_dot_d > 0, vec.scale(normal, -1.0),
@@ -625,6 +761,8 @@ def make_bvh_regen_render_step(
                     scale3 = vec.where(is_mirror, albedo, scale3)
 
                 cont = active & jnp.logical_not(miss) & (bounce + 1 < max_depth)
+                if glossy_kill is not None:
+                    cont = cont & jnp.logical_not(glossy_kill)
                 if use_rr:
                     pmax = jnp.clip(
                         vec.maxc(vec.mul((wr, wg, wb), scale3)), 0.05, 0.95

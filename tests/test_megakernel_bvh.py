@@ -85,6 +85,47 @@ def test_bvh_regen_nee_equivalence(buffers):
     assert float(a.mrays) == float(b.mrays)
 
 
+def test_bvh_regen_glossy_equivalence():
+    """In-kernel GGX (VNDF sample, Smith height-correlated, NEE eval) ==
+    the wavefront integrator on a glossy-floor scene."""
+    from sfvp_tpu.scene.objload import Scene
+
+    big = 4.0
+    tris = [
+        [[-big, 0, -big], [big, 0, -big], [big, 0, big]],
+        [[-big, 0, -big], [big, 0, big], [-big, 0, big]],
+        [[-0.4, 2.0, -0.4], [0.4, 2.0, -0.4], [0.4, 2.0, 0.4]],
+        [[-0.4, 2.0, -0.4], [0.4, 2.0, 0.4], [-0.4, 2.0, 0.4]],
+    ]
+    scene = Scene(
+        vertices=np.asarray(tris, np.float32).reshape(-1, 3),
+        indices=np.arange(12, dtype=np.uint32),
+        face_diffuse=np.zeros((4, 3), np.float32),
+        face_emission=np.asarray(
+            [[0, 0, 0], [0, 0, 0], [6, 5, 4], [6, 5, 4]], np.float32),
+        face_specular=np.asarray(
+            [[0.9, 0.8, 0.7]] * 2 + [[0, 0, 0]] * 2, np.float32),
+        face_mat_type=np.asarray([2, 2, 0, 0], np.int32),
+        face_rough=np.asarray([0.35, 0.35, 0, 0], np.float32),
+    )
+    from sfvp_tpu.config import CameraConfig
+
+    cam = CameraConfig.look_at(origin=(0.0, 1.4, 3.2), target=(0, 0, 0),
+                               fov_y_deg=45)
+    buffers = upload(scene)
+    for nee in (False, True):
+        cfg = RenderConfig(width=16, height=8, spp_per_step=2, max_depth=3,
+                           camera=cam, sampling="cosine", use_nee=nee,
+                           sky_emission=(0.1, 0.1, 0.1))
+        a = jax.jit(make_render_step(cfg, buffers))(init_state(8, 16))
+        b = jax.jit(make_bvh_regen_render_step(cfg, buffers, interpret=True))(
+            init_state(8, 16)
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.accum), np.asarray(b.accum), rtol=1e-4, atol=1e-6
+        )
+
+
 def test_bvh_regen_rejects_mis(buffers):
     cfg = RenderConfig(width=8, height=8, use_nee=True, use_mis=True,
                        sampling="cosine")
