@@ -28,6 +28,13 @@ if _platform == "cpu":
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# persistent XLA compilation cache: the suite compiles hundreds of small
+# jits plus several interpret-mode Pallas oracles; repeat runs hit disk
+# (first run pays full compile cost). SFVP_CACHE_DIR=off disables.
+from sfvp_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 
 @pytest.fixture(scope="session")
 def cornell():

@@ -41,7 +41,7 @@ def test_device_sort_stable():
     np.testing.assert_array_equal(np.asarray(order), [1, 4, 3, 0, 2])
 
 
-@pytest.mark.parametrize("n", [40, 500, 3000])
+@pytest.mark.parametrize("n", [40, 500, 1200])
 def test_device_build_valid_and_equivalent(n):
     tris = _soup(n, seed=n)
     z = np.zeros((n, 3), np.float32)

@@ -27,7 +27,7 @@ def _grid_tris(n):
 
 
 def test_karras_topology_equals_host_on_distinct_codes():
-    for n, leaf in ((37, 4), (500, 8), (2048, 8)):
+    for n, leaf in ((37, 4), (500, 8), (1024, 8)):
         tris = _grid_tris(n)
         host = bvh_from_arrays(tris, leaf_size=leaf)
         z = np.zeros((n, 3), np.float32)
@@ -75,7 +75,7 @@ def test_karras_duplicate_codes_valid():
 
 def test_karras_collapse_leaf_sizes():
     codes = jnp.asarray(np.sort(np.random.default_rng(13).integers(
-        0, 2**30, 1000).astype(np.uint32)))
+        0, 2**30, 600).astype(np.uint32)))
     lo, hi, gamma = karras_ranges(codes)
     skip, first, count, depth, valid, m = _collapse_thread_depth(
         lo, hi, gamma, 8)
@@ -85,7 +85,7 @@ def test_karras_collapse_leaf_sizes():
     leaves = count > 0
     assert count[leaves].max() <= 8 and count[leaves].min() >= 1
     # leaves tile [0, T) exactly once
-    covered = np.zeros(1000, bool)
+    covered = np.zeros(600, bool)
     for f, c in zip(first[leaves], count[leaves]):
         assert not covered[f:f + c].any()
         covered[f:f + c] = True
