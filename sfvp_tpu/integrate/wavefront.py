@@ -255,15 +255,21 @@ def make_render_step(
         (o, d, weight, seed, done, color, segs, count_emit, pdf_prev,
          prev_mtype, pix) = carry
         if do_sort:
-            key = _sort_key(o, d, done, prev_mtype)
-            (_, ox, oy, oz, dx, dy, dz, wr, wg, wb, cr, cg, cb,
-             seed_s, done_s, ce_s, pdf_s, pix) = jax.lax.sort(
-                (key, o[0], o[1], o[2], d[0], d[1], d[2],
-                 weight[0], weight[1], weight[2],
-                 color[0], color[1], color[2],
-                 seed, done.astype(jnp.int32),
-                 count_emit.astype(jnp.int32), pdf_prev, pix),
-                num_keys=1,
+            # depth 0 is skipped: primary rays are tile-swizzle-coherent
+            # and all alive, so the 17-array sort is pure overhead there
+            def _sorted(args):
+                key = _sort_key(args[0:3], args[3:6], args[13] > 0,
+                                prev_mtype)
+                return jax.lax.sort((key,) + args, num_keys=1)[1:]
+
+            args = (o[0], o[1], o[2], d[0], d[1], d[2],
+                    weight[0], weight[1], weight[2],
+                    color[0], color[1], color[2],
+                    seed, done.astype(jnp.int32),
+                    count_emit.astype(jnp.int32), pdf_prev, pix)
+            (ox, oy, oz, dx, dy, dz, wr, wg, wb, cr, cg, cb,
+             seed_s, done_s, ce_s, pdf_s, pix) = jax.lax.cond(
+                depth_idx > 0, _sorted, lambda a: a, args
             )
             o = (ox, oy, oz)
             d = (dx, dy, dz)
