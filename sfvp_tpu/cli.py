@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve a live-updating preview at this HTTP port")
     p.add_argument("--devices", action="store_true",
                    help="print the device capability report and exit")
+    p.add_argument("--dist", action="store_true",
+                   help="shard the framebuffer by rows over ALL local "
+                        "devices (multi-chip; pixel-identical to 1 chip)")
     p.add_argument("--adaptive", type=float, default=None, metavar="FRAC",
                    help="variance-driven adaptive sampling: after warmup, "
                         "each step renders only the noisiest FRAC of tiles")
@@ -104,6 +107,23 @@ def main(argv=None) -> int:
                 ),
                 sky_emission=(0.8, 0.85, 1.0),
             )
+    if args.dist:
+        from .dist import DistRenderer
+
+        r = DistRenderer(cfg, scene)
+        if args.resume and args.checkpoint:
+            r.resume(args.checkpoint)
+        r.run(
+            steps=args.steps,
+            out=args.out,
+            frame_every=args.frame_every,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
+            log_path=args.log,
+            srgb=args.srgb,
+            progress=not args.quiet,
+        )
+        return 0
     if args.adaptive is not None:
         from .integrate.adaptive import AdaptiveRenderer
 
