@@ -122,18 +122,21 @@ def select_render_step(
         scene_bytes = wide.nodes.nbytes + wide.tris.nbytes
         stream = (cfg.stream_tris if cfg.stream_tris is not None
                   else scene_bytes > cfg.vmem_scene_budget)
-        if (cfg.megakernel_regen and not stream and not cfg.use_mis
+        if (cfg.megakernel_regen and not cfg.use_mis
                 and not (cfg.use_nee and many_lights)):
             # fused BVH regen megakernel: whole spp per kernel call with
             # in-lane sample regeneration and in-kernel packet traversal —
             # no per-bounce relaunch, no dead lanes, no bounce sort
             # (1.2-1.8x over the wavefront loop on 100k-tri GI); NEE runs
-            # in-kernel up to 64 lights
+            # in-kernel up to 64 lights. Beyond the VMEM budget the
+            # triangle rows stream from HBM (blocking per-leaf DMA — still
+            # 1.27x over the prefetching wavefront kernel at 500k tris);
+            # node rows stay VMEM-resident either way.
             from .kernels.megakernel_bvh import make_bvh_regen_render_step
 
             return make_bvh_regen_render_step(
                 cfg, buffers, wide=wide, global_shape=global_shape,
-                block_rows=cfg.packet_block_rows,
+                block_rows=cfg.packet_block_rows, stream_tris=stream,
             )
         if stream:
             # triangle rows stay in HBM; the v2 kernel's leaf queue issues

@@ -48,9 +48,16 @@ def make_bvh_regen_render_step(
     global_shape: Optional[tuple] = None,
     block_rows: int = 8,
     interpret: Optional[bool] = None,
+    stream_tris: bool = False,
 ):
     """render_step(state, row0) -> state. Whole spp per kernel call, BVH
-    traversal per bounce, in-lane sample regeneration."""
+    traversal per bounce, in-lane sample regeneration.
+
+    stream_tris: keep the triangle rows in HBM and DMA each popped leaf
+    row into a VMEM slot (blocking — the regen loop has no natural
+    prefetch point, but removing relaunch/dead-lane/sort overheads still
+    beats the prefetching wavefront kernel end-to-end on streamed
+    scenes); node rows stay VMEM-resident."""
     if wide is None:
         from ..accel.wide import build_wide_from_buffers
 
@@ -129,9 +136,24 @@ def make_bvh_regen_render_step(
         def kernel(scal_ref, nodes_ref, tris_ref, *refs):
             if use_nee:
                 light_ref = refs[0]
-                colr_ref, colg_ref, colb_ref, segs_ref, stack_ref = refs[1:]
+                refs = refs[1:]
+            if stream_tris:
+                (colr_ref, colg_ref, colb_ref, segs_ref, stack_ref,
+                 tbuf_ref, tsem) = refs
             else:
                 colr_ref, colg_ref, colb_ref, segs_ref, stack_ref = refs
+
+            def load_tri_row(lrow):
+                """One 128-lane triangle row: direct VMEM read, or a
+                blocking HBM->VMEM DMA when streaming."""
+                if not stream_tris:
+                    return tris_ref[pl.ds(lrow, 1), :]
+                cp = pltpu.make_async_copy(
+                    tris_ref.at[pl.ds(lrow, 1), :], tbuf_ref, tsem
+                )
+                cp.start()
+                cp.wait()
+                return tbuf_ref[...]
             pid = pl.program_id(0)
             frame = scal_ref[0]
             row0 = scal_ref[1]
@@ -320,7 +342,7 @@ def make_bvh_regen_render_step(
                     def leaf_fn(args):
                         bt, bu, bv, pay = args
                         pay = list(pay)
-                        trow = tris_ref[pl.ds(jnp.maximum(-code - 1, 0), 1), :]
+                        trow = load_tri_row(jnp.maximum(-code - 1, 0))
                         tsc = [trow[0, cc] for cc in range(128)]
                         for k in range(8):
                             base = 16 * k
@@ -602,9 +624,7 @@ def make_bvh_regen_render_step(
                             return (spn, occ)
 
                         def leaf_fn(occ):
-                            trow = tris_ref[
-                                pl.ds(jnp.maximum(-code - 1, 0), 1), :
-                            ]
+                            trow = load_tri_row(jnp.maximum(-code - 1, 0))
                             tsc = [trow[0, cc] for cc in range(128)]
                             for k in range(8):
                                 base = 16 * k
@@ -823,12 +843,18 @@ def make_bvh_regen_render_step(
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if stream_tris else pltpu.VMEM),
         ]
         args = [scal, nodes, tris]
         if use_nee:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(light_table)
+        scratch = [pltpu.SMEM((stack_n,), jnp.int32)]
+        if stream_tris:
+            scratch += [
+                pltpu.VMEM((1, lanes), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ]
         colr, colg, colb, segs = pl.pallas_call(
             kernel,
             grid=(grid,),
@@ -837,7 +863,7 @@ def make_bvh_regen_render_step(
             out_shape=[
                 jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32)
             ] * 4,
-            scratch_shapes=[pltpu.SMEM((stack_n,), jnp.int32)],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(*args)
 

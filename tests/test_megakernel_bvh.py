@@ -131,3 +131,17 @@ def test_bvh_regen_rejects_mis(buffers):
                        sampling="cosine")
     with pytest.raises(NotImplementedError):
         make_bvh_regen_render_step(cfg, buffers, interpret=True)
+
+
+def test_bvh_regen_streamed_equivalence(buffers):
+    """stream_tris=True (HBM tri rows, blocking per-leaf DMA) must match
+    the VMEM-resident kernel and the jnp wavefront exactly."""
+    cfg = RenderConfig(width=16, height=8, spp_per_step=2, max_depth=3,
+                       use_nee=True, sampling="cosine")
+    a = jax.jit(make_render_step(cfg, buffers))(init_state(8, 16))
+    b = jax.jit(make_bvh_regen_render_step(
+        cfg, buffers, interpret=True, stream_tris=True))(init_state(8, 16))
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-4, atol=1e-6
+    )
+    assert float(a.mrays) == float(b.mrays)
