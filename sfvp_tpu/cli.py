@@ -131,8 +131,12 @@ def main(argv=None) -> int:
             cfg, scene, frac=args.adaptive, tile=args.adaptive_tile,
             warmup=args.adaptive_warmup,
         )
+        if args.resume and args.checkpoint:
+            r.resume(args.checkpoint)
         r.run(steps=args.steps, out=args.out, srgb=args.srgb,
-              progress=not args.quiet)
+              progress=not args.quiet,
+              checkpoint_path=args.checkpoint,
+              checkpoint_every=args.checkpoint_every)
         return 0
     r = Renderer(cfg, scene)
     if args.resume and args.checkpoint:

@@ -160,8 +160,51 @@ class AdaptiveRenderer:
     def image(self) -> np.ndarray:
         return np.asarray(adaptive_image(self.state))
 
+    # -- checkpoint / resume (same contract as render/checkpoint.py: the
+    # config hash must match, the running estimator continues exactly) ---
+    def save_checkpoint(self, path: str) -> None:
+        import os
+
+        tmp = path + ".tmp"
+        np.savez(
+            tmp,
+            version=np.int32(1),
+            kind=np.bytes_(b"adaptive"),
+            s1=np.asarray(self.state.s1),
+            s2=np.asarray(self.state.s2),
+            count=np.asarray(self.state.count),
+            frame=np.asarray(self.state.frame),
+            mrays=np.asarray(self.state.mrays),
+            config_hash=np.bytes_(self.cfg.config_hash().encode()),
+        )
+        os.replace(tmp + ".npz", path)
+
+    def resume(self, path: str) -> None:
+        import jax.numpy as jnp
+
+        with np.load(path) as z:
+            got = bytes(z["config_hash"]).decode()
+            want = self.cfg.config_hash()
+            if got != want:
+                raise ValueError(
+                    f"checkpoint config hash {got} != expected {want}; "
+                    "refusing to resume into a different render "
+                    "configuration"
+                )
+            if bytes(z["kind"]) != b"adaptive":
+                raise ValueError("not an adaptive-sampling checkpoint")
+            self.state = AdaptiveState(
+                s1=jnp.asarray(z["s1"]),
+                s2=jnp.asarray(z["s2"]),
+                count=jnp.asarray(z["count"]),
+                frame=jnp.asarray(z["frame"]),
+                mrays=jnp.asarray(z["mrays"]),
+            )
+
     def run(self, steps: int, out: Optional[str] = None,
-            srgb: bool = False, progress: bool = True) -> np.ndarray:
+            srgb: bool = False, progress: bool = True,
+            checkpoint_path: Optional[str] = None,
+            checkpoint_every: int = 0) -> np.ndarray:
         import time
 
         t0 = time.perf_counter()
@@ -178,9 +221,14 @@ class AdaptiveRenderer:
                     flush=True,
                 )
                 t0 = now
+            if (checkpoint_path and checkpoint_every
+                    and (i + 1) % checkpoint_every == 0):
+                self.save_checkpoint(checkpoint_path)
         img = self.image()
         if out:
             from ..render.driver import write_image
 
             write_image(out, img, srgb=srgb)
+        if checkpoint_path:
+            self.save_checkpoint(checkpoint_path)
         return img

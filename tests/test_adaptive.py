@@ -80,3 +80,33 @@ def test_indivisible_tile_raises(cornell_buf):
     cfg = RenderConfig(width=20, height=20, spp_per_step=1)
     with pytest.raises(ValueError, match="not divisible"):
         make_adaptive_steps(cfg, cornell_buf, tile=16)
+
+
+def test_adaptive_checkpoint_resume(tmp_path, cornell_buf):
+    """Resume continues the adaptive estimator exactly (same counts, same
+    image as an uninterrupted run)."""
+    from sfvp_tpu import load_obj
+
+    cfg = RenderConfig(width=16, height=16, spp_per_step=2, max_depth=2)
+    p = str(tmp_path / "ada.npz")
+    r1 = AdaptiveRenderer(cfg, load_obj(), frac=0.5, tile=8, warmup=2)
+    r1.run(steps=3, checkpoint_path=p, progress=False)
+
+    r2 = AdaptiveRenderer(cfg, load_obj(), frac=0.5, tile=8, warmup=2)
+    r2.resume(p)
+    assert int(r2.state.frame) == 3
+    img_resumed = r2.run(steps=2, progress=False)
+
+    r3 = AdaptiveRenderer(cfg, load_obj(), frac=0.5, tile=8, warmup=2)
+    img_straight = r3.run(steps=5, progress=False)
+    np.testing.assert_allclose(img_resumed, img_straight, rtol=1e-6,
+                               atol=1e-7)
+
+    # wrong config refuses
+    import dataclasses
+    import pytest as _pytest
+
+    bad = dataclasses.replace(cfg, spp_per_step=4)
+    rb = AdaptiveRenderer(bad, load_obj(), frac=0.5, tile=8)
+    with _pytest.raises(ValueError, match="refusing"):
+        rb.resume(p)
