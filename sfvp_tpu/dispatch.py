@@ -122,8 +122,13 @@ def select_render_step(
         scene_bytes = wide.nodes.nbytes + wide.tris.nbytes
         stream = (cfg.stream_tris if cfg.stream_tris is not None
                   else scene_bytes > cfg.vmem_scene_budget)
-        if (cfg.megakernel_regen and not cfg.use_mis
-                and not (cfg.use_nee and many_lights)):
+        # NEE with folded sample waves (spp_chunk > 1) measures FASTER in
+        # the sorted wavefront loop than in the fused kernel (0.20 vs
+        # 0.28 s/step on the 100k MIS bench): big coherent shadow batches
+        # amortize better than per-iteration shadow traversals. The fused
+        # kernel wins at the default chunk=1 and for all NEE-less configs.
+        prefer_wavefront = cfg.use_nee and (many_lights or cfg.spp_chunk > 1)
+        if cfg.megakernel_regen and not prefer_wavefront:
             # fused BVH regen megakernel: whole spp per kernel call with
             # in-lane sample regeneration and in-kernel packet traversal —
             # no per-bounce relaunch, no dead lanes, no bounce sort

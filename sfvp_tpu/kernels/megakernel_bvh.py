@@ -17,9 +17,8 @@ bounce depths, which costs ~15% traversal quality vs sorted wavefronts
 Per-sample semantics identical to the reference and to the other
 integrators (ref shaders/raygen.rgen:41-91): same PCG seeding, same bounce
 math, miss = sky + terminate, emissive hits never terminate. NEE (<= 64
-lights) runs in-kernel with an any-hit shadow packet traversal per bounce;
-MIS is NOT implemented here (dispatch routes it to the wavefront
-integrator).
+lights) runs in-kernel with an any-hit shadow packet traversal per bounce,
+with optional balance-heuristic MIS (use_mis) carrying the bounce pdf.
 """
 
 from __future__ import annotations
@@ -76,11 +75,6 @@ def make_bvh_regen_render_step(
     uniform = cfg.sampling == "uniform"
     use_rr = cfg.use_rr
     rr_start = cfg.rr_start_depth
-    if cfg.use_mis:
-        raise NotImplementedError(
-            "the BVH regen megakernel has no MIS; dispatch routes it to "
-            "the wavefront integrator"
-        )
 
     import numpy as _np
 
@@ -96,6 +90,7 @@ def make_bvh_regen_render_step(
     # (16, L) rows = v0(3) v1(3) v2(3) normal(3) Le(3) cdf(1); shadow
     # occlusion runs as a second (any-hit) packet traversal per bounce
     use_nee = cfg.use_nee
+    use_mis = cfg.use_mis and use_nee
     num_lights = 0
     total_area = 1.0
     light_table = None
@@ -200,6 +195,7 @@ def make_bvh_regen_render_step(
                 zero, zero, zero,               # color total
                 zero,                           # segs
                 jnp.ones((r, lanes), jnp.int32),  # count_emit (NEE gating)
+                zero,                             # pdf_prev (MIS)
             )
 
             def cond(c):
@@ -207,7 +203,7 @@ def make_bvh_regen_render_step(
 
             def body(c):
                 (s, bounce, ox, oy, oz, dx, dy, dz, wr, wg, wb, seed,
-                 tr, tg, tb, segs, count_emit) = c
+                 tr, tg, tb, segs, count_emit, pdf_prev) = c
                 active = s < spp
                 need = active & (bounce == 0)
 
@@ -236,6 +232,7 @@ def make_bvh_regen_render_step(
                 wb = jnp.where(need, 1.0, wb)
                 seed = jnp.where(need, sd, seed)
                 count_emit = jnp.where(need, 1, count_emit)
+                pdf_prev = jnp.where(need, 0.0, pdf_prev)
 
                 # ---- packet BVH traversal (kernels/bvh_packet.py body) ----
                 def safe_inv(cc):
@@ -484,15 +481,40 @@ def make_bvh_regen_render_step(
 
                     lam_o = ggx_lambda_k(woz)
 
-                # NEE gating: BSDF-path emission only on camera rays,
-                # post-specular bounces, and sky misses (non-MIS hard gate,
-                # same as megakernel_regen.py / the wavefront integrator)
-                add_emit = (
-                    active & ((count_emit > 0) | miss) if use_nee else active
-                )
-                tr = tr + jnp.where(add_emit, wr * emission[0], 0.0)
-                tg = tg + jnp.where(add_emit, wg * emission[1], 0.0)
-                tb = tb + jnp.where(add_emit, wb * emission[2], 0.0)
+                # NEE gating (non-MIS): BSDF-path emission only on camera
+                # rays, post-specular bounces, and sky misses. Under MIS,
+                # everywhere else with the balance-heuristic weight
+                # p_bsdf / (p_bsdf + p_nee) — same math as the wavefront
+                # integrator.
+                if not use_nee:
+                    emit_w = active.astype(jnp.float32)
+                elif not use_mis:
+                    emit_w = (
+                        active & ((count_emit > 0) | miss)
+                    ).astype(jnp.float32)
+                else:
+                    cos_l_hit = jnp.abs(
+                        dx * normal[0] + dy * normal[1] + dz * normal[2]
+                    )
+                    t_safe = jnp.where(miss, 0.0, bt)
+                    p_nee_hit = (
+                        (t_safe * t_safe) * np.float32(1.0 / total_area)
+                        / jnp.maximum(cos_l_hit, np.float32(1e-6))
+                    )
+                    w_bsdf = pdf_prev / jnp.maximum(
+                        pdf_prev + p_nee_hit, 1e-30
+                    )
+                    is_emissive = (
+                        jnp.maximum(jnp.maximum(emission[0], emission[1]),
+                                    emission[2]) > 0
+                    ) & jnp.logical_not(miss)
+                    emit_w = jnp.where(
+                        (count_emit > 0) | miss, 1.0,
+                        jnp.where(is_emissive, w_bsdf, 0.0),
+                    ) * active.astype(jnp.float32)
+                tr = tr + wr * emission[0] * emit_w
+                tg = tg + wg * emission[1] * emit_w
+                tb = tb + wb * emission[2] * emit_w
 
                 if use_nee:
                     r_sel, seed = _rand_vec(seed)
@@ -672,6 +694,27 @@ def make_bvh_regen_render_step(
 
                     _, occ_f = jax.lax.while_loop(s_cond, s_body, s_init)
                     g_pdf = cos_s * cos_l / dist2 * np.float32(total_area)
+                    if use_mis:
+                        # balance heuristic in solid-angle measure
+                        p_nee_sa = dist2 / (
+                            np.float32(total_area)
+                            * jnp.maximum(cos_l, np.float32(1e-6))
+                        )
+                        if uniform:
+                            p_bsdf_l = jnp.full_like(
+                                cos_s, 1.0 / TWO_PI)
+                        else:
+                            p_bsdf_l = jnp.maximum(cos_s, 0.0) * INV_PI
+                        if has_glossy:
+                            g1o = 1.0 / (1.0 + lam_o)
+                            pdf_g_l = g1o * dgg / jnp.maximum(
+                                4.0 * woz, 1e-6)
+                            p_bsdf_l = jnp.where(
+                                is_glossy, pdf_g_l, p_bsdf_l)
+                        g_pdf = g_pdf * (
+                            p_nee_sa / jnp.maximum(p_nee_sa + p_bsdf_l,
+                                                   1e-30)
+                        )
                     vis = shadow_q & (occ_f < 0.5)
                     tr = tr + jnp.where(
                         vis, wr * brdf_l[0] * le[0] * g_pdf, 0.0
@@ -769,6 +812,28 @@ def make_bvh_regen_render_step(
                     scale3 = vec.where(is_glossy, scale_g, scale3)
                     glossy_kill = is_glossy & jnp.logical_not(g_valid)
 
+                if use_mis:
+                    # pdf of the direction just sampled (solid angle),
+                    # recorded BEFORE the mirror override exactly like the
+                    # wavefront integrator (mirror lanes never read it:
+                    # their count_emit gate forces weight 1)
+                    if uniform:
+                        new_pdf = jnp.full_like(pdf_prev, 1.0 / TWO_PI)
+                    else:
+                        new_pdf = jnp.maximum(
+                            vec.dot(new_dir, normal), 0.0) * INV_PI
+                    if has_glossy:
+                        g1o_b = 1.0 / (1.0 + lam_o)
+                        a2b = alpha_g * alpha_g
+                        chb = jnp.maximum(h_l[2], 0.0)
+                        denb = chb * chb * (a2b - 1.0) + 1.0
+                        d_b = a2b * INV_PI / jnp.maximum(denb * denb, 1e-12)
+                        new_pdf = jnp.where(
+                            is_glossy,
+                            g1o_b * d_b / jnp.maximum(4.0 * woz, 1e-6),
+                            new_pdf,
+                        )
+
                 if has_mirrors:
                     n_dot_d = dx * normal[0] + dy * normal[1] + dz * normal[2]
                     n_f = vec.where(n_dot_d > 0, vec.scale(normal, -1.0),
@@ -809,9 +874,11 @@ def make_bvh_regen_render_step(
                 bounce = jnp.where(cont, bounce + 1, 0)
                 if use_nee:
                     count_emit = is_mirror.astype(jnp.int32)
+                if use_mis:
+                    pdf_prev = jnp.where(cont, new_pdf, pdf_prev)
                 segs = segs + jnp.where(active, 1.0, 0.0)
                 return (s, bounce, ox, oy, oz, dx, dy, dz, wr, wg, wb, seed,
-                        tr, tg, tb, segs, count_emit)
+                        tr, tg, tb, segs, count_emit, pdf_prev)
 
             final = jax.lax.while_loop(cond, body, init)
             tr, tg, tb, segs = final[12], final[13], final[14], final[15]

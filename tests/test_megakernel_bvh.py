@@ -126,13 +126,6 @@ def test_bvh_regen_glossy_equivalence():
         )
 
 
-def test_bvh_regen_rejects_mis(buffers):
-    cfg = RenderConfig(width=8, height=8, use_nee=True, use_mis=True,
-                       sampling="cosine")
-    with pytest.raises(NotImplementedError):
-        make_bvh_regen_render_step(cfg, buffers, interpret=True)
-
-
 def test_bvh_regen_streamed_equivalence(buffers):
     """stream_tris=True (HBM tri rows, blocking per-leaf DMA) must match
     the VMEM-resident kernel and the jnp wavefront exactly."""
@@ -145,3 +138,58 @@ def test_bvh_regen_streamed_equivalence(buffers):
         np.asarray(a.accum), np.asarray(b.accum), rtol=1e-4, atol=1e-6
     )
     assert float(a.mrays) == float(b.mrays)
+
+
+def test_bvh_regen_mis_equivalence(buffers):
+    """Balance-heuristic MIS in-kernel (pdf carry + both weights) == the
+    wavefront MIS path, including mirrors and RR."""
+    cfg = RenderConfig(
+        width=16, height=8, spp_per_step=2, max_depth=3, use_nee=True,
+        use_mis=True, sampling="cosine", use_rr=True, rr_start_depth=1,
+    )
+    a = jax.jit(make_render_step(cfg, buffers))(init_state(8, 16))
+    b = jax.jit(make_bvh_regen_render_step(cfg, buffers, interpret=True))(
+        init_state(8, 16)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-4, atol=1e-6
+    )
+    assert float(a.mrays) == float(b.mrays)
+
+
+def test_bvh_regen_mis_glossy_equivalence():
+    """MIS + GGX in-kernel == wavefront on a glossy scene with a light."""
+    from sfvp_tpu.scene.objload import Scene
+    from sfvp_tpu.config import CameraConfig
+
+    big = 4.0
+    tris = [
+        [[-big, 0, -big], [big, 0, -big], [big, 0, big]],
+        [[-big, 0, -big], [big, 0, big], [-big, 0, big]],
+        [[-0.4, 2.0, -0.4], [0.4, 2.0, -0.4], [0.4, 2.0, 0.4]],
+        [[-0.4, 2.0, -0.4], [0.4, 2.0, 0.4], [-0.4, 2.0, 0.4]],
+    ]
+    scene = Scene(
+        vertices=np.asarray(tris, np.float32).reshape(-1, 3),
+        indices=np.arange(12, dtype=np.uint32),
+        face_diffuse=np.zeros((4, 3), np.float32),
+        face_emission=np.asarray(
+            [[0, 0, 0], [0, 0, 0], [6, 5, 4], [6, 5, 4]], np.float32),
+        face_specular=np.asarray(
+            [[0.9, 0.8, 0.7]] * 2 + [[0, 0, 0]] * 2, np.float32),
+        face_mat_type=np.asarray([2, 2, 0, 0], np.int32),
+        face_rough=np.asarray([0.3, 0.3, 0, 0], np.float32),
+    )
+    cam = CameraConfig.look_at(origin=(0.0, 1.4, 3.2), target=(0, 0, 0),
+                               fov_y_deg=45)
+    buffers = upload(scene)
+    cfg = RenderConfig(width=16, height=8, spp_per_step=2, max_depth=3,
+                       camera=cam, sampling="cosine", use_nee=True,
+                       use_mis=True, sky_emission=(0.1, 0.1, 0.1))
+    a = jax.jit(make_render_step(cfg, buffers))(init_state(8, 16))
+    b = jax.jit(make_bvh_regen_render_step(cfg, buffers, interpret=True))(
+        init_state(8, 16)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-4, atol=1e-6
+    )
