@@ -19,7 +19,7 @@ from .scene import cornell_box_path, load_obj
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="sfvp", description=__doc__)
     p.add_argument("--obj", default=None, help="OBJ scene path (default: bundled Cornell Box)")
-    p.add_argument("--scene", choices=["cornell", "sphere", "terrain"],
+    p.add_argument("--scene", choices=["cornell", "sphere", "terrain", "city"],
                    default="cornell",
                    help="procedural test scene when --obj is not given")
     p.add_argument("--scene-tris", type=int, default=100_000,
@@ -88,24 +88,34 @@ def main(argv=None) -> int:
     else:
         import math
 
-        from .scene.procedural import sphere_mesh, terrain_mesh
+        from .scene.procedural import city_mesh, sphere_mesh, terrain_mesh
 
         if args.scene == "sphere":
             n = max(16, int(math.sqrt(args.scene_tris / 2)))
             scene = sphere_mesh(n_lat=n, n_lon=n, bump=0.3)
+        elif args.scene == "city":
+            # ~12 subdivided faces per building; solve for the count
+            sub = 9
+            nb = max(4, args.scene_tris // (12 * sub * sub))
+            scene = city_mesh(n_buildings=nb, subdiv=sub)
         else:
             n = max(16, int(math.sqrt(args.scene_tris / 2)) + 1)
             scene = terrain_mesh(n=n)
         if cfg.camera == CameraConfig():
             # reference camera doesn't frame procedural scenes; use a
             # sensible default view (procedural scenes are y-up)
-            cfg = dataclasses.replace(
-                cfg,
-                camera=CameraConfig.look_at(
+            if args.scene == "city":
+                cam = CameraConfig.look_at(
+                    origin=(13.0, 9.0, 13.0), target=(0.0, 0.8, 0.0),
+                    fov_y_deg=55.0,
+                )
+            else:
+                cam = CameraConfig.look_at(
                     origin=(0.0, 2.2, 5.0), target=(0.0, 0.0, 0.0),
                     fov_y_deg=50.0,
-                ),
-                sky_emission=(0.8, 0.85, 1.0),
+                )
+            cfg = dataclasses.replace(
+                cfg, camera=cam, sky_emission=(0.8, 0.85, 1.0),
             )
     if args.dist:
         from .dist import DistRenderer

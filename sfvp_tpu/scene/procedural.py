@@ -103,6 +103,95 @@ def terrain_mesh(n: int = 224, size: float = 10.0, height: float = 1.5,
     )
 
 
+def city_mesh(n_buildings: int = 100, subdiv: int = 9, size: float = 20.0,
+              seed: int = 0, emissive_frac: float = 0.06,
+              glossy_ground: bool = False) -> Scene:
+    """Architectural stress scene: a subdivided ground plane plus
+    ``n_buildings`` axis-aligned towers with tessellated faces
+    (~``6 * 2 * subdiv^2`` tris each). Unlike the uniformly tessellated
+    sphere, triangle density varies by orders of magnitude across space —
+    the case where SAH trees and packet culling earn their keep. A few
+    rooftops are emissive (NEE/MIS exercise); ``glossy_ground`` makes the
+    ground a GGX reflector."""
+    g = np.random.default_rng(seed)
+    tri_chunks, kd, ke, mtype, rough = [], [], [], [], []
+
+    def face_grid(origin, du, dv, out):
+        """Two triangles per cell over origin + [0,1]du + [0,1]dv, wound so
+        the reference normal -cross(e01, e02) points along ``out``."""
+        s = subdiv
+        u = np.linspace(0.0, 1.0, s + 1)
+        uu, vv = np.meshgrid(u, u, indexing="ij")
+        pts = (np.asarray(origin, np.float32)[None, None]
+               + uu[..., None] * np.asarray(du, np.float32)
+               + vv[..., None] * np.asarray(dv, np.float32))
+        a = pts[:-1, :-1].reshape(-1, 3)
+        b = pts[1:, :-1].reshape(-1, 3)
+        c = pts[1:, 1:].reshape(-1, 3)
+        d = pts[:-1, 1:].reshape(-1, 3)
+        tris = np.concatenate(
+            [np.stack([a, b, c], axis=1), np.stack([a, c, d], axis=1)]
+        ).astype(np.float32)
+        n = -np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+        flip = (n * np.asarray(out, np.float32)).sum(axis=1) < 0
+        tris[flip] = tris[flip][:, [0, 2, 1]]
+        return tris
+
+    def add(tris, color, emission=(0, 0, 0), mat=0, rg=0.0):
+        tri_chunks.append(tris)
+        t = len(tris)
+        kd.append(np.broadcast_to(np.asarray(color, np.float32), (t, 3)))
+        ke.append(np.broadcast_to(np.asarray(emission, np.float32), (t, 3)))
+        mtype.append(np.full(t, mat, np.int32))
+        rough.append(np.full(t, rg, np.float32))
+
+    half = size / 2
+    add(
+        face_grid((-half, 0, -half), (size, 0, 0), (0, 0, size), (0, 1, 0)),
+        (0.55, 0.55, 0.58),
+        mat=2 if glossy_ground else 0,
+        rg=0.2 if glossy_ground else 0.0,
+    )
+    for i in range(n_buildings):
+        w = g.uniform(0.4, 1.6)
+        d = g.uniform(0.4, 1.6)
+        h = g.uniform(0.6, 4.5)
+        x0 = g.uniform(-half + 1, half - 2.6)
+        z0 = g.uniform(-half + 1, half - 2.6)
+        color = g.uniform(0.25, 0.85, 3)
+        lit = g.uniform() < emissive_frac
+        walls = [
+            ((x0, 0, z0), (w, 0, 0), (0, h, 0), (0, 0, -1)),
+            ((x0, 0, z0 + d), (w, 0, 0), (0, h, 0), (0, 0, 1)),
+            ((x0, 0, z0), (0, 0, d), (0, h, 0), (-1, 0, 0)),
+            ((x0 + w, 0, z0), (0, 0, d), (0, h, 0), (1, 0, 0)),
+        ]
+        for origin, du, dv, out in walls:
+            add(face_grid(origin, du, dv, out), color)
+        roof = face_grid((x0, h, z0), (w, 0, 0), (0, 0, d), (0, 1, 0))
+        if lit:
+            add(roof, (0, 0, 0), emission=g.uniform(4.0, 10.0, 3))
+        else:
+            add(roof, color * 0.9)
+
+    tris = np.concatenate(tri_chunks)
+    t = len(tris)
+    return Scene(
+        vertices=tris.reshape(-1, 3).astype(np.float32),
+        indices=np.arange(3 * t, dtype=np.uint32),
+        face_diffuse=np.concatenate(kd).astype(np.float32),
+        face_emission=np.concatenate(ke).astype(np.float32),
+        face_specular=np.where(
+            np.concatenate(mtype)[:, None] == 2,
+            np.float32(0.9), np.float32(0.0),
+        ) * np.ones((1, 3), np.float32),
+        face_mat_type=np.concatenate(mtype),
+        face_rough=np.concatenate(rough),
+        material_names=["city"],
+        face_material_id=np.zeros((t,), np.int32),
+    )
+
+
 def save_obj(scene: Scene, path: str) -> None:
     """Export a Scene to OBJ (unflips Y so a load_obj round trip matches)."""
     v = scene.vertices * np.asarray([1.0, -1.0, 1.0], np.float32)

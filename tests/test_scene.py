@@ -86,3 +86,26 @@ def test_upload_padding(cornell):
     # padded triangles are degenerate
     np.testing.assert_array_equal(np.asarray(buf.v0[36:]), 0)
     np.testing.assert_array_equal(np.asarray(buf.emission[36:]), 0)
+
+
+def test_city_mesh_structure():
+    """Architectural generator: counts, winding convention (reference
+    normals face outward/up), emissive rooftops, glossy-ground option."""
+    import numpy as np
+
+    from sfvp_tpu.scene.procedural import city_mesh
+
+    s = city_mesh(n_buildings=10, subdiv=3, seed=1, glossy_ground=True)
+    t = s.num_triangles
+    # ground (2*subdiv^2) + 10 buildings * 5 faces * 2*subdiv^2
+    assert t == 2 * 9 + 10 * 5 * 2 * 9
+    assert (s.face_mat_type == 2).sum() == 2 * 9  # glossy ground only
+    assert s.face_rough[s.face_mat_type == 2].max() > 0
+    # ground triangles: reference normal -cross points +y
+    tris = s.triangles()
+    n = -np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    ground = np.abs(tris[:, :, 1]).max(axis=1) < 1e-6
+    assert (n[ground][:, 1] > 0).all()
+    # some emissive faces exist across seeds (statistically certain here)
+    s2 = city_mesh(n_buildings=40, subdiv=2, seed=0)
+    assert (s2.face_emission.max(axis=1) > 0).any()
