@@ -98,14 +98,21 @@ def main():
     print(json.dumps(res), flush=True)
 
     try:
+        # the unrolled baseline runs on a 65536-ray subset: its Mrays/s is
+        # ray-count independent, and the full 262k-ray unrolled HLO has
+        # intermittently faulted the remote compiler (opaque UNAVAILABLE)
+        n_sub = min(65536, m_rays)
+        o_s = tuple(c[:n_sub] for c in o)
+        d_s = tuple(c[:n_sub] for c in d)
         unrolled = make_instanced_trace(inst_u, leaf_size=8)
         f_un = jax.jit(lambda o, d: unrolled(o, d, None, 1e-3, 1e4).t)
-        dt_un = timeit(f_un, o, d, reps=1)
-        res[f"unrolled_n{n_u}_mrays"] = round(m_rays / dt_un / 1e6, 2)
-        res[f"speedup_at_n{n_u}"] = round(dt_un / dt_tl_u, 1)
+        dt_un = timeit(f_un, o_s, d_s, reps=1)
+        res[f"unrolled_n{n_u}_mrays"] = round(n_sub / dt_un / 1e6, 2)
+        speed = (dt_un / n_sub) / (dt_tl_u / m_rays)
+        res[f"speedup_at_n{n_u}"] = round(speed, 1)
         # the unrolled path is linear in N; project its N=target cost
         res[f"projected_speedup_n{a.instances}"] = round(
-            (dt_un * a.instances / n_u) / dt, 1)
+            (dt_un / n_sub * a.instances / n_u) / (dt / m_rays), 1)
     except Exception as e:  # noqa: BLE001
         res["unrolled_error"] = str(e)[:120]
     print(json.dumps(res))

@@ -1,0 +1,112 @@
+"""Render the docs gallery: one image per flagship capability.
+
+    python -u tools/gallery.py [--size 384] [--out docs/gallery]
+
+Sequential TPU renders (one process owns the chip); each entry prints a
+one-line JSON record with its wall time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=384)
+    p.add_argument("--out", default="docs/gallery")
+    p.add_argument("--steps", type=int, default=16)
+    a = p.parse_args()
+    os.makedirs(a.out, exist_ok=True)
+
+    import numpy as np
+
+    from sfvp_tpu import RenderConfig, Renderer, load_obj
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.scene.objload import Scene
+    from sfvp_tpu.scene.procedural import city_mesh, sphere_mesh
+    from sfvp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    s = a.size
+
+    def run(name, cfg, scene, srgb=True, steps=None):
+        t0 = time.perf_counter()
+        r = Renderer(cfg, scene)
+        path = os.path.join(a.out, name + ".png")
+        r.run(steps=steps or a.steps, out=path, srgb=srgb, progress=False)
+        print(json.dumps({
+            "image": path, "wall_s": round(time.perf_counter() - t0, 1),
+            "spp": (steps or a.steps) * cfg.spp_per_step,
+        }), flush=True)
+
+    # 1. parity Cornell (the reference's exact semantics)
+    run("cornell_parity",
+        RenderConfig(width=s, height=s, spp_per_step=32, max_depth=8),
+        load_obj(), srgb=False)
+
+    # 2. Cornell with every variance-reduction extension on
+    run("cornell_nee_mis",
+        RenderConfig(width=s, height=s, spp_per_step=32, max_depth=8,
+                     sampling="cosine", use_nee=True, use_mis=True,
+                     use_rr=True),
+        load_obj())
+
+    # 3. 100k-tri displaced sphere, BVH regen megakernel
+    cam = CameraConfig.look_at(origin=(0, 0, 4), target=(0, 0, 0),
+                               fov_y_deg=50)
+    run("sphere_100k",
+        RenderConfig(width=s, height=s, spp_per_step=16, max_depth=4,
+                     camera=cam, sampling="cosine",
+                     sky_emission=(0.8, 0.85, 1.0)),
+        sphere_mesh(n_lat=224, n_lon=224, bump=0.3))
+
+    # 4. procedural city with emissive rooftops (NEE + MIS)
+    cam = CameraConfig.look_at(origin=(13, 9, 13), target=(0, 0.8, 0),
+                               fov_y_deg=55)
+    run("city",
+        RenderConfig(width=s, height=s, spp_per_step=16, max_depth=4,
+                     camera=cam, sampling="cosine", use_nee=True,
+                     use_mis=True, sky_emission=(0.25, 0.3, 0.42)),
+        city_mesh(n_buildings=96, subdiv=9))
+
+    # 5. GGX glossy floor under an area light (MIS)
+    big = 6.0
+    tris = [
+        [[-big, 0, -big], [big, 0, -big], [big, 0, big]],
+        [[-big, 0, -big], [big, 0, big], [-big, 0, big]],
+        [[-0.6, 2.2, -0.6], [0.6, 2.2, -0.6], [0.6, 2.2, 0.6]],
+        [[-0.6, 2.2, -0.6], [0.6, 2.2, 0.6], [-0.6, 2.2, 0.6]],
+        [[-1.5, 0, -1.0], [-0.5, 0, -1.0], [-0.5, 1.2, -1.0]],
+        [[-1.5, 0, -1.0], [-0.5, 1.2, -1.0], [-1.5, 1.2, -1.0]],
+    ]
+    glossy = Scene(
+        vertices=np.asarray(tris, np.float32).reshape(-1, 3),
+        indices=np.arange(18, dtype=np.uint32),
+        face_diffuse=np.asarray(
+            [[0, 0, 0]] * 4 + [[0.7, 0.1, 0.1]] * 2, np.float32),
+        face_emission=np.asarray(
+            [[0, 0, 0]] * 2 + [[10, 9, 7]] * 2 + [[0, 0, 0]] * 2,
+            np.float32),
+        face_specular=np.asarray(
+            [[0.85, 0.85, 0.9]] * 2 + [[0, 0, 0]] * 4, np.float32),
+        face_mat_type=np.asarray([2, 2, 0, 0, 0, 0], np.int32),
+        face_rough=np.asarray([0.15, 0.15, 0, 0, 0, 0], np.float32),
+    )
+    cam = CameraConfig.look_at(origin=(0.0, 1.6, 4.5), target=(0, 0.5, 0),
+                               fov_y_deg=45)
+    run("ggx_floor",
+        RenderConfig(width=s, height=s, spp_per_step=32, max_depth=4,
+                     camera=cam, sampling="cosine", use_nee=True,
+                     use_mis=True, sky_emission=(0.05, 0.06, 0.08)),
+        glossy)
+
+
+if __name__ == "__main__":
+    main()
