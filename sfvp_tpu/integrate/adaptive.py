@@ -141,6 +141,8 @@ class AdaptiveRenderer:
 
         enable_compilation_cache()
         self.cfg = cfg
+        self.frac = frac
+        self.tile = tile
         self.warmup = warmup
         self.buffers = upload(scene)
         uni, ada = make_adaptive_steps(cfg, self.buffers, frac=frac,
@@ -176,6 +178,11 @@ class AdaptiveRenderer:
             frame=np.asarray(self.state.frame),
             mrays=np.asarray(self.state.mrays),
             config_hash=np.bytes_(self.cfg.config_hash().encode()),
+            # the adaptive knobs determine WHERE samples go; resume must
+            # refuse a renderer that would change the distribution mid-run
+            frac=np.float32(self.frac),
+            tile=np.int32(self.tile),
+            warmup=np.int32(self.warmup),
         )
         os.replace(tmp + ".npz", path)
 
@@ -193,6 +200,15 @@ class AdaptiveRenderer:
                 )
             if bytes(z["kind"]) != b"adaptive":
                 raise ValueError("not an adaptive-sampling checkpoint")
+            got_knobs = (float(z["frac"]), int(z["tile"]), int(z["warmup"]))
+            want_knobs = (float(self.frac), int(self.tile),
+                          int(self.warmup))
+            if got_knobs != want_knobs:
+                raise ValueError(
+                    f"checkpoint adaptive knobs (frac, tile, warmup)="
+                    f"{got_knobs} != renderer {want_knobs}; refusing to "
+                    "change the sampling distribution mid-run"
+                )
             self.state = AdaptiveState(
                 s1=jnp.asarray(z["s1"]),
                 s2=jnp.asarray(z["s2"]),

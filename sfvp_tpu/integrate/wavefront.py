@@ -57,6 +57,23 @@ class RenderState(NamedTuple):
     mrays: jnp.ndarray         # ()      f32 cumulative traced segments / 1e6
 
 
+def tile_swizzle_inverse(h: int, w: int, ts: int):
+    """Static inverse permutation of the ts x ts pixel-tile swizzle used by
+    the packet/megakernel paths: lane order -> row-major pixel order.
+    Shared by every integrator that swizzles (keep the three mappings —
+    this inverse, the wavefront forward map, and the in-kernel forward
+    map — in sync)."""
+    ii = np.arange(h * w)
+    tpw = w // ts
+    perm = (
+        ((ii // (ts * ts)) // tpw * ts + (ii % (ts * ts)) // ts) * w
+        + ((ii // (ts * ts)) % tpw * ts + (ii % (ts * ts)) % ts)
+    )
+    inv = np.empty_like(perm)
+    inv[perm] = ii
+    return jnp.asarray(inv.astype(np.int32))
+
+
 def init_state(height: int, width: int) -> RenderState:
     return RenderState(
         accum=jnp.zeros((height, width, 3), jnp.float32),
@@ -155,7 +172,9 @@ def make_render_step(
 
     use_payload = trace_payload_fn is not None
     do_sort = use_payload and cfg.sort_bounce_rays
-    sort_material = do_sort and cfg.sort_material_key and has_mirrors
+    sort_material = (
+        do_sort and cfg.sort_material_key and (has_mirrors or has_glossy)
+    )
     if do_sort:
         # static scene bounds for the morton sort key
         cols = {
@@ -555,14 +574,7 @@ def make_render_step(
             px = (tile % tpw) * ts + within % ts
             py_local = (tile // tpw) * ts + within // ts
             # static inverse permutation to unswizzle accumulated colors
-            ii = np.arange(h * w)
-            perm = (
-                ((ii // (ts * ts)) // tpw * ts + (ii % (ts * ts)) // ts) * w
-                + ((ii // (ts * ts)) % tpw * ts + (ii % (ts * ts)) % ts)
-            )
-            inv = np.empty_like(perm)
-            inv[perm] = ii
-            inv = jnp.asarray(inv.astype(np.int32))
+            inv = tile_swizzle_inverse(h, w, ts)
         else:
             px = idx % w
             py_local = idx // w

@@ -34,6 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..accel.wide import WideBVH
 from ..config import RenderConfig
 from ..utils import vec
+from ..sampling import (
+    ggx_d,
+    ggx_lambda,
+    ggx_sample_vndf_local,
+    ggx_vndf_pdf,
+)
 from .megakernel import INV_PI, TWO_PI, _pcg2d_vec, _rand_vec, _U
 
 _BIG = np.float32(1e30)
@@ -90,7 +96,6 @@ def make_bvh_regen_render_step(
     # (16, L) rows = v0(3) v1(3) v2(3) normal(3) Le(3) cdf(1); shadow
     # occlusion runs as a second (any-hit) packet traversal per bounce
     use_nee = cfg.use_nee
-    use_mis = cfg.use_mis and use_nee
     num_lights = 0
     total_area = 1.0
     light_table = None
@@ -113,6 +118,9 @@ def make_bvh_regen_render_step(
                 rows.extend(np.asarray(c) for c in t3)
             rows.append(np.asarray(lt.cdf))
             light_table = jnp.asarray(np.stack(rows, axis=0))
+    # AFTER the empty-table fallback: a lightless scene must not compile
+    # dead MIS pdf math into the kernel
+    use_mis = cfg.use_mis and use_nee
 
     lanes = 128
     r = block_rows
@@ -457,20 +465,6 @@ def make_bvh_regen_render_step(
                     woz = jnp.maximum(vec.dot(wo, n_g), 1e-6)
                     wo_l = (vec.dot(wo, tng), vec.dot(wo, btg), woz)
 
-                    def ggx_lambda_k(cos_t):
-                        cth = jnp.maximum(jnp.abs(cos_t), 1e-6)
-                        c2 = cth * cth
-                        tan2 = jnp.maximum(1.0 - c2, 0.0) / c2
-                        return 0.5 * (
-                            -1.0 + jnp.sqrt(1.0 + alpha_g * alpha_g * tan2)
-                        )
-
-                    def ggx_d_k(cos_h):
-                        a2 = alpha_g * alpha_g
-                        ch = jnp.maximum(cos_h, 0.0)
-                        den = ch * ch * (a2 - 1.0) + 1.0
-                        return a2 * INV_PI / jnp.maximum(den * den, 1e-12)
-
                     def ggx_f_k(coh):
                         m1 = 1.0 - coh
                         f5 = m1 * m1
@@ -479,7 +473,7 @@ def make_bvh_regen_render_step(
                             s_ + (1.0 - s_) * f5 for s_ in albedo
                         )
 
-                    lam_o = ggx_lambda_k(woz)
+                    lam_o = ggx_lambda(woz, alpha_g)
 
                 # NEE gating (non-MIS): BSDF-path emission only on camera
                 # rays, post-specular bounces, and sky misses. Under MIS,
@@ -565,8 +559,8 @@ def make_bvh_regen_render_step(
                         inv_hh = jax.lax.rsqrt(
                             jnp.maximum(vec.dot(hh, hh), 1e-20))
                         hh = vec.scale(hh, inv_hh)
-                        dgg = ggx_d_k(hh[2])
-                        g2_l = 1.0 / (1.0 + lam_o + ggx_lambda_k(cos_i_g))
+                        dgg = ggx_d(hh[2], alpha_g)
+                        g2_l = 1.0 / (1.0 + lam_o + ggx_lambda(cos_i_g, alpha_g))
                         coh_l = jnp.maximum(vec.dot(wo_l, hh), 1e-6)
                         fr_l = ggx_f_k(coh_l)
                         den_l = jnp.maximum(
@@ -706,11 +700,11 @@ def make_bvh_regen_render_step(
                         else:
                             p_bsdf_l = jnp.maximum(cos_s, 0.0) * INV_PI
                         if has_glossy:
-                            g1o = 1.0 / (1.0 + lam_o)
-                            pdf_g_l = g1o * dgg / jnp.maximum(
-                                4.0 * woz, 1e-6)
                             p_bsdf_l = jnp.where(
-                                is_glossy, pdf_g_l, p_bsdf_l)
+                                is_glossy,
+                                ggx_vndf_pdf(woz, hh[2], alpha_g),
+                                p_bsdf_l,
+                            )
                         g_pdf = g_pdf * (
                             p_nee_sa / jnp.maximum(p_nee_sa + p_bsdf_l,
                                                    1e-30)
@@ -759,43 +753,10 @@ def make_bvh_regen_render_step(
 
                 glossy_kill = None
                 if has_glossy:
-                    # VNDF half-vector sample (Heitz 2018), same r1/r2
-                    # draws as the hemisphere sample — matches
-                    # sampling.ggx_sample_vndf_local op-for-op
-                    vx = alpha_g * wo_l[0]
-                    vy = alpha_g * wo_l[1]
-                    vz = woz
-                    v_inv = jax.lax.rsqrt(
-                        jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-20))
-                    vx, vy, vz = vx * v_inv, vy * v_inv, vz * v_inv
-                    lensq = vx * vx + vy * vy
-                    t_inv = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
-                    okl = lensq > 1e-12
-                    vt1 = (
-                        jnp.where(okl, -vy * t_inv, 1.0),
-                        jnp.where(okl, vx * t_inv, 0.0),
-                        jnp.zeros_like(vx),
-                    )
-                    vt2 = vec.cross((vx, vy, vz), vt1)
-                    rr_ = jnp.sqrt(jnp.maximum(r1, 0.0))
-                    phi_g = TWO_PI * r2
-                    p1_ = rr_ * jnp.cos(phi_g)
-                    p2_ = rr_ * jnp.sin(phi_g)
-                    s_ = 0.5 * (1.0 + vz)
-                    p2_ = (1.0 - s_) * jnp.sqrt(
-                        jnp.maximum(1.0 - p1_ * p1_, 0.0)) + s_ * p2_
-                    p3_ = jnp.sqrt(
-                        jnp.maximum(1.0 - p1_ * p1_ - p2_ * p2_, 0.0))
-                    nh = vec.add(
-                        vec.add(vec.scale(vt1, p1_), vec.scale(vt2, p2_)),
-                        vec.scale((vx, vy, vz), p3_),
-                    )
-                    hx_ = alpha_g * nh[0]
-                    hy_ = alpha_g * nh[1]
-                    hz_ = jnp.maximum(nh[2], 1e-6)
-                    h_inv = jax.lax.rsqrt(
-                        jnp.maximum(hx_ * hx_ + hy_ * hy_ + hz_ * hz_, 1e-20))
-                    h_l = (hx_ * h_inv, hy_ * h_inv, hz_ * h_inv)
+                    # VNDF half-vector sample (Heitz 2018) via the shared
+                    # sampling.py implementation (pure jnp, runs in-kernel);
+                    # same r1/r2 draws as the hemisphere sample
+                    h_l = ggx_sample_vndf_local(r1, r2, wo_l, alpha_g)
                     coh = jnp.maximum(vec.dot(wo_l, h_l), 1e-6)
                     wi_l = vec.sub(vec.scale(h_l, 2.0 * coh), wo_l)
                     g_valid = wi_l[2] > 1e-5
@@ -805,7 +766,7 @@ def make_bvh_regen_render_step(
                         vec.scale(n_g, wi_l[2]),
                     )
                     g2_over_g1 = (1.0 + lam_o) / (
-                        1.0 + lam_o + ggx_lambda_k(wi_l[2])
+                        1.0 + lam_o + ggx_lambda(wi_l[2], alpha_g)
                     )
                     scale_g = vec.scale(ggx_f_k(coh), g2_over_g1)
                     new_dir = vec.where(is_glossy, wi_g, new_dir)
@@ -823,14 +784,9 @@ def make_bvh_regen_render_step(
                         new_pdf = jnp.maximum(
                             vec.dot(new_dir, normal), 0.0) * INV_PI
                     if has_glossy:
-                        g1o_b = 1.0 / (1.0 + lam_o)
-                        a2b = alpha_g * alpha_g
-                        chb = jnp.maximum(h_l[2], 0.0)
-                        denb = chb * chb * (a2b - 1.0) + 1.0
-                        d_b = a2b * INV_PI / jnp.maximum(denb * denb, 1e-12)
                         new_pdf = jnp.where(
                             is_glossy,
-                            g1o_b * d_b / jnp.maximum(4.0 * woz, 1e-6),
+                            ggx_vndf_pdf(woz, h_l[2], alpha_g),
                             new_pdf,
                         )
 
@@ -938,14 +894,9 @@ def make_bvh_regen_render_step(
         # kernel; build the static inverse permutation
         flat = lambda a: a.reshape(-1)[:npix]  # noqa: E731
         if swz:
-            ii = np.arange(npix)
-            tpw = w // ts
-            px = (ii // (ts * ts) % tpw) * ts + (ii % (ts * ts)) % ts
-            py = (ii // (ts * ts) // tpw) * ts + (ii % (ts * ts)) // ts
-            perm = py * w + px
-            inv = np.empty_like(perm)
-            inv[perm] = ii
-            inv = jnp.asarray(inv.astype(np.int32))
+            from ..integrate.wavefront import tile_swizzle_inverse
+
+            inv = tile_swizzle_inverse(h, w, ts)
             colr, colg, colb = (flat(a)[inv] for a in (colr, colg, colb))
         else:
             colr, colg, colb = (flat(a) for a in (colr, colg, colb))
