@@ -238,3 +238,40 @@ def test_dispatch_routes_glossy_to_wavefront(tmp_path):
     step = select_render_step(cfg, buffers)
     out = jax.jit(lambda s: step(s, 0))(init_state(8, 8))
     assert np.isfinite(np.asarray(out.accum)).all()
+
+
+def test_textured_glossy_mixed_scene(tmp_path):
+    """A scene mixing a textured diffuse face and a glossy face renders
+    finite through the wavefront route (textures force the jnp path even
+    when glossy is present)."""
+    from sfvp_tpu.render.png import encode_png
+
+    img = np.full((4, 4, 3), 200, np.uint8)
+    (tmp_path / "t.png").write_bytes(encode_png(img))
+    (tmp_path / "m.mtl").write_text(
+        "newmtl tex\nKd 1 1 1\nmap_Kd t.png\n"
+        "newmtl gl\nKd 0 0 0\nKs 0.9 0.9 0.9\nillum 3\nPr 0.3\n"
+    )
+    (tmp_path / "s.obj").write_text(
+        "mtllib m.mtl\n"
+        "v -2 -1 0\nv 0 -1 0\nv 0 1 0\nv -2 1 0\n"
+        "v 0 -1 0\nv 2 -1 0\nv 2 1 0\nv 0 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "usemtl tex\nf 1/1 2/2 3/3 4/4\n"
+        "usemtl gl\nf 5 6 7 8\n"
+    )
+    from sfvp_tpu import RenderConfig, load_obj, make_render_step, init_state, upload
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.dispatch import select_render_step
+
+    buffers = upload(load_obj(str(tmp_path / "s.obj")))
+    assert buffers.has_textures
+    assert bool((np.asarray(buffers.mtype)[:buffers.num_tris] == 2).any())
+    cam = CameraConfig.look_at(origin=(0, 0, 3), target=(0, 0, 0),
+                               fov_y_deg=60)
+    cfg = RenderConfig(width=16, height=16, spp_per_step=4, max_depth=3,
+                       camera=cam, sampling="cosine", backend="pallas")
+    step = select_render_step(cfg, buffers)
+    out = jax.jit(lambda s: step(s, 0))(init_state(16, 16))
+    img_out = np.asarray(out.accum)
+    assert np.isfinite(img_out).all() and img_out.max() > 0
