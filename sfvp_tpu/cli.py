@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve a live-updating preview at this HTTP port")
     p.add_argument("--devices", action="store_true",
                    help="print the device capability report and exit")
+    p.add_argument("--lens-radius", type=float, default=0.0,
+                   help="thin-lens aperture radius (0 = pinhole)")
+    p.add_argument("--focus-dist", type=float, default=0.0,
+                   help="focal distance along the view ray")
     p.add_argument("--dist", action="store_true",
                    help="shard the framebuffer by rows over ALL local "
                         "devices (multi-chip; pixel-identical to 1 chip)")
@@ -117,6 +121,17 @@ def main(argv=None) -> int:
             cfg = dataclasses.replace(
                 cfg, camera=cam, sky_emission=(0.8, 0.85, 1.0),
             )
+    if args.lens_radius > 0:
+        # applied AFTER scene-specific camera selection so procedural
+        # framing keeps working with an open lens
+        cfg = dataclasses.replace(
+            cfg,
+            camera=dataclasses.replace(
+                cfg.camera,
+                lens_radius=args.lens_radius,
+                focus_dist=args.focus_dist,
+            ),
+        )
     if args.dist:
         from .dist import DistRenderer
 

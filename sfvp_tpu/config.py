@@ -35,6 +35,11 @@ class CameraConfig:
     center: Tuple[float, float, float] = (0.0, -1.0, 2.0)
     right: Tuple[float, float, float] = (1.0, 0.0, 0.0)
     up: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+    # thin-lens depth of field (extension; 0 = pinhole like the reference).
+    # Added after v1: config_hash omits these at their defaults so pinhole
+    # hashes (and existing checkpoints/goldens) are unchanged.
+    lens_radius: float = 0.0
+    focus_dist: float = 0.0
 
     @staticmethod
     def look_at(origin, target, up=(0.0, 1.0, 0.0), fov_y_deg=60.0, aspect=1.0):
@@ -159,5 +164,12 @@ class RenderConfig:
         for k in self._IMAGE_FIELDS_OPT:
             if d[k] != getattr(type(self), k):
                 keep[k] = d[k]
+        # camera fields added after v1 (DOF): hashed only when non-default
+        # so existing pinhole hashes stay stable
+        for k in ("lens_radius", "focus_dist"):
+            if keep["camera"].get(k) == getattr(CameraConfig, k):
+                keep["camera"] = {
+                    kk: v for kk, v in keep["camera"].items() if kk != k
+                }
         blob = json.dumps(keep, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import rng
-from ..camera import generate_rays_soa
+from ..camera import apply_thin_lens_soa, generate_rays_soa
 from ..config import RenderConfig
 from ..kernels.intersect import trace_brute_jnp
 from ..sampling import (
@@ -170,6 +170,7 @@ def make_render_step(
         np.float32(1.0 / max(lights.total_area, 1e-30)) if use_nee else None
     )
 
+    use_dof = cfg.camera.lens_radius > 0.0
     use_payload = trace_payload_fn is not None
     do_sort = use_payload and cfg.sort_bounce_rays
     sort_material = (
@@ -509,6 +510,12 @@ def make_render_step(
         pxc = jnp.broadcast_to(px[None, :], (chunk, n))
         pyc = jnp.broadcast_to(py[None, :], (chunk, n))
         o, d = generate_rays_soa(pxc, pyc, r1, r2, cfg.camera, gw, gh)
+        if use_dof:
+            # thin-lens DOF (extension): two extra draws, taken ONLY when
+            # the lens is open so pinhole RNG streams are untouched
+            rl1, seed = rng.rand(seed)
+            rl2, seed = rng.rand(seed)
+            o, d = apply_thin_lens_soa(o, d, rl1, rl2, cfg.camera)
 
         m = chunk * n
         flat = lambda t3: tuple(a.reshape(m) for a in t3)  # noqa: E731

@@ -179,3 +179,62 @@ def test_dist_checkpoint_roundtrip(tmp_path, cornell):
         np.asarray(r.state.accum), np.asarray(ref.state.accum),
         rtol=1e-5, atol=1e-7,
     )
+
+
+def test_thin_lens_dof(cornell):
+    """Thin-lens camera: hash-stable when closed; a color edge at the
+    focal plane stays sharp, off the focal plane it blurs."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from sfvp_tpu import RenderConfig, init_state, make_render_step, upload
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.scene.objload import Scene
+
+    # pinhole hash unchanged by the new camera fields
+    base = RenderConfig(width=32, height=16, spp_per_step=64, max_depth=2,
+                        sampling="cosine")
+    assert base.config_hash() == dataclasses.replace(
+        base, camera=CameraConfig(lens_radius=0.0)).config_hash()
+    open_lens = dataclasses.replace(
+        base, camera=CameraConfig(lens_radius=0.25, focus_dist=3.0))
+    assert open_lens.config_hash() != base.config_hash()
+
+    def split_wall(z):
+        """Vertical red|green color edge at x=0 in the plane z=z."""
+        tris = [
+            [[-50.0, -50, z], [0, -50, z], [0, 50, z]],
+            [[-50.0, -50, z], [0, 50, z], [-50, 50, z]],
+            [[0.0, -50, z], [50, -50, z], [50, 50, z]],
+            [[0.0, -50, z], [50, 50, z], [0, 50, z]],
+        ]
+        return Scene(
+            vertices=np.asarray(tris, np.float32).reshape(-1, 3),
+            indices=np.arange(12, dtype=np.uint32),
+            face_diffuse=np.asarray(
+                [[0.9, 0.05, 0.05]] * 2 + [[0.05, 0.9, 0.05]] * 2,
+                np.float32),
+            face_emission=np.zeros((4, 3), np.float32),
+            face_specular=np.zeros((4, 3), np.float32),
+            face_mat_type=np.zeros((4,), np.int32),
+        )
+
+    def edge_sharpness(cfg, z):
+        buffers = upload(split_wall(z))
+        step = jax.jit(make_render_step(cfg, buffers))
+        st = step(step(init_state(16, 32)))
+        img = np.asarray(st.accum)
+        # red-minus-green column profile; sharpness = max column gradient
+        prof = (img[..., 0] - img[..., 1]).mean(axis=0)
+        return float(np.abs(np.diff(prof)).max())
+
+    # camera at (0,-1,5) looking -z; focal plane z = 5 - 3 = 2
+    for z in (2.0, -2.0):
+        pin = edge_sharpness(base, z)
+        lens = edge_sharpness(open_lens, z)
+        if z == 2.0:  # at focus: edge as sharp as the pinhole
+            assert lens > 0.75 * pin, (z, pin, lens)
+        else:         # out of focus: clearly blurred
+            assert lens < 0.55 * pin, (z, pin, lens)
