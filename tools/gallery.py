@@ -107,6 +107,20 @@ def main():
                      use_mis=True, sky_emission=(0.05, 0.06, 0.08)),
         glossy)
 
+    # 6. thin-lens depth of field over the city
+    import dataclasses
+
+    cam = dataclasses.replace(
+        CameraConfig.look_at(origin=(13, 9, 13), target=(0, 0.8, 0),
+                             fov_y_deg=55),
+        lens_radius=1.0, focus_dist=20.0,
+    )
+    run("city_dof",
+        RenderConfig(width=s, height=s, spp_per_step=16, max_depth=4,
+                     camera=cam, sampling="cosine",
+                     sky_emission=(0.8, 0.85, 1.0)),
+        city_mesh(n_buildings=96, subdiv=9))
+
 
 if __name__ == "__main__":
     main()
