@@ -118,7 +118,16 @@ def test_mis_config_hash_stability():
 
     d = dataclasses.asdict(base)
     keep = {k: d[k] for k in RenderConfig._IMAGE_FIELDS}
+    # camera fields added after v1 (DOF) are stripped at their defaults,
+    # exactly as config_hash does
+    keep["camera"] = {
+        k: v for k, v in keep["camera"].items()
+        if k not in ("lens_radius", "focus_dist")
+    }
     v1 = hashlib.sha256(
         json.dumps(keep, sort_keys=True).encode()
     ).hexdigest()[:16]
     assert base.config_hash() == v1
+    # belt and braces: the literal v1 hash of the default 64x64 config,
+    # computed on the pre-DOF tree (f527811^) — pins true backward compat
+    assert base.config_hash() == "424857c8261241b6"
