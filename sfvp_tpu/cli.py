@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve a live-updating preview at this HTTP port")
     p.add_argument("--devices", action="store_true",
                    help="print the device capability report and exit")
+    p.add_argument("--env-map", default=None,
+                   help="equirectangular sky image (PNG/PPM) for "
+                        "image-based lighting")
     p.add_argument("--lens-radius", type=float, default=0.0,
                    help="thin-lens aperture radius (0 = pinhole)")
     p.add_argument("--focus-dist", type=float, default=0.0,
@@ -121,6 +124,8 @@ def main(argv=None) -> int:
             cfg = dataclasses.replace(
                 cfg, camera=cam, sky_emission=(0.8, 0.85, 1.0),
             )
+    if args.env_map:
+        scene.env_map = args.env_map
     if args.lens_radius > 0:
         # applied AFTER scene-specific camera selection so procedural
         # framing keeps working with an open lens

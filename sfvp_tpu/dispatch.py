@@ -83,10 +83,13 @@ def select_render_step(
     # flat diffuse+mirror, and the packet payload carries no uv/tex ids
     has_glossy = bool(np.any(np.asarray(buffers.mtype)[:t] == 2))
     has_tex = buffers.has_textures
-    # thin-lens DOF is implemented in the wavefront ray generator only
-    # (the megakernels' in-kernel raygen is the reference pinhole)
+    # thin-lens DOF and environment-map skies are implemented in the
+    # wavefront integrator only (the megakernels bake the pinhole camera
+    # and the constant sky)
     has_dof = cfg.camera.lens_radius > 0.0
-    if ((cfg.use_mis or many_lights or has_glossy or has_tex or has_dof)
+    has_env = getattr(buffers, "env", None) is not None
+    if ((cfg.use_mis or many_lights or has_glossy or has_tex or has_dof
+         or has_env)
             and backend == "pallas" and traversal == "brute"):
         # MIS lives in the wavefront integrator (the regen megakernel's
         # in-kernel NEE is hard-gated non-MIS), and the megakernel's
@@ -131,7 +134,8 @@ def select_render_step(
         # amortize better than per-iteration shadow traversals. The fused
         # kernel wins at the default chunk=1 and for all NEE-less configs.
         prefer_wavefront = cfg.use_nee and (many_lights or cfg.spp_chunk > 1)
-        if cfg.megakernel_regen and not prefer_wavefront and not has_dof:
+        if (cfg.megakernel_regen and not prefer_wavefront and not has_dof
+                and not has_env):
             # fused BVH regen megakernel: whole spp per kernel call with
             # in-lane sample regeneration and in-kernel packet traversal —
             # no per-bounce relaunch, no dead lanes, no bounce sort

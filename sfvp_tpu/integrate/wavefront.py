@@ -171,6 +171,7 @@ def make_render_step(
     )
 
     use_dof = cfg.camera.lens_radius > 0.0
+    use_env = getattr(scene, "env", None) is not None
     use_payload = trace_payload_fn is not None
     do_sort = use_payload and cfg.sort_bounce_rays
     sort_material = (
@@ -312,7 +313,15 @@ def make_render_step(
              rough) = shade_inputs(scene, hit)
             hit_t = hit.t
         is_mirror = (mtype == 1) & jnp.logical_not(miss)
-        emission = vec.where(miss, vec.splat(cfg.sky_emission), emission)
+        if use_env:
+            # image-based sky (extension): equirect environment lookup in
+            # the miss direction instead of the constant (miss.rmiss:10)
+            from ..scene.textures import sample_environment
+
+            sky_col = sample_environment(scene.env, d)
+            emission = vec.where(miss, sky_col, emission)
+        else:
+            emission = vec.where(miss, vec.splat(cfg.sky_emission), emission)
 
         if has_glossy:
             # GGX glossy (extension): build the view-oriented shading frame

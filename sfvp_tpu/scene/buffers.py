@@ -52,6 +52,7 @@ class SceneBuffers(NamedTuple):
     v2t: "jnp.ndarray | None" = None
     tex: "jnp.ndarray | None" = None   # (Tp,) i32, -1 = untextured
     textures: "object | None" = None   # TextureTable
+    env: "object | None" = None        # TextureTable (one equirect image)
 
     @property
     def has_textures(self) -> bool:
@@ -94,7 +95,7 @@ def from_arrays(tris: np.ndarray, diffuse: np.ndarray, emission: np.ndarray,
                 pad_to: Optional[int] = None,
                 face_uv: Optional[np.ndarray] = None,
                 face_tex: Optional[np.ndarray] = None,
-                textures=None) -> SceneBuffers:
+                textures=None, env=None) -> SceneBuffers:
     """tris: (T, 3, 3); diffuse/emission/specular: (T, 3); mat_type/rough:
     (T,)."""
     tris = np.asarray(tris, np.float32)
@@ -151,6 +152,8 @@ def from_arrays(tris: np.ndarray, diffuse: np.ndarray, emission: np.ndarray,
             ),
             "textures": textures,
         }
+    if env is not None:
+        tex_kw["env"] = env
     return SceneBuffers(*cols, num_tris=t, **tex_kw)
 
 
@@ -162,6 +165,12 @@ def upload(scene, pad_to: Optional[int] = None) -> SceneBuffers:
         from .textures import build_texture_table
 
         textures = build_texture_table(tex_paths)
+    env = None
+    env_path = getattr(scene, "env_map", None)
+    if env_path:
+        from .textures import build_texture_table
+
+        env = build_texture_table([env_path])
     return from_arrays(
         scene.triangles(),
         scene.face_diffuse,
@@ -173,4 +182,5 @@ def upload(scene, pad_to: Optional[int] = None) -> SceneBuffers:
         face_uv=getattr(scene, "face_uv", None),
         face_tex=face_tex,
         textures=textures,
+        env=env,
     )

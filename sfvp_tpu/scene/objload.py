@@ -45,6 +45,7 @@ class Scene:
     face_uv: np.ndarray = None         # (T, 3, 2) float32 per-corner vt
     face_tex: np.ndarray = None        # (T,) i32 texture index, -1 = none
     texture_paths: List[str] = dataclasses.field(default_factory=list)
+    env_map: "str | None" = None       # equirect sky image path (IBL)
     material_names: List[str] = dataclasses.field(default_factory=list)
     face_material_id: Optional[np.ndarray] = None  # (T,) int32
 

@@ -60,6 +60,26 @@ def build_texture_table(paths: List[str],
     )
 
 
+def sample_environment(table: TextureTable, d):
+    """Equirectangular environment lookup for miss directions (extension —
+    the reference sky is the constant (0.7, 0.6, 0.5), ref miss.rmiss:10).
+
+    d: direction SoA tuple (unit vectors, y-up). Longitude from atan2(z, x),
+    latitude from acos(y); bilinear-filtered through the texel pool (the
+    environment is texture id 0 of its own single-image table)."""
+    dx, dy, dz = d
+    u = jnp.arctan2(dz, dx) * np.float32(0.5 / np.pi) + 0.5
+    # OBJ-convention v runs bottom-up; acos(y)/pi gives 0 at +y (top),
+    # so flip into the sampler's bottom-left origin. Latitude must CLAMP
+    # (the sampler's repeat wrap would blend the poles together): keep v
+    # inside the texel-center band so no row wrap can occur.
+    v = 1.0 - jnp.arccos(jnp.clip(dy, -1.0, 1.0)) * np.float32(1.0 / np.pi)
+    h = table.height[0].astype(jnp.float32)
+    v = jnp.clip(v, 0.5 / h, 1.0 - 0.5 / h)
+    zero_id = jnp.zeros(dx.shape, jnp.int32)
+    return sample_bilinear(table, zero_id, u, v)
+
+
 def sample_bilinear(table: TextureTable, tex_id, u, v):
     """Bilinear-filtered fetch, SoA over hits: (tex_id (N,) i32, u, v (N,)
     f32) -> (r, g, b). tex_id < 0 samples white (untextured)."""
