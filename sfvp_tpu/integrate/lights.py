@@ -112,3 +112,88 @@ def sample_light(lights: LightTable, r_sel, r1, r2):
     )
     pdf_area = np.float32(1.0 / max(lights.total_area, 1e-30))
     return point, n, le, pdf_area
+
+
+class EnvDistribution(NamedTuple):
+    """Luminance x solid-angle importance distribution over the texels of
+    an equirect environment map (NEE for image-based lighting — without
+    it, a small bright sun in the map converges only through lucky BSDF
+    samples)."""
+
+    cdf: jnp.ndarray       # (H*W,) texel-selection CDF
+    pdf_sa: jnp.ndarray    # (H*W,) solid-angle pdf of each texel's dirs
+    width: int
+    height: int
+
+
+def build_env_distribution(table) -> EnvDistribution:
+    """table: the scene's env TextureTable (one equirect image)."""
+    h = int(np.asarray(table.height)[0])
+    w = int(np.asarray(table.width)[0])
+    r = np.asarray(table.tr)[: h * w].reshape(h, w)
+    g = np.asarray(table.tg)[: h * w].reshape(h, w)
+    b = np.asarray(table.tb)[: h * w].reshape(h, w)
+    lum = 0.2126 * r + 0.7152 * g + 0.0722 * b
+    # 3x3 max-dilate the luminance (wrap in longitude, clamp at the poles):
+    # the radiance LOOKUP is bilinear, so texels adjacent to a bright
+    # feature can return blended-bright values — their pdf must be scaled
+    # to the bright neighbor or those samples become huge-weight outliers
+    lum = np.max(
+        [np.roll(lum, s, axis=1) for s in (-1, 0, 1)], axis=0
+    )
+    pad = np.pad(lum, ((1, 1), (0, 0)), mode="edge")
+    lum = np.max([pad[:-2], pad[1:-1], pad[2:]], axis=0)
+    # texel solid angle: dOmega = (2pi/W)(pi/H) sin(theta_row); image row 0
+    # is the top (theta ~ 0)
+    theta = (np.arange(h) + 0.5) * (np.pi / h)
+    d_omega = (2 * np.pi / w) * (np.pi / h) * np.sin(theta)[:, None]
+    weight = np.maximum(lum, 1e-8) * d_omega
+    total = float(weight.sum())
+    flat = (weight / total).reshape(-1)
+    cdf = np.cumsum(flat)
+    pdf_sa = flat / np.maximum(d_omega.repeat(w, 1).reshape(-1), 1e-12)
+    return EnvDistribution(
+        cdf=jnp.asarray(cdf.astype(np.float32)),
+        pdf_sa=jnp.asarray(pdf_sa.astype(np.float32)),
+        width=w,
+        height=h,
+    )
+
+
+def sample_env(dist: EnvDistribution, r_sel, r1, r2):
+    """Draw a world direction ~ the env importance distribution.
+
+    Returns (direction 3-tuple, pdf_solid_angle). Directions use the same
+    equirect convention as textures.sample_environment: longitude from
+    atan2(z, x), image row 0 at +y."""
+    ti = jnp.searchsorted(dist.cdf, r_sel, side="right").astype(jnp.int32)
+    ti = jnp.minimum(ti, dist.width * dist.height - 1)
+    row = ti // dist.width
+    col = ti % dist.width
+    # jitter within the texel
+    theta = (row.astype(jnp.float32) + r1) * np.float32(np.pi / dist.height)
+    # u = phi/(2pi): sample_environment maps u = atan2(z,x)/2pi + 0.5,
+    # col = u * W - 0.5 (bilinear center); invert at texel granularity
+    phi = (
+        (col.astype(jnp.float32) + r2) * np.float32(2 * np.pi / dist.width)
+        - np.float32(np.pi)
+    )
+    st = jnp.sin(theta)
+    d = (st * jnp.cos(phi), jnp.cos(theta), st * jnp.sin(phi))
+    return d, dist.pdf_sa[ti]
+
+
+def env_pdf(dist: EnvDistribution, d):
+    """Solid-angle pdf the sampler above assigns to direction d (for MIS
+    weighting of BSDF-path sky hits)."""
+    dx, dy, dz = d
+    u = jnp.arctan2(dz, dx) * np.float32(0.5 / np.pi) + 0.5
+    theta = jnp.arccos(jnp.clip(dy, -1.0, 1.0))
+    row = jnp.clip(
+        (theta * np.float32(dist.height / np.pi)).astype(jnp.int32),
+        0, dist.height - 1,
+    )
+    col = jnp.clip(
+        (u * dist.width).astype(jnp.int32) % dist.width, 0, dist.width - 1
+    )
+    return dist.pdf_sa[row * dist.width + col]

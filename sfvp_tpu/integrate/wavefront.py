@@ -162,10 +162,22 @@ def make_render_step(
     t_min = np.float32(cfg.t_min)
     t_max = np.float32(cfg.t_max)
     use_nee = cfg.use_nee and lights is not None
+    # environment importance sampling: engages when NEE is requested on a
+    # scene whose only light IS the environment (area lights take priority
+    # when both exist; env light then still arrives via BSDF paths)
+    use_env_nee = (
+        cfg.use_nee and lights is None
+        and getattr(scene, "env", None) is not None
+    )
+    env_dist = None
+    if use_env_nee:
+        from .lights import build_env_distribution
+
+        env_dist = build_env_distribution(scene.env)
     # balance-heuristic MIS between NEE and BSDF sampling (extension; the
     # reference is BSDF-only). Lights are selected area-proportionally, so
     # the NEE pdf of ANY emissive hit point is 1/total_area in area measure.
-    use_mis = cfg.use_mis and use_nee
+    use_mis = cfg.use_mis and (use_nee or use_env_nee)
     inv_light_area = (
         np.float32(1.0 / max(lights.total_area, 1e-30)) if use_nee else None
     )
@@ -368,7 +380,23 @@ def make_render_step(
         # under MIS, everywhere else with the balance-heuristic weight
         # p_bsdf / (p_bsdf + p_nee), which removes the variance cliff of
         # hard-gating without double counting.
-        if not use_nee:
+        if use_env_nee:
+            # the sky itself is light-sampled now: gate (or MIS-weight)
+            # BSDF-path sky emission; surface hits keep full weight (an
+            # env-only scene has no emissive triangles)
+            if not use_mis:
+                emit_w = (
+                    active & ((count_emit) | jnp.logical_not(miss))
+                ).astype(jnp.float32)
+            else:
+                from .lights import env_pdf
+
+                p_env_d = env_pdf(env_dist, d)
+                w_env = pdf_prev / jnp.maximum(pdf_prev + p_env_d, 1e-30)
+                emit_w = jnp.where(
+                    count_emit | jnp.logical_not(miss), 1.0, w_env
+                ) * active.astype(jnp.float32)
+        elif not use_nee:
             emit_w = active.astype(jnp.float32)
         elif not use_mis:
             emit_w = (active & (count_emit | miss)).astype(jnp.float32)
@@ -426,6 +454,44 @@ def make_render_step(
             color = vec.add(
                 color,
                 vec.where(visible, vec.mul(weight, direct), vec.splat((0, 0, 0))),
+            )
+
+        if use_env_nee:
+            from .lights import sample_env
+            from ..scene.textures import sample_environment
+
+            r_sel, seed = rng.rand(seed)
+            rl1, seed = rng.rand(seed)
+            rl2, seed = rng.rand(seed)
+            wl, pdf_sa = sample_env(env_dist, r_sel, rl1, rl2)
+            cos_s = vec.dot(wl, normal)
+            brdf_l = vec.scale(diffuse, INV_PI)
+            if has_glossy:
+                f_g, pdf_g_l, cos_i_g = ggx_eval(wl)
+                cos_s = jnp.where(is_glossy, cos_i_g, cos_s)
+                brdf_l = vec.where(is_glossy, f_g, brdf_l)
+            shadow_q = active & jnp.logical_not(miss | is_mirror) & (cos_s > 0)
+            occluded = _shadow_occluded(
+                position, wl, jnp.full_like(cos_s, t_max), shadow_q
+            )
+            visible = shadow_q & jnp.logical_not(occluded)
+            env_le = sample_environment(scene.env, wl)
+            inv_pdf = 1.0 / jnp.maximum(pdf_sa, 1e-12)
+            direct = vec.scale(vec.mul(brdf_l, env_le), cos_s * inv_pdf)
+            if use_mis:
+                if uniform:
+                    p_bsdf_l = jnp.full_like(cos_s, 1.0 / TWO_PI)
+                else:
+                    p_bsdf_l = jnp.maximum(cos_s, 0.0) * INV_PI
+                if has_glossy:
+                    p_bsdf_l = jnp.where(is_glossy, pdf_g_l, p_bsdf_l)
+                direct = vec.scale(
+                    direct, pdf_sa / jnp.maximum(pdf_sa + p_bsdf_l, 1e-30)
+                )
+            color = vec.add(
+                color,
+                vec.where(visible, vec.mul(weight, direct),
+                          vec.splat((0, 0, 0))),
             )
 
         r1, seed = rng.rand(seed)
@@ -491,7 +557,9 @@ def make_render_step(
         d = vec.where(cont, new_dir, d)
         weight = vec.where(cont, vec.mul(weight, scale), weight)
         done = jnp.logical_not(cont)
-        count_emit = is_mirror if use_nee else count_emit
+        count_emit = (
+            is_mirror if (use_nee or use_env_nee) else count_emit
+        )
         if use_mis:
             if uniform:
                 new_pdf = jnp.full_like(pdf_prev, 1.0 / TWO_PI)

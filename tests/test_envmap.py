@@ -97,3 +97,101 @@ def test_dispatch_env_routes_off_megakernel(tmp_path):
     step = select_render_step(cfg, buffers)
     out = jax.jit(lambda s: step(s, 0))(init_state(8, 8))
     assert np.isfinite(np.asarray(out.accum)).all()
+
+
+def _floor_scene(env_path):
+    big = 50.0
+    tris = [
+        [[-big, 0, -big], [big, 0, -big], [big, 0, big]],
+        [[-big, 0, -big], [big, 0, big], [-big, 0, big]],
+    ]
+    return Scene(
+        vertices=np.asarray(tris, np.float32).reshape(-1, 3),
+        indices=np.arange(6, dtype=np.uint32),
+        face_diffuse=np.full((2, 3), 0.7, np.float32),
+        face_emission=np.zeros((2, 3), np.float32),
+        face_specular=np.zeros((2, 3), np.float32),
+        face_mat_type=np.zeros((2,), np.int32),
+        env_map=env_path,
+    )
+
+
+def _sun_env(tmp_path):
+    """Dim sky + tiny very bright sun: the env-NEE stress case."""
+    img = np.full((16, 32, 3), 3, np.uint8)
+    img[3:5, 7:9] = 255
+    p = tmp_path / "sun.png"
+    p.write_bytes(encode_png(img))
+    return str(p)
+
+
+def test_env_nee_unbiased_and_lower_variance(tmp_path):
+    """Importance-sampling the environment must agree with BSDF-only in
+    the mean and cut the noise dramatically on a sun-dominated map."""
+    import dataclasses
+
+    from sfvp_tpu.config import CameraConfig
+
+    scene = _floor_scene(_sun_env(tmp_path))
+    buffers = upload(scene)
+    cam = CameraConfig.look_at(origin=(0, 2.0, 4.0), target=(0, 0, 0),
+                               fov_y_deg=45)
+    base = RenderConfig(width=12, height=12, spp_per_step=512, max_depth=2,
+                        camera=cam, sampling="cosine")
+
+    def render(cfg):
+        step = jax.jit(make_render_step(cfg, buffers))
+        return np.asarray(step(init_state(12, 12)).accum)
+
+    img_bsdf = render(base)
+    img_nee = render(dataclasses.replace(base, use_nee=True))
+    img_mis = render(dataclasses.replace(base, use_nee=True, use_mis=True))
+
+    # floor region (bottom rows look at the floor)
+    floor = slice(7, 12)
+    mb = img_bsdf[floor].mean()
+    mn = img_nee[floor].mean()
+    mm = img_mis[floor].mean()
+    assert mb > 0
+    assert abs(mn - mb) / mb < 0.25, (mn, mb)   # MC-loose agreement
+    assert abs(mm - mb) / mb < 0.25, (mm, mb)
+
+    # per-pixel scatter on the floor: NEE must be far tighter than BSDF
+    def rel_std(img):
+        v = img[floor, :, 0]
+        return float(v.std() / max(v.mean(), 1e-6))
+
+    assert rel_std(img_nee) < 0.5 * rel_std(img_bsdf), (
+        rel_std(img_nee), rel_std(img_bsdf))
+    assert np.isfinite(img_nee).all() and np.isfinite(img_mis).all()
+
+
+def test_env_distribution_integrates():
+    """E[1/pdf] over env-importance samples == 4pi (the sampler covers the
+    sphere with the advertised density)."""
+    import jax.numpy as jnp
+
+    from sfvp_tpu.integrate.lights import build_env_distribution, sample_env
+
+    g = np.random.default_rng(2)
+    img = g.integers(1, 255, (8, 16, 3)).astype(np.uint8)
+    import tempfile
+
+    p = tempfile.mktemp(suffix=".png")
+    open(p, "wb").write(encode_png(img))
+    try:
+        table = build_texture_table([p], srgb=False)
+        dist = build_env_distribution(table)
+        n = 100_000
+        _, pdf = sample_env(
+            dist,
+            jnp.asarray(g.uniform(size=n), jnp.float32),
+            jnp.asarray(g.uniform(size=n), jnp.float32),
+            jnp.asarray(g.uniform(size=n), jnp.float32),
+        )
+        est = float(jnp.mean(1.0 / pdf))
+        assert abs(est - 4 * np.pi) / (4 * np.pi) < 0.05, est
+    finally:
+        import os
+
+        os.unlink(p)
