@@ -148,3 +148,56 @@ def test_sharded_payload_path_matches_single():
     sst = sstep(sinit())
     sharded = np.asarray(sst.accum)
     np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_env_and_dof_match_single(tmp_path):
+    """The round-2 wavefront features (env-map sky, env NEE, thin-lens
+    DOF) must stay pixel-identical between a sharded and a single-device
+    render (global-coordinate seeds carry the extra lens/NEE draws)."""
+    import dataclasses
+
+    import numpy as np
+
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.dist import DistRenderer
+    from sfvp_tpu.render.png import encode_png
+    from sfvp_tpu.scene.objload import Scene
+
+    img = np.zeros((8, 16, 3), np.uint8)
+    img[:4, :, 0] = 255
+    img[4:, :, 2] = 180
+    (tmp_path / "env.png").write_bytes(encode_png(img))
+    big = 30.0
+    tris = [
+        [[-big, 0, -big], [big, 0, -big], [big, 0, big]],
+        [[-big, 0, -big], [big, 0, big], [-big, 0, big]],
+    ]
+    scene = Scene(
+        vertices=np.asarray(tris, np.float32).reshape(-1, 3),
+        indices=np.arange(6, dtype=np.uint32),
+        face_diffuse=np.full((2, 3), 0.6, np.float32),
+        face_emission=np.zeros((2, 3), np.float32),
+        face_specular=np.zeros((2, 3), np.float32),
+        face_mat_type=np.zeros((2,), np.int32),
+        env_map=str(tmp_path / "env.png"),
+    )
+    cam = dataclasses.replace(
+        CameraConfig.look_at(origin=(0, 2, 5), target=(0, 0, 0),
+                             fov_y_deg=45),
+        lens_radius=0.1, focus_dist=5.0,
+    )
+    cfg = RenderConfig(width=16, height=16, spp_per_step=4, max_depth=3,
+                       camera=cam, sampling="cosine", use_nee=True,
+                       use_mis=True)
+
+    dr = DistRenderer(cfg, scene)
+    dr.step(2)
+    sharded = dr.image()
+
+    from sfvp_tpu import Renderer
+
+    r = Renderer(cfg, scene)
+    r.step(2)
+    np.testing.assert_allclose(
+        sharded, np.asarray(r.state.accum), rtol=1e-6, atol=1e-7
+    )

@@ -121,6 +121,32 @@ def main():
                      sky_emission=(0.8, 0.85, 1.0)),
         city_mesh(n_buildings=96, subdiv=9))
 
+    # 7. environment-map IBL with importance-sampled NEE (sunset sphere)
+    env_path = os.path.join(a.out, "_sunset_env.png")
+    if not os.path.exists(env_path):
+        from sfvp_tpu.render.png import encode_png
+
+        hh, ww = 64, 128
+        yy = np.linspace(0, 1, hh)[:, None, None]
+        xx = np.linspace(0, 2 * np.pi, ww)[None, :, None]
+        t = np.clip((yy - 0.35) / 0.15, 0, 1)
+        im = (np.array([60, 90, 200.0]) * (1 - t)
+              + np.array([255, 160, 70.0]) * t)
+        im = np.where(yy > 0.5, np.array([40, 35, 30.0]) + 0 * xx, im)
+        d2 = ((yy - 0.45) * 3) ** 2 + ((xx - np.pi * 0.5) * 0.5) ** 2
+        im = np.minimum(im + 255 * np.exp(-d2 * 120), 255)
+        with open(env_path, "wb") as f:
+            f.write(encode_png(im.astype(np.uint8)))
+    ibl = sphere_mesh(n_lat=224, n_lon=224, bump=0.3)
+    ibl.env_map = env_path
+    cam = CameraConfig.look_at(origin=(0, 0.8, 3.6), target=(0, 0, 0),
+                               fov_y_deg=50)
+    run("sphere_ibl",
+        RenderConfig(width=s, height=s, spp_per_step=16, max_depth=4,
+                     camera=cam, sampling="cosine", use_nee=True,
+                     use_mis=True),
+        ibl)
+
 
 if __name__ == "__main__":
     main()
