@@ -56,6 +56,12 @@ def apply_thin_lens_soa(o, d, rl1, rl2, cam: CameraConfig):
 
     rl1, rl2: uniforms in [0, 1) (drawn by the integrator ONLY when
     lens_radius > 0, so pinhole RNG streams are untouched)."""
+    if cam.focus_dist <= 0.0:
+        raise ValueError(
+            f"thin-lens camera needs focus_dist > 0 (got "
+            f"{cam.focus_dist}); with the focal plane at distance 0 every "
+            f"ray re-aims at its own origin and the render degenerates"
+        )
     lr = np.float32(cam.lens_radius)
     fd = np.float32(cam.focus_dist)
     # uniform disk (polar; radius sqrt for uniform area density)

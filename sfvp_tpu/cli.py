@@ -129,12 +129,25 @@ def main(argv=None) -> int:
     if args.lens_radius > 0:
         # applied AFTER scene-specific camera selection so procedural
         # framing keeps working with an open lens
+        focus = args.focus_dist
+        if focus <= 0.0:
+            # an open lens with the focal plane at distance 0 aims every
+            # ray at its own origin — never useful; default to the
+            # camera-to-center distance (the look-at target plane)
+            import math
+
+            focus = math.dist(cfg.camera.origin, cfg.camera.center)
+            print(
+                f"--lens-radius given without --focus-dist; focusing at "
+                f"the camera target plane ({focus:.3g})",
+                flush=True,
+            )
         cfg = dataclasses.replace(
             cfg,
             camera=dataclasses.replace(
                 cfg.camera,
                 lens_radius=args.lens_radius,
-                focus_dist=args.focus_dist,
+                focus_dist=focus,
             ),
         )
     if args.dist:

@@ -78,31 +78,25 @@ def select_render_step(
         em = (np.asarray(buffers.er)[:t] > 0) | (
             np.asarray(buffers.eg)[:t] > 0) | (np.asarray(buffers.eb)[:t] > 0)
         many_lights = int(em.sum()) > 64
-    # GGX glossy surfaces (mtype 2) and map_Kd textures are implemented in
-    # the wavefront integrator only; the megakernels' in-kernel shading is
-    # flat diffuse+mirror, and the packet payload carries no uv/tex ids
+    # Capability map of the BRUTE-force megakernels: the regen megakernel
+    # (megakernel_regen.py) runs flat diffuse + mirror shading, NEE
+    # (<= 64 lights), balance-heuristic MIS and thin-lens DOF in-kernel;
+    # the chunked megakernel (megakernel.py) is the bitwise-parity
+    # baseline (no NEE/DOF). GGX, textures and env-map skies route small
+    # scenes to the jnp wavefront loop (still TPU-jitted); the in-kernel
+    # env fetch is a per-lane gather Mosaic cannot express (see
+    # docs/ROADMAP.md).
     has_glossy = bool(np.any(np.asarray(buffers.mtype)[:t] == 2))
     has_tex = buffers.has_textures
-    # thin-lens DOF and environment-map skies are implemented in the
-    # wavefront integrator only (the megakernels bake the pinhole camera
-    # and the constant sky)
     has_dof = cfg.camera.lens_radius > 0.0
     has_env = getattr(buffers, "env", None) is not None
-    if ((cfg.use_mis or many_lights or has_glossy or has_tex or has_dof
-         or has_env)
+    if ((many_lights or has_glossy or has_tex or has_env)
             and backend == "pallas" and traversal == "brute"):
-        # MIS lives in the wavefront integrator (the regen megakernel's
-        # in-kernel NEE is hard-gated non-MIS), and the megakernel's
-        # unrolled light table caps at 64 lights — beyond that the
-        # wavefront path's searchsorted CDF light sampling scales to any
-        # count. Route both cases to the jnp wavefront (still TPU-jitted).
         return make_render_step(
             cfg, buffers, trace_fn=select_trace_fn(cfg, buffers),
             global_shape=global_shape,
         )
     if backend == "pallas" and traversal == "brute":
-        # NEE is implemented in the regen megakernel (in-kernel light
-        # sampling + shadow loop); the chunked megakernel has no NEE
         if cfg.megakernel_regen:
             from .kernels.megakernel_regen import make_regen_render_step
 
@@ -110,13 +104,15 @@ def select_render_step(
                 cfg, buffers, global_shape=global_shape,
                 block_rows=cfg.pallas_block_rows,
             )
-        if not cfg.use_nee:
+        if not cfg.use_nee and not has_dof:
             from .kernels.megakernel import make_render_step_pallas
 
             return make_render_step_pallas(
                 cfg, buffers, global_shape=global_shape,
                 block_rows=cfg.pallas_block_rows,
             )
+        # chunked megakernel has no NEE/DOF: fall through to the jnp
+        # wavefront below
     if backend == "pallas" and traversal == "bvh" and not has_tex:
         # packet-traversal kernel returns the full shade payload (no XLA
         # gathers); used for large scenes on TPU. NEE shadow rays use the
@@ -134,8 +130,7 @@ def select_render_step(
         # amortize better than per-iteration shadow traversals. The fused
         # kernel wins at the default chunk=1 and for all NEE-less configs.
         prefer_wavefront = cfg.use_nee and (many_lights or cfg.spp_chunk > 1)
-        if (cfg.megakernel_regen and not prefer_wavefront and not has_dof
-                and not has_env):
+        if (cfg.megakernel_regen and not prefer_wavefront and not has_env):
             # fused BVH regen megakernel: whole spp per kernel call with
             # in-lane sample regeneration and in-kernel packet traversal —
             # no per-bounce relaunch, no dead lanes, no bounce sort

@@ -121,9 +121,24 @@ class EnvDistribution(NamedTuple):
     samples)."""
 
     cdf: jnp.ndarray       # (H*W,) texel-selection CDF
-    pdf_sa: jnp.ndarray    # (H*W,) solid-angle pdf of each texel's dirs
+    pdf_flat: jnp.ndarray  # (H*W,) texel-selection probability
     width: int
     height: int
+
+    def pdf_sa_at(self, ti, sin_theta):
+        """Exact solid-angle density of the sampler at a direction inside
+        texel ti with polar angle theta: the sampler jitters UNIFORMLY in
+        (theta, phi) inside the texel, so the density is
+        flat_prob / (dtheta * dphi * sin(theta_sample)) — NOT the
+        texel-average pdf (which uses sin(theta_center) and biases
+        low-resolution maps near the poles)."""
+        inv_patch = np.float32(
+            self.width * self.height / (2.0 * np.pi * np.pi)
+        )
+        return (
+            self.pdf_flat[ti] * inv_patch
+            / jnp.maximum(sin_theta, np.float32(1e-6))
+        )
 
 
 def build_env_distribution(table) -> EnvDistribution:
@@ -151,10 +166,9 @@ def build_env_distribution(table) -> EnvDistribution:
     total = float(weight.sum())
     flat = (weight / total).reshape(-1)
     cdf = np.cumsum(flat)
-    pdf_sa = flat / np.maximum(d_omega.repeat(w, 1).reshape(-1), 1e-12)
     return EnvDistribution(
         cdf=jnp.asarray(cdf.astype(np.float32)),
-        pdf_sa=jnp.asarray(pdf_sa.astype(np.float32)),
+        pdf_flat=jnp.asarray(flat.astype(np.float32)),
         width=w,
         height=h,
     )
@@ -180,7 +194,7 @@ def sample_env(dist: EnvDistribution, r_sel, r1, r2):
     )
     st = jnp.sin(theta)
     d = (st * jnp.cos(phi), jnp.cos(theta), st * jnp.sin(phi))
-    return d, dist.pdf_sa[ti]
+    return d, dist.pdf_sa_at(ti, st)
 
 
 def env_pdf(dist: EnvDistribution, d):
@@ -196,4 +210,5 @@ def env_pdf(dist: EnvDistribution, d):
     col = jnp.clip(
         (u * dist.width).astype(jnp.int32) % dist.width, 0, dist.width - 1
     )
-    return dist.pdf_sa[row * dist.width + col]
+    # same exact density as sample_env (MIS weights must agree)
+    return dist.pdf_sa_at(row * dist.width + col, jnp.sin(theta))

@@ -133,6 +133,25 @@ def make_bvh_regen_render_step(
     rx, ry, rz = (np.float32(v) for v in cam.right)
     ux, uy, uz = (np.float32(v) for v in cam.up)
     ox0, oy0, oz0 = (np.float32(v) for v in cam.origin)
+    # thin-lens DOF (extension; camera.apply_thin_lens_soa semantics):
+    # static lens frame, two extra draws taken only when the lens is open
+    use_dof = cam.lens_radius > 0.0
+    if use_dof:
+        if cam.focus_dist <= 0.0:
+            raise ValueError(
+                "thin-lens camera needs focus_dist > 0 "
+                f"(got {cam.focus_dist})"
+            )
+        lens_r = np.float32(cam.lens_radius)
+        focus_d = np.float32(cam.focus_dist)
+        _n = lambda v: tuple(  # noqa: E731
+            np.float32(c) for c in np.asarray(v, np.float64)
+            / np.linalg.norm(np.asarray(v, np.float64))
+        )
+        lrn = _n(cam.right)
+        lun = _n(cam.up)
+        lfwd = _n(np.asarray(cam.center, np.float64)
+                  - np.asarray(cam.origin, np.float64))
     ts = cfg.packet_tile_size
 
     def build_kernel(local_npix, r, swz):
@@ -229,9 +248,29 @@ def make_bvh_regen_render_step(
                     cz + ndx * rz + ndy * uz - oz0,
                 )
                 nd = vec.normalize(nd)
-                ox = jnp.where(need, ox0, ox)
-                oy = jnp.where(need, oy0, oy)
-                oz = jnp.where(need, oz0, oz)
+                no = (ox0 + zero, oy0 + zero, oz0 + zero)
+                if use_dof:
+                    # same math + draw order as apply_thin_lens_soa
+                    rl1, sd = _rand_vec(sd)
+                    rl2, sd = _rand_vec(sd)
+                    rad = lens_r * jnp.sqrt(jnp.maximum(rl1, 0.0))
+                    lphi = np.float32(2.0 * np.pi) * rl2
+                    lx = rad * jnp.cos(lphi)
+                    ly = rad * jnp.sin(lphi)
+                    t_focal = focus_d / jnp.maximum(
+                        nd[0] * lfwd[0] + nd[1] * lfwd[1] + nd[2] * lfwd[2],
+                        np.float32(1e-4),
+                    )
+                    focal = vec.add(no, vec.scale(nd, t_focal))
+                    no = (
+                        no[0] + lx * lrn[0] + ly * lun[0],
+                        no[1] + lx * lrn[1] + ly * lun[1],
+                        no[2] + lx * lrn[2] + ly * lun[2],
+                    )
+                    nd = vec.normalize(vec.sub(focal, no))
+                ox = jnp.where(need, no[0], ox)
+                oy = jnp.where(need, no[1], oy)
+                oz = jnp.where(need, no[2], oz)
                 dx = jnp.where(need, nd[0], dx)
                 dy = jnp.where(need, nd[1], dy)
                 dz = jnp.where(need, nd[2], dz)

@@ -14,6 +14,12 @@ Per-sample semantics (seeding, rand stream, bounce math) are identical to
 the reference and to the chunked megakernel; only the f32 summation order
 of per-sample contributions differs (direct accumulation instead of
 per-sample subtotals), so images match to ~1e-6 rather than bitwise.
+
+Extensions that run in-kernel (all config-gated off in parity mode): NEE
+with an unrolled <=64-light table, balance-heuristic MIS (pdf carry, same
+math as the wavefront integrator), Russian roulette, and thin-lens DOF
+(two extra draws in the regen block, camera.apply_thin_lens_soa
+semantics).
 """
 
 from __future__ import annotations
@@ -86,6 +92,9 @@ def make_regen_render_step(
                 rows.extend(np.asarray(c) for c in t3)
             rows.append(np.asarray(lt.cdf))
             light_table = jnp.asarray(np.stack(rows, axis=0))
+    # AFTER the empty-table fallback: a lightless scene must not compile
+    # dead MIS pdf math into the kernel
+    use_mis = cfg.use_mis and use_nee
 
     lanes = 128
     if interpret is None:
@@ -97,6 +106,25 @@ def make_regen_render_step(
     rx, ry, rz = (np.float32(v) for v in cam.right)
     ux, uy, uz = (np.float32(v) for v in cam.up)
     ox0, oy0, oz0 = (np.float32(v) for v in cam.origin)
+    # thin-lens DOF (extension; camera.apply_thin_lens_soa semantics):
+    # static lens frame, two extra draws taken only when the lens is open
+    use_dof = cam.lens_radius > 0.0
+    if use_dof:
+        if cam.focus_dist <= 0.0:
+            raise ValueError(
+                "thin-lens camera needs focus_dist > 0 "
+                f"(got {cam.focus_dist})"
+            )
+        lens_r = np.float32(cam.lens_radius)
+        focus_d = np.float32(cam.focus_dist)
+        _n = lambda v: tuple(  # noqa: E731
+            np.float32(c) for c in np.asarray(v, np.float64)
+            / np.linalg.norm(np.asarray(v, np.float64))
+        )
+        lrn = _n(cam.right)
+        lun = _n(cam.up)
+        lfwd = _n(np.asarray(cam.center, np.float64)
+                  - np.asarray(cam.origin, np.float64))
 
     def build_kernel(r, local_npix):
         def kernel(scal_ref, tri_ref, *refs):
@@ -152,6 +180,7 @@ def make_regen_render_step(
                 zero, zero, zero,               # color total
                 zero,                           # segs
                 jnp.ones((r, lanes), jnp.int32),  # count_emit (NEE gating)
+                zero,                             # pdf_prev (MIS)
             )
 
             def cond(c):
@@ -159,7 +188,7 @@ def make_regen_render_step(
 
             def body(c):
                 (s, bounce, ox, oy, oz, dx, dy, dz, wr, wg, wb, seed,
-                 tr, tg, tb, segs, count_emit) = c
+                 tr, tg, tb, segs, count_emit, pdf_prev) = c
                 active = s < spp
                 need = active & (bounce == 0)
 
@@ -177,9 +206,29 @@ def make_regen_render_step(
                     cz + ndx * rz + ndy * uz - oz0,
                 )
                 nd = vec.normalize(nd)
-                ox = jnp.where(need, ox0, ox)
-                oy = jnp.where(need, oy0, oy)
-                oz = jnp.where(need, oz0, oz)
+                no = (ox0 + zero, oy0 + zero, oz0 + zero)
+                if use_dof:
+                    # same math + draw order as apply_thin_lens_soa
+                    rl1, sd = _rand_vec(sd)
+                    rl2, sd = _rand_vec(sd)
+                    rad = lens_r * jnp.sqrt(jnp.maximum(rl1, 0.0))
+                    lphi = np.float32(2.0 * np.pi) * rl2
+                    lx = rad * jnp.cos(lphi)
+                    ly = rad * jnp.sin(lphi)
+                    t_focal = focus_d / jnp.maximum(
+                        nd[0] * lfwd[0] + nd[1] * lfwd[1] + nd[2] * lfwd[2],
+                        np.float32(1e-4),
+                    )
+                    focal = vec.add(no, vec.scale(nd, t_focal))
+                    no = (
+                        no[0] + lx * lrn[0] + ly * lun[0],
+                        no[1] + lx * lrn[1] + ly * lun[1],
+                        no[2] + lx * lrn[2] + ly * lun[2],
+                    )
+                    nd = vec.normalize(vec.sub(focal, no))
+                ox = jnp.where(need, no[0], ox)
+                oy = jnp.where(need, no[1], oy)
+                oz = jnp.where(need, no[2], oz)
                 dx = jnp.where(need, nd[0], dx)
                 dy = jnp.where(need, nd[1], dy)
                 dz = jnp.where(need, nd[2], dz)
@@ -188,6 +237,7 @@ def make_regen_render_step(
                 wb = jnp.where(need, 1.0, wb)
                 seed = jnp.where(need, sd, seed)
                 count_emit = jnp.where(need, 1, count_emit)
+                pdf_prev = jnp.where(need, 0.0, pdf_prev)
                 o = (ox, oy, oz)
                 d = (dx, dy, dz)
 
@@ -257,14 +307,40 @@ def make_regen_render_step(
                 else:
                     is_mirror = jnp.zeros((r, lanes), bool)
 
-                # NEE gating: BSDF-path emission only on camera rays,
-                # post-specular bounces, and sky misses
-                add_emit = (
-                    active & ((count_emit > 0) | miss) if use_nee else active
-                )
-                tr = tr + jnp.where(add_emit, wr * emission[0], 0.0)
-                tg = tg + jnp.where(add_emit, wg * emission[1], 0.0)
-                tb = tb + jnp.where(add_emit, wb * emission[2], 0.0)
+                # NEE gating (non-MIS): BSDF-path emission only on camera
+                # rays, post-specular bounces, and sky misses. Under MIS,
+                # everywhere else with the balance-heuristic weight
+                # p_bsdf / (p_bsdf + p_nee) — same math as the wavefront
+                # integrator and megakernel_bvh.py.
+                if not use_nee:
+                    emit_w = active.astype(jnp.float32)
+                elif not use_mis:
+                    emit_w = (
+                        active & ((count_emit > 0) | miss)
+                    ).astype(jnp.float32)
+                else:
+                    cos_l_hit = jnp.abs(
+                        dx * normal[0] + dy * normal[1] + dz * normal[2]
+                    )
+                    t_safe = jnp.where(miss, 0.0, bt)
+                    p_nee_hit = (
+                        (t_safe * t_safe) * np.float32(1.0 / total_area)
+                        / jnp.maximum(cos_l_hit, np.float32(1e-6))
+                    )
+                    w_bsdf = pdf_prev / jnp.maximum(
+                        pdf_prev + p_nee_hit, 1e-30
+                    )
+                    is_emissive = (
+                        jnp.maximum(jnp.maximum(emission[0], emission[1]),
+                                    emission[2]) > 0
+                    ) & jnp.logical_not(miss)
+                    emit_w = jnp.where(
+                        (count_emit > 0) | miss, 1.0,
+                        jnp.where(is_emissive, w_bsdf, 0.0),
+                    ) * active.astype(jnp.float32)
+                tr = tr + wr * emission[0] * emit_w
+                tg = tg + wg * emission[1] * emit_w
+                tb = tb + wb * emission[2] * emit_w
 
                 if use_nee:
                     r_sel, seed = _rand_vec(seed)
@@ -336,6 +412,22 @@ def make_regen_render_step(
                             & (t > t_min) & (t < smax)
                         )
                     g_pdf = cos_s * cos_l / dist2 * np.float32(total_area)
+                    if use_mis:
+                        # balance heuristic in solid-angle measure (same
+                        # as megakernel_bvh.py; no glossy branch here —
+                        # the brute kernels are diffuse+mirror only)
+                        p_nee_sa = dist2 / (
+                            np.float32(total_area)
+                            * jnp.maximum(cos_l, np.float32(1e-6))
+                        )
+                        if uniform:
+                            p_bsdf_l = jnp.full_like(cos_s, 1.0 / TWO_PI)
+                        else:
+                            p_bsdf_l = jnp.maximum(cos_s, 0.0) * INV_PI
+                        g_pdf = g_pdf * (
+                            p_nee_sa / jnp.maximum(p_nee_sa + p_bsdf_l,
+                                                   1e-30)
+                        )
                     vis = shadow_q & jnp.logical_not(occ)
                     tr = tr + jnp.where(
                         vis, wr * (diffuse[0] * INV_PI) * le[0] * g_pdf, 0.0
@@ -378,6 +470,17 @@ def make_regen_render_step(
                 else:
                     scale3 = diffuse
 
+                if use_mis:
+                    # pdf of the direction just sampled (solid angle),
+                    # recorded BEFORE the mirror override exactly like the
+                    # wavefront integrator (mirror lanes never read it:
+                    # their count_emit gate forces weight 1)
+                    if uniform:
+                        new_pdf = jnp.full_like(pdf_prev, 1.0 / TWO_PI)
+                    else:
+                        new_pdf = jnp.maximum(
+                            vec.dot(new_dir, normal), 0.0) * INV_PI
+
                 if has_mirrors:
                     n_dot_d = vec.dot(d, normal)
                     n_f = vec.where(n_dot_d > 0, vec.scale(normal, -1.0),
@@ -414,9 +517,11 @@ def make_regen_render_step(
                 bounce = jnp.where(cont, bounce + 1, 0)
                 if use_nee:
                     count_emit = is_mirror.astype(jnp.int32)
+                if use_mis:
+                    pdf_prev = jnp.where(cont, new_pdf, pdf_prev)
                 segs = segs + jnp.where(active, 1.0, 0.0)
                 return (s, bounce, ox, oy, oz, dx, dy, dz, wr, wg, wb, seed,
-                        tr, tg, tb, segs, count_emit)
+                        tr, tg, tb, segs, count_emit, pdf_prev)
 
             final = jax.lax.while_loop(cond, body, init)
             tr, tg, tb, segs = final[12], final[13], final[14], final[15]

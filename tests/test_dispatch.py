@@ -57,8 +57,27 @@ def test_render_step_builds_for_all_paths(cornell_buffers):
 
 
 def test_nee_routes_to_jnp(cornell_buffers):
-    """NEE isn't implemented in the megakernel yet; pallas+brute+NEE must
-    still build (falls through to the jnp integrator)."""
+    """pallas+brute+NEE builds (regen megakernel carries NEE in-kernel)."""
     cfg = RenderConfig(backend="pallas", traversal="brute", use_nee=True,
                        sampling="cosine")
     assert callable(select_render_step(cfg, cornell_buffers))
+
+
+def test_mis_and_dof_stay_on_regen_megakernel(cornell_buffers):
+    """MIS and thin-lens DOF no longer knock small scenes off the fused
+    regen megakernel (VERDICT r2 items 2-3)."""
+    import dataclasses
+
+    cfg = RenderConfig(backend="pallas", traversal="brute", use_nee=True,
+                       use_mis=True, sampling="cosine")
+    step = select_render_step(cfg, cornell_buffers)
+    assert step.__module__ == "sfvp_tpu.kernels.megakernel_regen"
+
+    cfg = RenderConfig(
+        backend="pallas", traversal="brute",
+        camera=dataclasses.replace(
+            RenderConfig().camera, lens_radius=0.1, focus_dist=3.0
+        ),
+    )
+    step = select_render_step(cfg, cornell_buffers)
+    assert step.__module__ == "sfvp_tpu.kernels.megakernel_regen"

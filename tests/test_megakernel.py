@@ -109,6 +109,57 @@ def test_regen_kernel_nee_equivalence(buffers):
     assert float(a.mrays) == float(b.mrays)
 
 
+def test_regen_kernel_mis_equivalence(buffers):
+    """In-kernel balance-heuristic MIS (pdf carry + both weights) == the
+    wavefront MIS path, including RR."""
+    from sfvp_tpu.kernels.megakernel_regen import make_regen_render_step
+
+    cfg = RenderConfig(
+        width=16, height=8, spp_per_step=2, max_depth=3, use_nee=True,
+        use_mis=True, sampling="cosine", use_rr=True, rr_start_depth=1,
+    )
+    a = jax.jit(make_render_step(cfg, buffers))(init_state(8, 16))
+    b = jax.jit(make_regen_render_step(cfg, buffers, interpret=True))(
+        init_state(8, 16)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-4, atol=1e-6
+    )
+    assert float(a.mrays) == float(b.mrays)
+
+
+def test_regen_kernel_dof_equivalence(buffers):
+    """In-kernel thin-lens DOF (two extra draws + lens offset in the regen
+    block) == the wavefront apply_thin_lens_soa path."""
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.kernels.megakernel_regen import make_regen_render_step
+
+    cfg = RenderConfig(
+        width=16, height=8, spp_per_step=2, max_depth=2,
+        camera=CameraConfig(lens_radius=0.12, focus_dist=3.0),
+    )
+    a = jax.jit(make_render_step(cfg, buffers))(init_state(8, 16))
+    b = jax.jit(make_regen_render_step(cfg, buffers, interpret=True))(
+        init_state(8, 16)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-5, atol=1e-6
+    )
+    assert float(a.mrays) == float(b.mrays)
+
+
+def test_regen_kernel_dof_needs_focus(buffers):
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.kernels.megakernel_regen import make_regen_render_step
+
+    cfg = RenderConfig(
+        width=16, height=8,
+        camera=CameraConfig(lens_radius=0.12, focus_dist=0.0),
+    )
+    with pytest.raises(ValueError, match="focus_dist"):
+        make_regen_render_step(cfg, buffers, interpret=True)
+
+
 def test_regen_kernel_row_offset(buffers):
     from sfvp_tpu.kernels.megakernel_regen import make_regen_render_step
 

@@ -157,6 +157,28 @@ def test_bvh_regen_mis_equivalence(buffers):
     assert float(a.mrays) == float(b.mrays)
 
 
+def test_bvh_regen_dof_equivalence(buffers):
+    """In-kernel thin-lens DOF == the wavefront apply_thin_lens_soa path
+    (same draw order: jitter draws, then the two lens draws)."""
+    from sfvp_tpu.config import CameraConfig
+    import dataclasses
+
+    cfg = RenderConfig(
+        width=16, height=8, spp_per_step=2, max_depth=2,
+        camera=dataclasses.replace(
+            RenderConfig().camera, lens_radius=0.12, focus_dist=3.0
+        ),
+    )
+    a = jax.jit(make_render_step(cfg, buffers))(init_state(8, 16))
+    b = jax.jit(make_bvh_regen_render_step(cfg, buffers, interpret=True))(
+        init_state(8, 16)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-5, atol=1e-6
+    )
+    assert float(a.mrays) == float(b.mrays)
+
+
 def test_bvh_regen_mis_glossy_equivalence():
     """MIS + GGX in-kernel == wavefront on a glossy scene with a light."""
     from sfvp_tpu.scene.objload import Scene
