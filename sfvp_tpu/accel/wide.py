@@ -43,6 +43,11 @@ class WideBVH(NamedTuple):
     tris: np.ndarray       # (Ml, 128) f32
     prim_rows: np.ndarray  # (Ml, LEAF_TRIS) i32 original prim ids (-1 pad)
     max_stack: int         # worst-case traversal stack depth
+    # map_Kd extension: tri k of a leaf row occupies lanes [16k, 16k+7):
+    # u0 v0 u1 v1 u2 v2 (texid+1)  — texid is stored +1 so the zero
+    # padding of empty slots decodes to -1 (untextured). None when the
+    # scene has no textures (the packet kernels then skip the aux planes).
+    tris_aux: "np.ndarray | None" = None  # (Ml, 128) f32
 
 
 def _binary_children(bvh: BVH, i: int):
@@ -143,10 +148,13 @@ def node_layout(width: int):
     }
 
 
-def build_wide(bvh: BVH, materials: np.ndarray, width: int = WIDTH) -> WideBVH:
+def build_wide(bvh: BVH, materials: np.ndarray, width: int = WIDTH,
+               aux: "np.ndarray | None" = None) -> WideBVH:
     """bvh: binary LBVH with leaf_size <= 8.
     materials: (T, 7) f32 per ORIGINAL triangle: kd(3), ke(3), mtype(1).
     width: node fan-out (8 = default; 16 packs one full 128-lane row).
+    aux: optional (T, <=16) f32 per-triangle extra fields (uv/texid for
+    map_Kd scenes), emitted as a parallel leaf-row table ``tris_aux``.
     """
     if int(bvh.count.max()) > LEAF_TRIS:
         raise ValueError("wide BVH requires binary leaf_size <= 8")
@@ -219,15 +227,23 @@ def build_wide(bvh: BVH, materials: np.ndarray, width: int = WIDTH) -> WideBVH:
         sidx = np.clip(idx, 0, ts - 1)
         tris = np.zeros((len(leaf_ranges), 128), np.float32)
         vmask = valid.astype(np.float32)
+        tris_aux = (
+            np.zeros((len(leaf_ranges), 128), np.float32)
+            if aux is not None else None
+        )
         for kk in range(LEAF_TRIS):
             base = TRI_STRIDE * kk
             for c in range(9):
                 tris[:, base + c] = tv[c][sidx[:, kk]] * vmask[:, kk]
             mats = materials[prim[sidx[:, kk]]] * vmask[:, kk, None]
             tris[:, base + 9 : base + 9 + materials.shape[1]] = mats
+            if aux is not None:
+                arow = aux[prim[sidx[:, kk]]] * vmask[:, kk, None]
+                tris_aux[:, base : base + aux.shape[1]] = arow
         prim_rows = np.where(valid, prim[sidx], -1).astype(np.int32)
     else:
         tris = np.zeros((1, 128), np.float32)
+        tris_aux = np.zeros((1, 128), np.float32) if aux is not None else None
         prim_rows = np.full((1, LEAF_TRIS), -1, np.int32)
 
     # worst-case stack: depth * (width-1) + slack; compute exact depth
@@ -239,6 +255,7 @@ def build_wide(bvh: BVH, materials: np.ndarray, width: int = WIDTH) -> WideBVH:
         tris=tris,
         prim_rows=prim_rows,
         max_stack=int(max_stack),
+        tris_aux=tris_aux,
     )
 
 
@@ -279,6 +296,24 @@ def materials_array(scene_buffers) -> np.ndarray:
     ).astype(np.float32)
 
 
+def uv_array(scene_buffers) -> "np.ndarray | None":
+    """(T, 7) per-corner vt + texid table [u0 v0 u1 v1 u2 v2 texid+1] in
+    original tri order; None when the scene has no textures. texid is
+    shifted by +1 so zero-padded leaf slots decode to -1 (untextured) in
+    the packet payload (ref closesthit.rchit:50-65 fetches material by
+    primitive id; here the leaf row carries everything shading needs)."""
+    if not scene_buffers.has_textures:
+        return None
+    t = scene_buffers.num_tris
+    col = lambda f: np.asarray(getattr(scene_buffers, f))[:t]  # noqa: E731
+    return np.stack(
+        [col("u0"), col("v0t"), col("u1"), col("v1t"),
+         col("u2"), col("v2t"),
+         col("tex").astype(np.float32) + 1.0],
+        axis=1,
+    ).astype(np.float32)
+
+
 def build_wide_from_buffers(
     scene_buffers, native: str = "auto", builder: str = "auto"
 ) -> WideBVH:
@@ -302,4 +337,6 @@ def build_wide_from_buffers(
         from .lbvh import build_bvh
 
         binary = build_bvh(scene_buffers, leaf_size=LEAF_TRIS, native=native)
-    return build_wide(binary, materials_array(scene_buffers))
+    return build_wide(
+        binary, materials_array(scene_buffers), aux=uv_array(scene_buffers)
+    )

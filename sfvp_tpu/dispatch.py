@@ -75,9 +75,11 @@ def select_render_step(
     t = buffers.num_tris
     many_lights = False
     if cfg.use_nee:
+        # in-kernel NEE unrolls the light CDF select; past 256 lights the
+        # wavefront integrator's searchsorted light sampling scales better
         em = (np.asarray(buffers.er)[:t] > 0) | (
             np.asarray(buffers.eg)[:t] > 0) | (np.asarray(buffers.eb)[:t] > 0)
-        many_lights = int(em.sum()) > 64
+        many_lights = int(em.sum()) > 256
     # Capability map of the BRUTE-force megakernels: the regen megakernel
     # (megakernel_regen.py) runs flat diffuse + mirror shading, NEE
     # (<= 64 lights), balance-heuristic MIS and thin-lens DOF in-kernel;
@@ -113,15 +115,18 @@ def select_render_step(
             )
         # chunked megakernel has no NEE/DOF: fall through to the jnp
         # wavefront below
-    if backend == "pallas" and traversal == "bvh" and not has_tex:
+    if backend == "pallas" and traversal == "bvh":
         # packet-traversal kernel returns the full shade payload (no XLA
-        # gathers); used for large scenes on TPU. NEE shadow rays use the
+        # gathers; textured scenes add uv/texid planes and the shade phase
+        # does ONE bilinear pool gather per wave). NEE shadow rays use the
         # dedicated any-hit occlusion kernel.
         from .accel.wide import build_wide_from_buffers
         from .kernels.bvh_packet import make_packet_occlusion, make_packet_trace
 
         wide = build_wide_from_buffers(buffers)
-        scene_bytes = wide.nodes.nbytes + wide.tris.nbytes
+        scene_bytes = wide.nodes.nbytes + wide.tris.nbytes + (
+            wide.tris_aux.nbytes if wide.tris_aux is not None else 0
+        )
         stream = (cfg.stream_tris if cfg.stream_tris is not None
                   else scene_bytes > cfg.vmem_scene_budget)
         # NEE with folded sample waves (spp_chunk > 1) measures FASTER in
@@ -130,7 +135,13 @@ def select_render_step(
         # amortize better than per-iteration shadow traversals. The fused
         # kernel wins at the default chunk=1 and for all NEE-less configs.
         prefer_wavefront = cfg.use_nee and (many_lights or cfg.spp_chunk > 1)
-        if (cfg.megakernel_regen and not prefer_wavefront and not has_env):
+        if (cfg.megakernel_regen and not prefer_wavefront and not has_env
+                and not has_tex):
+            # textures and env skies need a per-lane image fetch the fused
+            # kernel cannot express (no per-lane dynamic addressing in
+            # Mosaic); those scenes use the wavefront loop below, whose
+            # packet kernels carry uv/texid planes and fetch at the XLA
+            # level between bounces.
             # fused BVH regen megakernel: whole spp per kernel call with
             # in-lane sample regeneration and in-kernel packet traversal —
             # no per-bounce relaunch, no dead lanes, no bounce sort
@@ -145,35 +156,62 @@ def select_render_step(
                 cfg, buffers, wide=wide, global_shape=global_shape,
                 block_rows=cfg.packet_block_rows, stream_tris=stream,
             )
-        if stream:
-            # triangle rows stay in HBM; the v2 kernel's leaf queue issues
-            # a DMA prefetch at push time and waits at consumption (~8%
-            # over VMEM-resident on a 100k-tri wave; removes the ~150k-tri
-            # VMEM cap entirely — ref traceRayEXT traces any device-memory
-            # BVH, raygen.rgen:63 / main.cpp:414-455)
-            from .kernels.bvh_packet2 import make_packet_trace2
-
-            trace_payload = make_packet_trace2(
-                wide, t_min=cfg.t_min, stream_tris=True
-            )
-        else:
-            trace_payload = make_packet_trace(
-                wide, t_min=cfg.t_min, block_rows=cfg.packet_block_rows
-            )
-        occlusion = (
-            make_packet_occlusion(
-                wide, t_min=cfg.t_min, block_rows=cfg.packet_block_rows
-            )
-            if cfg.use_nee and not stream
-            else None  # streamed scenes shadow-trace via the payload kernel
-        )
         return make_render_step(
             cfg, buffers, global_shape=global_shape,
-            trace_payload_fn=trace_payload,
-            occlusion_fn=occlusion,
+            **packet_trace_kwargs(cfg, wide, stream=stream),
         )
     # jnp traversal is the BVH fallback on CPU (correctness oracle)
     return make_render_step(
         cfg, buffers, trace_fn=select_trace_fn(cfg, buffers),
         global_shape=global_shape,
     )
+
+
+def packet_trace_kwargs(cfg: RenderConfig, wide, stream: bool) -> dict:
+    """Packet-kernel trace functions for the wavefront loop, as
+    make_render_step kwargs ({trace_payload_fn, occlusion_fn})."""
+    from .kernels.bvh_packet import make_packet_occlusion, make_packet_trace
+
+    if stream:
+        # triangle rows stay in HBM; the v2 kernel's leaf queue issues
+        # a DMA prefetch at push time and waits at consumption (~8%
+        # over VMEM-resident on a 100k-tri wave; removes the ~150k-tri
+        # VMEM cap entirely — ref traceRayEXT traces any device-memory
+        # BVH, raygen.rgen:63 / main.cpp:414-455)
+        from .kernels.bvh_packet2 import make_packet_trace2
+
+        trace_payload = make_packet_trace2(
+            wide, t_min=cfg.t_min, stream_tris=True
+        )
+    else:
+        trace_payload = make_packet_trace(
+            wide, t_min=cfg.t_min, block_rows=cfg.packet_block_rows
+        )
+    occlusion = (
+        make_packet_occlusion(
+            wide, t_min=cfg.t_min, block_rows=cfg.packet_block_rows
+        )
+        if cfg.use_nee and not stream
+        else None  # streamed scenes shadow-trace via the payload kernel
+    )
+    return {"trace_payload_fn": trace_payload, "occlusion_fn": occlusion}
+
+
+def select_wavefront_kwargs(cfg: RenderConfig, buffers) -> dict:
+    """Trace-implementation kwargs for a wavefront-loop integrator
+    (make_render_step): the Pallas packet kernels on pallas+bvh scenes,
+    the jnp trace otherwise. Shared by select_render_step and the
+    adaptive sampler (integrate/adaptive.py), so --adaptive on a big TPU
+    scene traces through the same packet kernels as the full-frame loop."""
+    backend, traversal = _resolve(cfg, buffers)
+    if backend == "pallas" and traversal == "bvh":
+        from .accel.wide import build_wide_from_buffers
+
+        wide = build_wide_from_buffers(buffers)
+        scene_bytes = wide.nodes.nbytes + wide.tris.nbytes + (
+            wide.tris_aux.nbytes if wide.tris_aux is not None else 0
+        )
+        stream = (cfg.stream_tris if cfg.stream_tris is not None
+                  else scene_bytes > cfg.vmem_scene_budget)
+        return packet_trace_kwargs(cfg, wide, stream=stream)
+    return {"trace_fn": select_trace_fn(cfg, buffers)}

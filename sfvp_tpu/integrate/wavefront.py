@@ -248,8 +248,9 @@ def make_render_step(
         return jnp.where(done, jnp.int32(2**30), key)
 
     def _shade_from_payload(pay):
-        """Derive shading inputs from a packet-trace Payload (no gathers);
-        same math as shade_inputs/closesthit.rchit."""
+        """Derive shading inputs from a packet-trace Payload (no gathers
+        except the optional texel fetch); same math as
+        shade_inputs/closesthit.rchit."""
         miss = jnp.isinf(pay.t)  # noqa: F841 (returned below)
         w = 1.0 - pay.u - pay.v
         position = vec.add(
@@ -263,7 +264,21 @@ def make_render_step(
         # and packs mtype + roughness into one lane (accel/wide.py)
         mtype = jnp.floor(pay.mtype)
         rough = pay.mtype - mtype
-        return (miss, position, normal, pay.albedo, pay.emission,
+        diffuse = pay.albedo
+        if pay.texid is not None and getattr(scene, "textures", None) is not None:
+            # map_Kd modulation: the kernel interpolated the vt at the hit
+            # (Payload.texu/texv/texid), so one bilinear pool gather per
+            # wave finishes the job — mirroring shade_inputs. Mirror and
+            # glossy lanes are unaffected (their brdfs read ``spec``,
+            # returned unmodulated below, exactly like the jnp path where
+            # the modulated Kd is dead for mtype != 0).
+            from ..scene.textures import sample_bilinear
+
+            texc = sample_bilinear(
+                scene.textures, pay.texid, pay.texu, pay.texv
+            )
+            diffuse = vec.mul(diffuse, texc)
+        return (miss, position, normal, diffuse, pay.emission,
                 pay.albedo, mtype, rough)
 
     def _shadow_occluded(position, wl, dist, shadow_q):

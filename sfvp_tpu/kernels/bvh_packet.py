@@ -49,6 +49,13 @@ class Payload(NamedTuple):
     albedo: tuple    # Kd for diffuse, Ks for mirrors (see accel/wide.py)
     emission: tuple
     mtype: jnp.ndarray  # f32: 0 diffuse, 1 mirror
+    # map_Kd extension (None on untextured scenes): interpolated vt at the
+    # hit + texture id, so the shade phase's bilinear fetch is the ONLY
+    # gather left downstream (the per-lane fetch itself cannot run inside
+    # a Mosaic kernel — no per-lane dynamic addressing)
+    texu: "jnp.ndarray | None" = None
+    texv: "jnp.ndarray | None" = None
+    texid: "jnp.ndarray | None" = None  # i32, -1 = untextured
 
 
 def make_packet_trace(
@@ -64,6 +71,9 @@ def make_packet_trace(
     """
     nodes = jnp.asarray(wide.nodes)
     tris = jnp.asarray(wide.tris)
+    with_tex = wide.tris_aux is not None
+    aux = jnp.asarray(wide.tris_aux) if with_tex else None
+    n_pay = 19 if with_tex else 16
     stack_n = int(wide.max_stack)
     t_min = np.float32(t_min)
     lanes = 128
@@ -72,8 +82,13 @@ def make_packet_trace(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def kernel(nodes_ref, tris_ref, ox_ref, oy_ref, oz_ref,
-               dx_ref, dy_ref, dz_ref, tmax_ref, *out_refs):
+    def kernel(nodes_ref, tris_ref, *refs):
+        if with_tex:
+            aux_ref = refs[0]
+            refs = refs[1:]
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         tmax_ref) = refs[:7]
+        out_refs = refs[7:]
         stack_ref = out_refs[-1]
         outs = out_refs[:-1]
         ox = ox_ref[:]
@@ -100,7 +115,7 @@ def make_packet_trace(
             jnp.int32(1),                    # sp
             jnp.full((r, lanes), INF),       # bt
             zero, zero,                      # bu, bv
-        ) + (zero,) * 16                     # 9 verts + 3 albedo + 3 ke + mtype
+        ) + (zero,) * n_pay   # 9 verts + 3 albedo + 3 ke + mtype [+ uv/tex]
 
         def cond(c):
             return c[0] > 0
@@ -199,6 +214,9 @@ def make_packet_trace(
                 pay = list(pay)
                 trow = tris_ref[pl.ds(jnp.maximum(-code - 1, 0), 1), :]
                 tsc = [trow[0, c] for c in range(128)]
+                if with_tex:
+                    arow = aux_ref[pl.ds(jnp.maximum(-code - 1, 0), 1), :]
+                    asc = [arow[0, c] for c in range(128)]
                 for k in range(8):
                     base = 16 * k
                     t0x = tsc[base + 0]
@@ -243,6 +261,16 @@ def make_packet_trace(
                         tsc[base + 13], tsc[base + 14],
                         tsc[base + 15],
                     )
+                    if with_tex:
+                        # interpolate the per-corner vt with the SAME
+                        # barycentrics as the hit position (matches
+                        # integrate.wavefront.shade_inputs)
+                        wb = 1.0 - u - v
+                        tu = (asc[base + 0] * wb + asc[base + 2] * u
+                              + asc[base + 4] * v)
+                        tw = (asc[base + 1] * wb + asc[base + 3] * u
+                              + asc[base + 5] * v)
+                        vals = vals + (tu, tw, asc[base + 6])
                     pay = [
                         jnp.where(ok, sv + zero, pv)
                         for sv, pv in zip(vals, pay)
@@ -257,10 +285,10 @@ def make_packet_trace(
         outs[0][:] = bt
         outs[1][:] = bu
         outs[2][:] = bv
-        for i in range(16):
+        for i in range(n_pay):
             outs[3 + i][:] = pay[i]
 
-    n_out = 19
+    n_out = 3 + n_pay
 
     def trace(o, d, t_max, active=None) -> Payload:
         from .intersect import _as_v3
@@ -290,26 +318,32 @@ def make_packet_trace(
 
         blk = pl.BlockSpec((r, lanes), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
+        scene_args = [nodes, tris] + ([aux] if with_tex else [])
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ] + [blk] * 7,
+                pl.BlockSpec(memory_space=pltpu.VMEM)
+            ] * len(scene_args) + [blk] * 7,
             out_specs=[blk] * n_out,
             out_shape=[
                 jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32)
             ] * n_out,
             scratch_shapes=[pltpu.SMEM((stack_n,), jnp.int32)],
             interpret=interpret,
-        )(nodes, tris, *args)
+        )(*scene_args, *args)
 
         flat = lambda a: a.reshape(-1)[:n]  # noqa: E731
         o19 = [flat(a) for a in outs]
         bt = o19[0]
         if active is not None:
             bt = jnp.where(active, bt, INF)
+        tex_kw = {}
+        if with_tex:
+            tex_kw = dict(
+                texu=o19[19], texv=o19[20],
+                texid=o19[21].astype(jnp.int32) - 1,
+            )
         return Payload(
             t=bt,
             u=o19[1],
@@ -320,6 +354,7 @@ def make_packet_trace(
             albedo=(o19[12], o19[13], o19[14]),
             emission=(o19[15], o19[16], o19[17]),
             mtype=o19[18],
+            **tex_kw,
         )
 
     return trace

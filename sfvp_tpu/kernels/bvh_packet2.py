@@ -68,6 +68,9 @@ def make_packet_trace2(
     """
     nodes = jnp.asarray(wide.nodes)
     tris = jnp.asarray(wide.tris)
+    with_tex = wide.tris_aux is not None
+    aux = jnp.asarray(wide.tris_aux) if with_tex else None
+    n_pay = 19 if with_tex else N_PAY
     stack_n = int(wide.max_stack) + leaf_q  # slack for leaf spill
     t_min = np.float32(t_min)
     lanes = 128
@@ -79,16 +82,38 @@ def make_packet_trace2(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    n_out = 19
+    n_out = 3 + n_pay
 
-    def kernel(nodes_ref, tris_ref, ox_ref, oy_ref, oz_ref,
-               dx_ref, dy_ref, dz_ref, tmax_ref, *refs):
+    def kernel(nodes_ref, tris_ref, *refs):
+        if with_tex:
+            aux_ref = refs[0]
+            refs = refs[1:]
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         tmax_ref) = refs[:7]
+        refs = refs[7:]
         out_refs = refs[:n_out]
         stacks_ref = refs[n_out]       # SMEM (P, stack_n)
         lq_ref = refs[n_out + 1]       # SMEM (P, leaf_q) leaf row codes
         if stream_tris:
             ring_ref = refs[n_out + 2]   # VMEM (P, leaf_q, 128) ring slots
             sems = refs[n_out + 3]       # DMA sems (P, leaf_q)
+            if with_tex:
+                aring_ref = refs[n_out + 4]  # aux ring (P, leaf_q, 128)
+                asems = refs[n_out + 5]      # aux DMA sems (P, leaf_q)
+
+        def start_leaf_dma(p, slot, lrow):
+            """HBM->VMEM prefetch of one leaf's tri row (+ aux row)."""
+            pltpu.make_async_copy(
+                tris_ref.at[pl.ds(lrow, 1), :],
+                ring_ref.at[p, pl.ds(slot, 1), :],
+                sems.at[p, slot],
+            ).start()
+            if with_tex:
+                pltpu.make_async_copy(
+                    aux_ref.at[pl.ds(lrow, 1), :],
+                    aring_ref.at[p, pl.ds(slot, 1), :],
+                    asems.at[p, slot],
+                ).start()
 
         if not payload_in_carry:
             # zero payload outputs (only leaf hits overwrite them)
@@ -122,13 +147,13 @@ def make_packet_trace2(
         i32 = jnp.int32
 
         # carry: per-packet (sp, lhead, ltail, bt, bu, bv [, 16 payload])
-        S = 6 + (N_PAY if payload_in_carry else 0)
+        S = 6 + (n_pay if payload_in_carry else 0)
         init = ()
         for p in range(P):
             init += (i32(1), i32(0), i32(0),
                      jnp.full((R, lanes), INF), zero, zero)
             if payload_in_carry:
-                init += (zero,) * N_PAY
+                init += (zero,) * n_pay
 
         def cond(c):
             work = i32(0)
@@ -148,7 +173,7 @@ def make_packet_trace2(
                 bt = c[S * p + 3]
                 bu = c[S * p + 4]
                 bv = c[S * p + 5]
-                pay_carry = (list(c[S * p + 6:S * p + 6 + N_PAY])
+                pay_carry = (list(c[S * p + 6:S * p + 6 + n_pay])
                              if payload_in_carry else None)
 
                 # ---------------- node phase (branch-free) ----------------
@@ -249,12 +274,7 @@ def make_packet_trace2(
                 def _(p=p, lt=lt, code=code):
                     lq_ref[p, lt & qmask] = -code - 1
                     if stream_tris:
-                        slot = lt & qmask
-                        pltpu.make_async_copy(
-                            tris_ref.at[pl.ds(-code - 1, 1), :],
-                            ring_ref.at[p, pl.ds(slot, 1), :],
-                            sems.at[p, slot],
-                        ).start()
+                        start_leaf_dma(p, lt & qmask, -code - 1)
 
                 @pl.when(is_spilled_leaf & jnp.logical_not(lq_has_room))
                 def _(p=p, sp=sp, code=code):
@@ -286,12 +306,7 @@ def make_packet_trace2(
                     if stream_tris:
                         @pl.when(to_q)
                         def _(p=p, lt=lt, code_c=code_c):
-                            slot = lt & qmask
-                            pltpu.make_async_copy(
-                                tris_ref.at[pl.ds(-code_c - 1, 1), :],
-                                ring_ref.at[p, pl.ds(slot, 1), :],
-                                sems.at[p, slot],
-                            ).start()
+                            start_leaf_dma(p, lt & qmask, -code_c - 1)
 
                     lt = lt + to_q.astype(i32)
                     sp = sp + to_stack.astype(i32)
@@ -310,13 +325,25 @@ def make_packet_trace2(
                             ring_ref.at[p, pl.ds(lslot, 1), :],
                             sems.at[p, lslot],
                         ).wait()
+                        if with_tex:
+                            pltpu.make_async_copy(
+                                aux_ref.at[pl.ds(lrow, 1), :],
+                                aring_ref.at[p, pl.ds(lslot, 1), :],
+                                asems.at[p, lslot],
+                            ).wait()
                     trow = ring_ref[p, pl.ds(lslot, 1), :]
+                    if with_tex:
+                        arow = aring_ref[p, pl.ds(lslot, 1), :]
                 else:
                     trow = tris_ref[pl.ds(lrow, 1), :]
+                    if with_tex:
+                        arow = aux_ref[pl.ds(lrow, 1), :]
 
                 gate = do_leaf  # scalar; False lanes produce no updates
                 pay_new = None
                 tsc = [trow[0, c2] for c2 in range(128)]
+                if with_tex:
+                    asc = [arow[0, c2] for c2 in range(128)]
                 for k in range(8):
                     base = 16 * k
                     t0x = tsc[base + 0]
@@ -358,6 +385,15 @@ def make_packet_trace2(
                         tsc[base + 13], tsc[base + 14],
                         tsc[base + 15],
                     )
+                    if with_tex:
+                        # interpolated vt + texid (same barycentrics as
+                        # the hit position; see bvh_packet.py)
+                        wbar = 1.0 - u - v
+                        tu = (asc[base + 0] * wbar + asc[base + 2] * u
+                              + asc[base + 4] * v)
+                        tw = (asc[base + 1] * wbar + asc[base + 3] * u
+                              + asc[base + 5] * v)
+                        vals = vals + (tu, tw, asc[base + 6])
                     if pay_new is None:
                         pay_new = [(ok, jnp.where(ok, sv + zero, 0.0))
                                    for sv in vals]
@@ -369,12 +405,12 @@ def make_packet_trace2(
 
                 sl = slice(p * R, (p + 1) * R)
                 if payload_in_carry:
-                    for i in range(N_PAY):
+                    for i in range(n_pay):
                         okp, pv = pay_new[i]
                         pay_carry[i] = jnp.where(okp, pv, pay_carry[i])
                 else:
                     # single read-modify-write of the payload refs per pop
-                    for i in range(N_PAY):
+                    for i in range(n_pay):
                         okp, pv = pay_new[i]
                         cur = out_refs[3 + i][sl, :]
                         out_refs[3 + i][sl, :] = jnp.where(okp, pv, cur)
@@ -386,7 +422,7 @@ def make_packet_trace2(
                 new[S * p + 4] = bu
                 new[S * p + 5] = bv
                 if payload_in_carry:
-                    new[S * p + 6:S * p + 6 + N_PAY] = pay_carry
+                    new[S * p + 6:S * p + 6 + n_pay] = pay_carry
             return tuple(new)
 
         final = jax.lax.while_loop(cond, body, init)
@@ -396,7 +432,7 @@ def make_packet_trace2(
             out_refs[1][sl, :] = final[S * p + 4]
             out_refs[2][sl, :] = final[S * p + 5]
             if payload_in_carry:
-                for i in range(N_PAY):
+                for i in range(n_pay):
                     out_refs[3 + i][sl, :] = final[S * p + 6 + i]
 
     def trace(o, d, t_max, active=None) -> Payload:
@@ -437,26 +473,39 @@ def make_packet_trace2(
                 pltpu.VMEM((P, leaf_q, lanes), jnp.float32),
                 pltpu.SemaphoreType.DMA((P, leaf_q)),
             ]
+            if with_tex:
+                scratch += [
+                    pltpu.VMEM((P, leaf_q, lanes), jnp.float32),
+                    pltpu.SemaphoreType.DMA((P, leaf_q)),
+                ]
+        scene_args = [nodes, tris] + ([aux] if with_tex else [])
+        scene_specs = [pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=tris_space)]
+        if with_tex:
+            scene_specs.append(pl.BlockSpec(memory_space=tris_space))
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=tris_space),
-            ] + [blk] * 7,
+            in_specs=scene_specs + [blk] * 7,
             out_specs=[blk] * n_out,
             out_shape=[
                 jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32)
             ] * n_out,
             scratch_shapes=scratch,
             interpret=interpret,
-        )(nodes, tris, *args)
+        )(*scene_args, *args)
 
         flat = lambda a: a.reshape(-1)[:n]  # noqa: E731
         o19 = [flat(a) for a in outs]
         bt = o19[0]
         if active is not None:
             bt = jnp.where(active, bt, INF)
+        tex_kw = {}
+        if with_tex:
+            tex_kw = dict(
+                texu=o19[19], texv=o19[20],
+                texid=o19[21].astype(jnp.int32) - 1,
+            )
         return Payload(
             t=bt, u=o19[1], v=o19[2],
             p0=(o19[3], o19[4], o19[5]),
@@ -465,6 +514,7 @@ def make_packet_trace2(
             albedo=(o19[12], o19[13], o19[14]),
             emission=(o19[15], o19[16], o19[17]),
             mtype=o19[18],
+            **tex_kw,
         )
 
     return trace

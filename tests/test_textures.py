@@ -157,3 +157,55 @@ def test_dispatch_textured_uses_wavefront(tmp_path):
     step = select_render_step(cfg, buffers)
     out = jax.jit(lambda s: step(s, 0))(init_state(8, 8))
     assert np.isfinite(np.asarray(out.accum)).all()
+
+
+def test_textured_packet_payload_equivalence(tmp_path):
+    """Textured scenes through the Pallas packet kernels: the leaf rows
+    carry per-corner vt + texid (accel/wide.py tris_aux), the payload
+    returns the interpolated uv, and the shade phase's bilinear gather
+    reproduces the jnp traced path exactly — for the v1 packet kernel,
+    the v2 pipelined kernel, and the HBM-streamed v2 variant."""
+    from sfvp_tpu.accel.wide import build_wide_from_buffers
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.kernels.bvh_packet import make_packet_trace
+    from sfvp_tpu.kernels.bvh_packet2 import make_packet_trace2
+
+    p = _write_textured_scene(tmp_path)
+    buffers = upload(load_obj(p))
+    wide = build_wide_from_buffers(buffers)
+    assert wide.tris_aux is not None
+    cam = CameraConfig.look_at(origin=(0, 0, 2.5), target=(0, 0, 0),
+                               fov_y_deg=45)
+    cfg = RenderConfig(width=16, height=16, spp_per_step=2, max_depth=2,
+                       camera=cam, sampling="cosine",
+                       sky_emission=(1.0, 1.0, 1.0))
+    ref = jax.jit(make_render_step(cfg, buffers))(init_state(16, 16))
+    assert float(np.asarray(ref.accum).std()) > 0  # checker actually shows
+    traces = [
+        make_packet_trace(wide, t_min=cfg.t_min, interpret=True),
+        make_packet_trace2(wide, t_min=cfg.t_min, interpret=True),
+        make_packet_trace2(wide, t_min=cfg.t_min, interpret=True,
+                           stream_tris=True),
+    ]
+    for tr in traces:
+        step = make_render_step(cfg, buffers, trace_payload_fn=tr)
+        out = jax.jit(step)(init_state(16, 16))
+        np.testing.assert_allclose(
+            np.asarray(out.accum), np.asarray(ref.accum),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_untextured_payload_has_no_tex_planes():
+    """Untextured scenes must not pay for the 3 extra payload planes."""
+    from sfvp_tpu.accel.wide import build_wide_from_buffers
+    from sfvp_tpu.kernels.bvh_packet import make_packet_trace
+
+    buffers = upload(load_obj())
+    wide = build_wide_from_buffers(buffers)
+    assert wide.tris_aux is None
+    trace = make_packet_trace(wide, t_min=1e-3, interpret=True)
+    o = (jnp.zeros((128,)), jnp.full((128,), -1.0), jnp.full((128,), 5.0))
+    d = (jnp.zeros((128,)), jnp.zeros((128,)), jnp.full((128,), -1.0))
+    pay = trace(o, d, 1e4)
+    assert pay.texid is None and pay.texu is None
