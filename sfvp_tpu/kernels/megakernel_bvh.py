@@ -107,10 +107,13 @@ def make_bvh_regen_render_step(
             use_nee = False
         else:
             num_lights = lt.num
-            if num_lights > 64:
-                raise NotImplementedError(
-                    "in-kernel NEE supports <= 64 lights; use the jnp "
-                    "integrator for more"
+            if num_lights > 256:
+                # the unrolled CDF select is linear in L (15 selects per
+                # light per bounce); past 256 the wavefront integrator's
+                # searchsorted scales better — dispatch routes there
+                raise ValueError(
+                    "in-kernel NEE supports <= 256 lights; use the "
+                    "wavefront integrator for more"
                 )
             total_area = lt.total_area
             rows = []

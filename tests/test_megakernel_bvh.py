@@ -157,6 +157,52 @@ def test_bvh_regen_mis_equivalence(buffers):
     assert float(a.mrays) == float(b.mrays)
 
 
+def test_bvh_regen_many_lights_equivalence():
+    """More lights than the old 64 cap through the in-kernel unrolled CDF
+    select (now capped at 256) == the wavefront searchsorted NEE path."""
+    from sfvp_tpu.scene.objload import Scene
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu import upload as _upload
+
+    rng_ = np.random.default_rng(7)
+    big = 6.0
+    tris = [
+        [[-big, 0, -big], [big, 0, -big], [big, 0, big]],
+        [[-big, 0, -big], [big, 0, big], [-big, 0, big]],
+    ]
+    emission = [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]]
+    L = 80
+    for i in range(L):
+        cx = -5.0 + (i % 10) * 1.0
+        cz = -5.0 + (i // 10) * 1.2
+        s = 0.15 + 0.1 * rng_.random()
+        tris.append([[cx - s, 3.0, cz - s], [cx + s, 3.0, cz - s],
+                     [cx, 3.0, cz + s]])
+        emission.append(list(2.0 + 4.0 * rng_.random(3)))
+    t = len(tris)
+    scene = Scene(
+        vertices=np.asarray(tris, np.float32).reshape(-1, 3),
+        indices=np.arange(3 * t, dtype=np.uint32),
+        face_diffuse=np.tile(
+            np.asarray([[0.6, 0.5, 0.4]], np.float32), (t, 1)),
+        face_emission=np.asarray(emission, np.float32),
+    )
+    buffers = _upload(scene)
+    cam = CameraConfig.look_at(origin=(0.0, 1.8, 5.5), target=(0, 0.5, 0),
+                               fov_y_deg=50)
+    cfg = RenderConfig(width=16, height=8, spp_per_step=1, max_depth=2,
+                       camera=cam, sampling="cosine", use_nee=True,
+                       sky_emission=(0.05, 0.05, 0.05))
+    a = jax.jit(make_render_step(cfg, buffers))(init_state(8, 16))
+    b = jax.jit(make_bvh_regen_render_step(cfg, buffers, interpret=True))(
+        init_state(8, 16)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-4, atol=1e-6
+    )
+    assert float(a.mrays) == float(b.mrays)
+
+
 def test_bvh_regen_dof_equivalence(buffers):
     """In-kernel thin-lens DOF == the wavefront apply_thin_lens_soa path
     (same draw order: jitter draws, then the two lens draws)."""
