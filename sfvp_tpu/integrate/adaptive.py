@@ -70,13 +70,18 @@ def make_adaptive_steps(
         raise ValueError(
             f"image {w}x{h} not divisible by adaptive tile size {tile}"
         )
-    from ..dispatch import select_trace_fn
+    from ..dispatch import select_wavefront_kwargs
 
-    if trace_fn is None:
-        trace_fn = select_trace_fn(cfg, buffers)
+    if trace_fn is not None:
+        trace_kwargs = {"trace_fn": trace_fn}
+    else:
+        # same trace selection as the full-frame loop: on pallas+bvh
+        # scenes this is the packet payload kernel — the adaptive tile
+        # decode already produces packet-coherent waves
+        trace_kwargs = select_wavefront_kwargs(cfg, buffers)
     from .wavefront import make_render_step
 
-    base_step = make_render_step(cfg, buffers, trace_fn=trace_fn)
+    base_step = make_render_step(cfg, buffers, **trace_kwargs)
     render_pixels = base_step.render_pixels
     spp = np.float32(cfg.spp_per_step)
 
