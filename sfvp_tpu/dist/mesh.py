@@ -20,9 +20,6 @@ The reference has no distributed analog — its launch is one
 
 from __future__ import annotations
 
-import json
-import os
-import time
 from typing import Callable, Optional
 
 import jax
@@ -201,7 +198,9 @@ class DistRenderer:
 
         save_checkpoint_sharded(path, self.state, self.cfg.config_hash())
 
-    # -- progressive loop (mirrors Renderer.run) ---------------------------
+    # -- progressive loop (the SHARED implementation in render/driver.py;
+    # dist adds the device count to every record/progress line and gains
+    # preview + debug_nan support for free) ------------------------------
     def run(
         self,
         steps: int,
@@ -212,75 +211,14 @@ class DistRenderer:
         log_path: Optional[str] = None,
         srgb: bool = False,
         progress: bool = True,
+        preview_port: Optional[int] = None,
     ) -> np.ndarray:
-        from ..render.driver import write_image
+        from ..render.driver import run_progressive
 
-        log_f = open(log_path, "a") if log_path else None
-        spp_step = self.cfg.spp_per_step
-        try:
-            t_prev = time.perf_counter()
-            mrays_prev = float(self.state.mrays)
-            for i in range(steps):
-                self.state = self._step(self.state)
-                last = i == steps - 1
-                boundary = (
-                    last
-                    or (frame_every and (i + 1) % frame_every == 0)
-                    or (checkpoint_every and (i + 1) % checkpoint_every == 0)
-                    or progress
-                    or log_f is not None
-                )
-                if not boundary:
-                    continue
-                jax.block_until_ready(self.state.accum)
-                now = time.perf_counter()
-                frame = int(self.state.frame)
-                mrays_tot = float(self.state.mrays)
-                n_samples = self.cfg.width * self.cfg.height * spp_step
-                rec = {
-                    "step": frame,
-                    "spp": frame * spp_step,
-                    "step_s": round(now - t_prev, 5),
-                    "mrays_step": round(mrays_tot - mrays_prev, 3),
-                    "mrays_per_s": round(
-                        (mrays_tot - mrays_prev) / max(now - t_prev, 1e-9), 2
-                    ),
-                    "avg_path_len": round(
-                        (mrays_tot - mrays_prev) * 1e6 / n_samples, 3
-                    ),
-                    "devices": int(self.mesh.devices.size),
-                }
-                t_prev, mrays_prev = now, mrays_tot
-                if log_f:
-                    log_f.write(json.dumps(rec) + "\n")
-                    log_f.flush()
-                if progress:
-                    print(
-                        f"step {rec['step']:5d}  spp {rec['spp']:7d}  "
-                        f"{rec['step_s']*1e3:8.1f} ms  "
-                        f"{rec['mrays_per_s']:8.1f} Mray/s  "
-                        f"[{rec['devices']} dev]",
-                        flush=True,
-                    )
-                if frame_every and (i + 1) % frame_every == 0 and out:
-                    base, ext = os.path.splitext(out)
-                    write_image(
-                        f"{base}_step{frame:05d}{ext or '.png'}",
-                        self.image(),
-                        srgb=srgb,
-                    )
-                if (
-                    checkpoint_path
-                    and checkpoint_every
-                    and (i + 1) % checkpoint_every == 0
-                ):
-                    self._save_checkpoint(checkpoint_path)
-            img = self.image()
-            if out:
-                write_image(out, img, srgb=srgb)
-            if checkpoint_path:
-                self._save_checkpoint(checkpoint_path)
-            return img
-        finally:
-            if log_f:
-                log_f.close()
+        return run_progressive(
+            self, steps, out=out, frame_every=frame_every,
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every, log_path=log_path,
+            srgb=srgb, progress=progress, preview_port=preview_port,
+            extra_rec={"devices": int(self.mesh.devices.size)},
+        )

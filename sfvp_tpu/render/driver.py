@@ -92,91 +92,124 @@ class Renderer:
         progress: bool = True,
         preview_port: Optional[int] = None,
     ) -> np.ndarray:
-        log_f = open(log_path, "a") if log_path else None
-        preview = None
-        if preview_port is not None:
-            from .preview import PreviewServer
+        return run_progressive(
+            self, steps, out=out, frame_every=frame_every,
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every, log_path=log_path,
+            srgb=srgb, progress=progress, preview_port=preview_port,
+        )
 
-            preview = PreviewServer(port=preview_port, srgb=srgb)
-            if progress:
-                print(f"live preview: http://127.0.0.1:{preview.port}/",
-                      flush=True)
-        spp_step = self.cfg.spp_per_step
-        try:
-            t_prev = time.perf_counter()
-            mrays_prev = float(self.state.mrays)
-            for i in range(steps):
-                self.state = self._step(self.state)
-                # observe only at logging/export boundaries
-                last = i == steps - 1
-                boundary = (
-                    last
-                    or (frame_every and (i + 1) % frame_every == 0)
-                    or (checkpoint_every and (i + 1) % checkpoint_every == 0)
-                    or progress
-                    or log_f is not None
+
+def run_progressive(
+    r,
+    steps: int,
+    out: Optional[str] = None,
+    frame_every: int = 0,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    log_path: Optional[str] = None,
+    srgb: bool = False,
+    progress: bool = True,
+    preview_port: Optional[int] = None,
+    extra_rec: Optional[dict] = None,
+) -> np.ndarray:
+    """THE progressive loop (ref main.cpp:643-685 analog), shared by
+    ``Renderer.run`` and ``dist.DistRenderer.run`` so preview, debug_nan
+    and logging behavior cannot drift between the single- and multi-chip
+    drivers. ``r`` provides ``_step``/``state``/``cfg``/``image()``/
+    ``_save_checkpoint()``; ``extra_rec`` is merged into every JSONL
+    record and appended to the progress line."""
+    log_f = open(log_path, "a") if log_path else None
+    preview = None
+    if preview_port is not None:
+        from .preview import PreviewServer
+
+        preview = PreviewServer(port=preview_port, srgb=srgb)
+        if progress:
+            print(f"live preview: http://127.0.0.1:{preview.port}/",
+                  flush=True)
+    spp_step = r.cfg.spp_per_step
+    suffix = ""
+    if extra_rec:
+        suffix = "  [" + " ".join(
+            f"{v} {k}" for k, v in extra_rec.items()) + "]"
+    try:
+        t_prev = time.perf_counter()
+        mrays_prev = float(r.state.mrays)
+        for i in range(steps):
+            r.state = r._step(r.state)
+            # observe only at logging/export boundaries
+            last = i == steps - 1
+            boundary = (
+                last
+                or (frame_every and (i + 1) % frame_every == 0)
+                or (checkpoint_every and (i + 1) % checkpoint_every == 0)
+                or progress
+                or log_f is not None
+            )
+            if not boundary:
+                continue
+            jax.block_until_ready(r.state.accum)
+            if r.cfg.debug_nan and not bool(
+                np.isfinite(r.image()).all()
+            ):
+                raise FloatingPointError(
+                    f"non-finite accumulator at step {int(r.state.frame)}"
                 )
-                if not boundary:
-                    continue
-                jax.block_until_ready(self.state.accum)
-                if self.cfg.debug_nan and not bool(
-                    np.isfinite(np.asarray(self.state.accum)).all()
-                ):
-                    raise FloatingPointError(
-                        f"non-finite accumulator at step {int(self.state.frame)}"
-                    )
-                now = time.perf_counter()
-                frame = int(self.state.frame)
-                mrays_tot = float(self.state.mrays)
-                n_samples = self.cfg.width * self.cfg.height * spp_step
-                rec = {
-                    "step": frame,
-                    "spp": frame * spp_step,
-                    "step_s": round(now - t_prev, 5),
-                    "mrays_step": round(mrays_tot - mrays_prev, 3),
-                    "mrays_per_s": round(
-                        (mrays_tot - mrays_prev) / max(now - t_prev, 1e-9), 2
-                    ),
-                    # mean traced segments per path — the wavefront
-                    # occupancy signal (max_depth = nothing terminated)
-                    "avg_path_len": round(
-                        (mrays_tot - mrays_prev) * 1e6 / n_samples, 3
-                    ),
-                }
-                t_prev, mrays_prev = now, mrays_tot
-                if log_f:
-                    log_f.write(json.dumps(rec) + "\n")
-                    log_f.flush()
-                if progress:
-                    print(
-                        f"step {rec['step']:5d}  spp {rec['spp']:7d}  "
-                        f"{rec['step_s']*1e3:8.1f} ms  "
-                        f"{rec['mrays_per_s']:8.1f} Mray/s",
-                        flush=True,
-                    )
-                if preview is not None:
-                    preview.update(self.image())
-                if frame_every and (i + 1) % frame_every == 0 and out:
-                    base, ext = os.path.splitext(out)
-                    write_image(f"{base}_step{frame:05d}{ext or '.png'}",
-                                self.image(), srgb=srgb)
-                if (
-                    checkpoint_path
-                    and checkpoint_every
-                    and (i + 1) % checkpoint_every == 0
-                ):
-                    self._save_checkpoint(checkpoint_path)
-            img = self.image()
-            if out:
-                write_image(out, img, srgb=srgb)
-            if checkpoint_path:
-                self._save_checkpoint(checkpoint_path)
-            return img
-        finally:
+            now = time.perf_counter()
+            frame = int(r.state.frame)
+            mrays_tot = float(r.state.mrays)
+            n_samples = r.cfg.width * r.cfg.height * spp_step
+            rec = {
+                "step": frame,
+                "spp": frame * spp_step,
+                "step_s": round(now - t_prev, 5),
+                "mrays_step": round(mrays_tot - mrays_prev, 3),
+                "mrays_per_s": round(
+                    (mrays_tot - mrays_prev) / max(now - t_prev, 1e-9), 2
+                ),
+                # mean traced segments per path — the wavefront
+                # occupancy signal (max_depth = nothing terminated)
+                "avg_path_len": round(
+                    (mrays_tot - mrays_prev) * 1e6 / n_samples, 3
+                ),
+            }
+            if extra_rec:
+                rec.update(extra_rec)
+            t_prev, mrays_prev = now, mrays_tot
             if log_f:
-                log_f.close()
+                log_f.write(json.dumps(rec) + "\n")
+                log_f.flush()
+            if progress:
+                print(
+                    f"step {rec['step']:5d}  spp {rec['spp']:7d}  "
+                    f"{rec['step_s']*1e3:8.1f} ms  "
+                    f"{rec['mrays_per_s']:8.1f} Mray/s" + suffix,
+                    flush=True,
+                )
             if preview is not None:
-                preview.close()
+                preview.update(r.image())
+            if frame_every and (i + 1) % frame_every == 0 and out:
+                base, ext = os.path.splitext(out)
+                write_image(f"{base}_step{frame:05d}{ext or '.png'}",
+                            r.image(), srgb=srgb)
+            if (
+                checkpoint_path
+                and checkpoint_every
+                and (i + 1) % checkpoint_every == 0
+            ):
+                r._save_checkpoint(checkpoint_path)
+        img = r.image()
+        if out:
+            write_image(out, img, srgb=srgb)
+        if checkpoint_path:
+            r._save_checkpoint(checkpoint_path)
+        return img
+    finally:
+        if log_f:
+            log_f.close()
+        if preview is not None:
+            preview.close()
 
 
 def render(cfg: RenderConfig, scene: Scene, steps: int, **kwargs) -> np.ndarray:
