@@ -43,3 +43,54 @@ def test_dist_renderer_single_process_still_works(cornell):
     r.step(1)
     img = r.image()
     assert img.shape == (16, 16, 3) and np.isfinite(img).all()
+
+
+def test_two_process_multihost_dryrun():
+    """REAL 2-process jax.distributed run on CPU (4 virtual devices per
+    process): exercises make_array_from_process_local_data and
+    process_allgather, and pins the multi-process DistRenderer image to
+    the single-process render bit-for-bit (tests/multihost_worker.py)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # free port for the coordinator
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "multihost_worker.py")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        # each worker gets its own compile cache dir: two processes racing
+        # one cache directory is the kind of flake this test must not have
+        env["SFVP_CACHE_DIR"] = os.path.join(
+            env.get("TMPDIR", "/tmp"), f"sfvp_mh_{port}_{pid}"
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, worker], env=env, cwd=root,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        import pytest
+
+        pytest.skip("multihost worker timed out (slow CI environment)")
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"MULTIHOST_OK {pid}" in out, out
