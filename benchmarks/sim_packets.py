@@ -104,6 +104,15 @@ def main():
     p.add_argument("--wave-kind", choices=["bounce", "primary"],
                    default="bounce")
     p.add_argument("--order", choices=["min", "center"], default="min")
+    p.add_argument("--ser", action="store_true",
+                   help="SER analog: before splitting a 1024-ray block "
+                        "into sub-packets, re-sort its lanes by "
+                        "(direction octant, position morton) — what an "
+                        "IN-KERNEL lane re-sort between bounces could "
+                        "buy. Note a full-block (w1024) sort is a no-op "
+                        "by construction: the packet is the whole block, "
+                        "so the visited-subtree union is permutation-"
+                        "invariant. Only sub-packet widths can benefit.")
     a = p.parse_args()
 
     z = np.load(a.wave)
@@ -119,8 +128,31 @@ def main():
     n_live_groups = int(live.reshape(-1, 1024).any(axis=1).sum())
     gids = np.linspace(0, n_live_groups - 1, a.groups).astype(int)
 
+    def ser_perm(sl):
+        """Within-block lane permutation: (octant << 21) | morton-7, dead
+        rays last (mirror of the wavefront _sort_key)."""
+        o3 = np.stack([ox[sl], oy[sl], oz[sl]], 1)
+        lo, hi = o3.min(0), o3.max(0)
+        q = np.clip((o3 - lo) / np.maximum(hi - lo, 1e-6), 0, 1)
+        q = (q * 127).astype(np.int64)
+
+        def expand7(v):
+            v = (v | (v << 8)) & 0x100F00F
+            v = (v | (v << 4)) & 0x10C30C3
+            v = (v | (v << 2)) & 0x1249249
+            return v
+
+        morton = ((expand7(q[:, 0]) << 2) | (expand7(q[:, 1]) << 1)
+                  | expand7(q[:, 2]))
+        octant = ((dx[sl] >= 0).astype(np.int64) * 4
+                  + (dy[sl] >= 0).astype(np.int64) * 2
+                  + (dz[sl] >= 0).astype(np.int64))
+        key = (octant << 21) | morton
+        key = np.where(live[sl], key, np.int64(2 ** 30))
+        return np.argsort(key, kind="stable")
+
     out = {"wave": a.wave_kind, "sampled_groups": a.groups,
-           "live_groups": n_live_groups}
+           "live_groups": n_live_groups, "ser_sorted": bool(a.ser)}
     for width in (1024, 256, 128):
         tot_n = tot_l = 0
         lockstep = 0
@@ -129,16 +161,19 @@ def main():
             base = min(g * 1024, ox.shape[0] - gw)
             base -= base % gw
             sl = slice(base, base + gw)
-            go, gd = (ox[sl], oy[sl], oz[sl]), (dx, dy, dz)
             gl = live[sl]
             tmx = np.where(gl, tmax, np.float32(-np.inf))
+            perm = ser_perm(sl) if a.ser else np.arange(gw)
+            gox, goy, goz = ox[sl][perm], oy[sl][perm], oz[sl][perm]
+            gdx, gdy, gdz = dx[sl][perm], dy[sl][perm], dz[sl][perm]
+            tmx = tmx[perm]
             sub = []
             for s in range(0, gw, width):
                 ss = slice(s, s + width)
                 n_p, l_p = traverse_packet(
                     nodes, tris_rows,
-                    ox[sl][ss], oy[sl][ss], oz[sl][ss],
-                    dx[sl][ss], dy[sl][ss], dz[sl][ss], tmx[ss],
+                    gox[ss], goy[ss], goz[ss],
+                    gdx[ss], gdy[ss], gdz[ss], tmx[ss],
                     order=a.order, width=node_width)
                 sub.append(n_p + l_p)
                 tot_n += n_p
