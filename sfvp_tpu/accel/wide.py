@@ -49,6 +49,21 @@ class WideBVH(NamedTuple):
     # scene has no textures (the packet kernels then skip the aux planes).
     tris_aux: "np.ndarray | None" = None  # (Ml, 128) f32
 
+    @property
+    def codes(self) -> np.ndarray:
+        """(Mi, WIDTH) i32 pre-decoded child stack codes: 0 invalid,
+        ref+1 internal, -(ref+1) leaf. Lets the traversal kernels read
+        each child's push code with ONE scalar SMEM load that depends
+        only on the popped code — off the VMEM row-load critical chain —
+        instead of two lane extracts + a select per child."""
+        w = WIDTH  # shipping layout is 8-wide (see node_layout)
+        ref = self.nodes[:, 6 * w: 7 * w].astype(np.int64)
+        tag = self.nodes[:, 7 * w: 8 * w]
+        codes = np.where(
+            tag > 1.5, -(ref + 1), np.where(tag > 0.5, ref + 1, 0)
+        )
+        return codes.astype(np.int32)
+
 
 def _binary_children(bvh: BVH, i: int):
     """Children of internal node i in the DFS skip-link layout:

@@ -58,16 +58,25 @@ class Payload(NamedTuple):
     texid: "jnp.ndarray | None" = None  # i32, -1 = untextured
 
 
+SMEM_CODES_MAX_BYTES = 192 * 1024  # scalar memory is scarce; gate by size
+
+
 def make_packet_trace(
     wide: WideBVH,
     t_min: float,
     block_rows: int = 8,
     interpret: Optional[bool] = None,
+    smem_codes: Optional[bool] = None,
 ):
     """Build trace(o, d, t_max, active) -> Payload over (N,) SoA rays.
 
     t_max: scalar or per-ray (N,) array. active: optional (N,) bool; inactive
     lanes report miss and never influence traversal.
+
+    smem_codes: read the per-child stack codes from a pre-decoded SMEM
+    table (one scalar load per child, off the VMEM row-load chain)
+    instead of two lane extracts + a select; None = auto (on when the
+    table fits the SMEM budget).
     """
     nodes = jnp.asarray(wide.nodes)
     tris = jnp.asarray(wide.tris)
@@ -78,11 +87,18 @@ def make_packet_trace(
     t_min = np.float32(t_min)
     lanes = 128
     r = block_rows
+    codes_np = wide.codes
+    if smem_codes is None:
+        smem_codes = codes_np.nbytes <= SMEM_CODES_MAX_BYTES
+    codes = jnp.asarray(codes_np) if smem_codes else None
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     def kernel(nodes_ref, tris_ref, *refs):
+        if smem_codes:
+            codes_ref = refs[0]
+            refs = refs[1:]
         if with_tex:
             aux_ref = refs[0]
             refs = refs[1:]
@@ -135,14 +151,22 @@ def make_packet_trace(
                 subtrees ordered far-to-near (nearest pops first so best-t
                 tightens early and prunes the rest)."""
                 bt, bu, bv, pay = args
-                nrow = nodes_ref[pl.ds(jnp.maximum(code - 1, 0), 1), :]
+                node_i = jnp.maximum(code - 1, 0)
+                nrow = nodes_ref[pl.ds(node_i, 1), :]
                 limit = jnp.minimum(bt, tmax)
                 keys = []
-                codes = []
+                codes_c = []
                 # hoist ALL scalar lane extractions before any vector math:
                 # bunched scalar loads schedule ~1.8x better than extracts
                 # interleaved with the slab tests (benchmarks/probe_carry.py)
-                sc = [nrow[0, c] for c in range(64)]
+                if smem_codes:
+                    # child codes via scalar SMEM loads (depend only on the
+                    # popped code, not the VMEM row) — 48 extracts instead
+                    # of 64, no per-child tag decode
+                    sc = [nrow[0, c] for c in range(48)]
+                    ccodes = [codes_ref[node_i, ci] for ci in range(8)]
+                else:
+                    sc = [nrow[0, c] for c in range(64)]
                 for ci in range(8):
                     bmnx = sc[0 + ci]
                     bmny = sc[8 + ci]
@@ -166,19 +190,22 @@ def make_packet_trace(
                                     jnp.maximum(ty0, ty1)),
                         jnp.minimum(jnp.maximum(tz0, tz1), limit),
                     )
-                    tag = sc[56 + ci]
-                    ref = sc[48 + ci].astype(jnp.int32)
                     hit = tnear <= tfar
-                    push = (tag > 0.5) & jnp.any(hit)
+                    if smem_codes:
+                        code_c0 = ccodes[ci]  # 0 = invalid slot
+                        push = (code_c0 != 0) & jnp.any(hit)
+                    else:
+                        tag = sc[56 + ci]
+                        ref = sc[48 + ci].astype(jnp.int32)
+                        code_c0 = jnp.where(
+                            tag > 1.5, -(ref + 1), ref + 1
+                        )
+                        push = (tag > 0.5) & jnp.any(hit)
                     # packet entry distance: min tnear over lanes that hit
                     key = jnp.min(jnp.where(hit, tnear, jnp.float32(np.inf)))
                     keys.append(jnp.where(push, key, jnp.float32(-np.inf)))
-                    codes.append(
-                        jnp.where(
-                            push,
-                            jnp.where(tag > 1.5, -(ref + 1), ref + 1),
-                            jnp.int32(0),
-                        )
+                    codes_c.append(
+                        jnp.where(push, code_c0, jnp.int32(0))
                     )
 
                 # descending-key sorting network (8 scalars, 19 comparators):
@@ -191,14 +218,14 @@ def make_packet_trace(
                     swap = keys[a] < keys[b]
                     ka = jnp.where(swap, keys[b], keys[a])
                     kb = jnp.where(swap, keys[a], keys[b])
-                    ca = jnp.where(swap, codes[b], codes[a])
-                    cb = jnp.where(swap, codes[a], codes[b])
+                    ca = jnp.where(swap, codes_c[b], codes_c[a])
+                    cb = jnp.where(swap, codes_c[a], codes_c[b])
                     keys[a], keys[b] = ka, kb
-                    codes[a], codes[b] = ca, cb
+                    codes_c[a], codes_c[b] = ca, cb
 
                 spn = sp
                 for ci in range(8):
-                    code_c = codes[ci]
+                    code_c = codes_c[ci]
                     do_push = code_c != 0
 
                     @pl.when(do_push)
@@ -318,13 +345,18 @@ def make_packet_trace(
 
         blk = pl.BlockSpec((r, lanes), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-        scene_args = [nodes, tris] + ([aux] if with_tex else [])
+        scene_args = [nodes, tris]
+        scene_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        if smem_codes:
+            scene_args.append(codes)
+            scene_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        if with_tex:
+            scene_args.append(aux)
+            scene_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM)
-            ] * len(scene_args) + [blk] * 7,
+            in_specs=scene_specs + [blk] * 7,
             out_specs=[blk] * n_out,
             out_shape=[
                 jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32)
@@ -365,6 +397,7 @@ def make_packet_occlusion(
     t_min: float,
     block_rows: int = 8,
     interpret: Optional[bool] = None,
+    smem_codes: Optional[bool] = None,
 ):
     """Occlusion-only (any-hit) packet traversal for shadow rays: no
     payload carries, and a lane retires on its FIRST hit (its per-lane
@@ -378,12 +411,20 @@ def make_packet_occlusion(
     t_min = np.float32(t_min)
     lanes = 128
     r = block_rows
+    codes_np = wide.codes
+    if smem_codes is None:
+        smem_codes = codes_np.nbytes <= SMEM_CODES_MAX_BYTES
+    codes = jnp.asarray(codes_np) if smem_codes else None
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def kernel(nodes_ref, tris_ref, ox_ref, oy_ref, oz_ref,
-               dx_ref, dy_ref, dz_ref, tmax_ref, occ_ref, stack_ref):
+    def kernel(nodes_ref, tris_ref, *refs):
+        if smem_codes:
+            codes_ref = refs[0]
+            refs = refs[1:]
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+         occ_ref, stack_ref) = refs
         ox = ox_ref[:]
         oy = oy_ref[:]
         oz = oz_ref[:]
@@ -418,9 +459,14 @@ def make_packet_occlusion(
             limit = jnp.where(occ > 0.5, jnp.float32(-np.inf), tmax0)
 
             def node_fn(occ):
-                nrow = nodes_ref[pl.ds(jnp.maximum(code - 1, 0), 1), :]
+                node_i = jnp.maximum(code - 1, 0)
+                nrow = nodes_ref[pl.ds(node_i, 1), :]
                 spn = sp
-                sc = [nrow[0, c] for c in range(64)]
+                if smem_codes:
+                    sc = [nrow[0, c] for c in range(48)]
+                    ccodes = [codes_ref[node_i, ci] for ci in range(8)]
+                else:
+                    sc = [nrow[0, c] for c in range(64)]
                 for ci in range(8):
                     bmnx = sc[0 + ci]
                     bmny = sc[8 + ci]
@@ -444,10 +490,14 @@ def make_packet_occlusion(
                                     jnp.maximum(ty0, ty1)),
                         jnp.minimum(jnp.maximum(tz0, tz1), limit),
                     )
-                    tag = sc[56 + ci]
-                    ref = sc[48 + ci].astype(jnp.int32)
-                    push = (tag > 0.5) & jnp.any(tnear <= tfar)
-                    code_c = jnp.where(tag > 1.5, -(ref + 1), ref + 1)
+                    if smem_codes:
+                        code_c = ccodes[ci]
+                        push = (code_c != 0) & jnp.any(tnear <= tfar)
+                    else:
+                        tag = sc[56 + ci]
+                        ref = sc[48 + ci].astype(jnp.int32)
+                        push = (tag > 0.5) & jnp.any(tnear <= tfar)
+                        code_c = jnp.where(tag > 1.5, -(ref + 1), ref + 1)
 
                     @pl.when(push)
                     def _(spn=spn, code_c=code_c):
@@ -522,19 +572,21 @@ def make_packet_occlusion(
 
         blk = pl.BlockSpec((r, lanes), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
+        scene_args = [nodes, tris]
+        scene_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        if smem_codes:
+            scene_args.append(codes)
+            scene_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         occ = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ] + [blk] * 7,
+            in_specs=scene_specs + [blk] * 7,
             out_specs=blk,
             out_shape=jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32),
             scratch_shapes=[pltpu.SMEM((stack_n,), jnp.int32)],
             interpret=interpret,
         )(
-            nodes, tris,
+            *scene_args,
             plane(o[0]), plane(o[1]), plane(o[2]),
             plane(d[0]), plane(d[1]), plane(d[2]),
             plane(tmax, fill=-np.inf),

@@ -56,6 +56,7 @@ def make_packet_trace2(
     payload_in_carry: bool = True,
     interpret: Optional[bool] = None,
     stream_tris: bool = False,
+    smem_codes: Optional[bool] = None,
 ):
     """Build trace(o, d, t_max, active) -> Payload over (N,) SoA rays.
 
@@ -68,6 +69,12 @@ def make_packet_trace2(
     """
     nodes = jnp.asarray(wide.nodes)
     tris = jnp.asarray(wide.tris)
+    from .bvh_packet import SMEM_CODES_MAX_BYTES
+
+    codes_np = wide.codes
+    if smem_codes is None:
+        smem_codes = codes_np.nbytes <= SMEM_CODES_MAX_BYTES
+    codes_tbl = jnp.asarray(codes_np) if smem_codes else None
     with_tex = wide.tris_aux is not None
     aux = jnp.asarray(wide.tris_aux) if with_tex else None
     n_pay = 19 if with_tex else N_PAY
@@ -85,6 +92,9 @@ def make_packet_trace2(
     n_out = 3 + n_pay
 
     def kernel(nodes_ref, tris_ref, *refs):
+        if smem_codes:
+            codes_ref = refs[0]
+            refs = refs[1:]
         if with_tex:
             aux_ref = refs[0]
             refs = refs[1:]
@@ -195,7 +205,11 @@ def make_packet_trace2(
                 hit_pair = None
                 # bunched scalar extraction before vector math (1.8x;
                 # see benchmarks/probe_carry.py)
-                nsc = [nrow[0, c2] for c2 in range(64)]
+                if smem_codes:
+                    nsc = [nrow[0, c2] for c2 in range(48)]
+                    nccodes = [codes_ref[node_i, ci] for ci in range(8)]
+                else:
+                    nsc = [nrow[0, c2] for c2 in range(64)]
                 for ci in range(8):
                     bmnx = nsc[0 + ci]
                     bmny = nsc[8 + ci]
@@ -236,7 +250,16 @@ def make_packet_trace2(
                                     jnp.minimum(cty0, cty1)),
                         jnp.maximum(jnp.minimum(ctz0, ctz1), t_min))
                     keys.append(ckey)
-                    codes.append((nsc[56 + ci], nsc[48 + ci].astype(i32)))
+                    if smem_codes:
+                        codes.append(nccodes[ci])
+                    else:
+                        tag = nsc[56 + ci]
+                        ref = nsc[48 + ci].astype(i32)
+                        codes.append(jnp.where(
+                            tag > 0.5,
+                            jnp.where(tag > 1.5, -(ref + 1), ref + 1),
+                            i32(0),
+                        ))
 
                 # decode packed counts -> per-child push flags
                 push = []
@@ -244,10 +267,9 @@ def make_packet_trace2(
                 for ci in range(8):
                     cnt = pk_counts[ci // 2]
                     c_ci = (cnt & 0xFFFF) if ci % 2 == 0 else (cnt >> 16)
-                    tag, ref = codes[ci]
+                    code_c = codes[ci]
                     ok = do_node & jnp.logical_not(is_spilled_leaf) \
-                        & (tag > 0.5) & (c_ci > 0)
-                    code_c = jnp.where(tag > 1.5, -(ref + 1), ref + 1)
+                        & (code_c != 0) & (c_ci > 0)
                     push.append(ok)
                     codes_s.append(jnp.where(ok, code_c, i32(0)))
 
@@ -478,10 +500,14 @@ def make_packet_trace2(
                     pltpu.VMEM((P, leaf_q, lanes), jnp.float32),
                     pltpu.SemaphoreType.DMA((P, leaf_q)),
                 ]
-        scene_args = [nodes, tris] + ([aux] if with_tex else [])
+        scene_args = [nodes, tris]
         scene_specs = [pl.BlockSpec(memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=tris_space)]
+        if smem_codes:
+            scene_args.append(codes_tbl)
+            scene_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         if with_tex:
+            scene_args.append(aux)
             scene_specs.append(pl.BlockSpec(memory_space=tris_space))
         outs = pl.pallas_call(
             kernel,

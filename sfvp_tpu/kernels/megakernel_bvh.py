@@ -54,6 +54,7 @@ def make_bvh_regen_render_step(
     block_rows: int = 8,
     interpret: Optional[bool] = None,
     stream_tris: bool = False,
+    smem_codes: Optional[bool] = None,
 ):
     """render_step(state, row0) -> state. Whole spp per kernel call, BVH
     traversal per bounce, in-lane sample regeneration.
@@ -69,6 +70,12 @@ def make_bvh_regen_render_step(
         wide = build_wide_from_buffers(scene_buffers)
     nodes = jnp.asarray(wide.nodes)
     tris = jnp.asarray(wide.tris)
+    from .bvh_packet import SMEM_CODES_MAX_BYTES
+
+    codes_np = wide.codes
+    if smem_codes is None:
+        smem_codes = codes_np.nbytes <= SMEM_CODES_MAX_BYTES
+    codes = jnp.asarray(codes_np) if smem_codes else None
     stack_n = int(wide.max_stack)
 
     gh, gw = global_shape if global_shape is not None else (cfg.height, cfg.width)
@@ -159,6 +166,9 @@ def make_bvh_regen_render_step(
 
     def build_kernel(local_npix, r, swz):
         def kernel(scal_ref, nodes_ref, tris_ref, *refs):
+            if smem_codes:
+                codes_ref = refs[0]
+                refs = refs[1:]
             if use_nee:
                 light_ref = refs[0]
                 refs = refs[1:]
@@ -317,11 +327,16 @@ def make_bvh_regen_render_step(
 
                     def node_fn(args):
                         bt, bu, bv, pay = args
-                        nrow = nodes_ref[pl.ds(jnp.maximum(code - 1, 0), 1), :]
+                        node_i = jnp.maximum(code - 1, 0)
+                        nrow = nodes_ref[pl.ds(node_i, 1), :]
                         limit = jnp.minimum(bt, tmax_l)
                         keys = []
                         codes = []
-                        sc = [nrow[0, cc] for cc in range(64)]
+                        if smem_codes:
+                            sc = [nrow[0, cc] for cc in range(48)]
+                            ccodes = [codes_ref[node_i, ci] for ci in range(8)]
+                        else:
+                            sc = [nrow[0, cc] for cc in range(64)]
                         for ci in range(8):
                             bmnx = sc[0 + ci]
                             bmny = sc[8 + ci]
@@ -345,10 +360,17 @@ def make_bvh_regen_render_step(
                                             jnp.maximum(ty0, ty1)),
                                 jnp.minimum(jnp.maximum(tz0, tz1), limit),
                             )
-                            tag = sc[56 + ci]
-                            ref = sc[48 + ci].astype(jnp.int32)
                             hit = tnear <= tfar
-                            push = (tag > 0.5) & jnp.any(hit)
+                            if smem_codes:
+                                code_c0 = ccodes[ci]
+                                push = (code_c0 != 0) & jnp.any(hit)
+                            else:
+                                tag = sc[56 + ci]
+                                ref = sc[48 + ci].astype(jnp.int32)
+                                code_c0 = jnp.where(
+                                    tag > 1.5, -(ref + 1), ref + 1
+                                )
+                                push = (tag > 0.5) & jnp.any(hit)
                             key = jnp.min(
                                 jnp.where(hit, tnear, jnp.float32(np.inf))
                             )
@@ -356,11 +378,7 @@ def make_bvh_regen_render_step(
                                 jnp.where(push, key, jnp.float32(-np.inf))
                             )
                             codes.append(
-                                jnp.where(
-                                    push,
-                                    jnp.where(tag > 1.5, -(ref + 1), ref + 1),
-                                    jnp.int32(0),
-                                )
+                                jnp.where(push, code_c0, jnp.int32(0))
                             )
                         net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
                                (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (3, 7),
@@ -643,11 +661,16 @@ def make_bvh_regen_render_step(
                         )
 
                         def node_fn(occ):
-                            nrow = nodes_ref[
-                                pl.ds(jnp.maximum(code - 1, 0), 1), :
-                            ]
+                            node_i = jnp.maximum(code - 1, 0)
+                            nrow = nodes_ref[pl.ds(node_i, 1), :]
                             spn = sp
-                            nsc = [nrow[0, cc] for cc in range(64)]
+                            if smem_codes:
+                                nsc = [nrow[0, cc] for cc in range(48)]
+                                nccodes = [
+                                    codes_ref[node_i, ci] for ci in range(8)
+                                ]
+                            else:
+                                nsc = [nrow[0, cc] for cc in range(64)]
                             for ci in range(8):
                                 tx0 = (nsc[0 + ci] - sox) * sivx
                                 tx1 = (nsc[24 + ci] - sox) * sivx
@@ -667,12 +690,18 @@ def make_bvh_regen_render_step(
                                     jnp.minimum(jnp.maximum(tz0, tz1),
                                                 slimit),
                                 )
-                                tag = nsc[56 + ci]
-                                ref = nsc[48 + ci].astype(jnp.int32)
-                                push = (tag > 0.5) & jnp.any(tnear <= tfar)
-                                code_c = jnp.where(
-                                    tag > 1.5, -(ref + 1), ref + 1
-                                )
+                                if smem_codes:
+                                    code_c = nccodes[ci]
+                                    push = (code_c != 0) & jnp.any(
+                                        tnear <= tfar)
+                                else:
+                                    tag = nsc[56 + ci]
+                                    ref = nsc[48 + ci].astype(jnp.int32)
+                                    push = (tag > 0.5) & jnp.any(
+                                        tnear <= tfar)
+                                    code_c = jnp.where(
+                                        tag > 1.5, -(ref + 1), ref + 1
+                                    )
 
                                 @pl.when(push)
                                 def _(spn=spn, code_c=code_c):
@@ -911,6 +940,9 @@ def make_bvh_regen_render_step(
             pl.BlockSpec(memory_space=pl.ANY if stream_tris else pltpu.VMEM),
         ]
         args = [scal, nodes, tris]
+        if smem_codes:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            args.append(codes)
         if use_nee:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(light_table)
