@@ -138,7 +138,7 @@ def bench_city_sorted(results):
     from sfvp_tpu.config import CameraConfig
     from sfvp_tpu.scene.procedural import city_mesh
 
-    buffers = upload(city_mesh(n_buildings=96, subdiv=9))
+    buffers = upload(city_mesh(n_buildings=96, subdiv=9, glossy_ground=True))
     cam = CameraConfig.look_at(origin=(13.0, 9.0, 13.0),
                                target=(0.0, 0.8, 0.0), fov_y_deg=55.0)
     cfg = _gi_cfg(width=2048, height=2048, spp_per_step=4, camera=cam,

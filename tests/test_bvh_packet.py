@@ -45,6 +45,42 @@ def test_wide_build_structure(cornell, cornell_buffers):
     assert set(np.unique(tags)).issubset({0.0, 1.0, 2.0})
 
 
+def test_codes_table_matches_node_rows():
+    """wide.codes must be the exact ref/tag decode the kernels used to do
+    with lane extracts (0 invalid, ref+1 internal, -(ref+1) leaf)."""
+    tris = _soup(60, seed=3)
+    z = np.zeros((60, 3), np.float32)
+    buffers = from_arrays(tris, z, z)
+    wide = build_wide(
+        bvh_from_arrays(tris, leaf_size=LEAF_TRIS), materials_array(buffers)
+    )
+    codes = wide.codes
+    assert codes.shape == (wide.nodes.shape[0], 8)
+    ref = wide.nodes[:, 48:56].astype(np.int64)
+    tag = wide.nodes[:, 56:64]
+    want = np.where(tag > 1.5, -(ref + 1), np.where(tag > 0.5, ref + 1, 0))
+    np.testing.assert_array_equal(codes, want.astype(np.int32))
+
+
+def test_packet_trace_smem_matches_extract():
+    """smem_codes on == off, bitwise (same traversal, different decode)."""
+    tris = _soup(60, seed=3)
+    kd = np.random.default_rng(4).uniform(0, 1, (60, 3)).astype(np.float32)
+    buffers = from_arrays(tris, kd, np.zeros((60, 3), np.float32))
+    wide = build_wide(
+        bvh_from_arrays(tris, leaf_size=LEAF_TRIS), materials_array(buffers)
+    )
+    o, d = _rays(256, seed=6)
+    outs = []
+    for smem in (False, True):
+        trace = make_packet_trace(wide, t_min=1e-3, interpret=True,
+                                  smem_codes=smem)
+        pay = trace((o[:, 0], o[:, 1], o[:, 2]),
+                    (d[:, 0], d[:, 1], d[:, 2]), 1e4)
+        outs.append(np.asarray(pay.t))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_packet_matches_brute():
     n = 60
     tris = _soup(n, seed=3)

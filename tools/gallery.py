@@ -147,6 +147,34 @@ def main():
                      use_mis=True),
         ibl)
 
+    # 8. map_Kd texture at scale: 100k tris through the packet kernels'
+    # uv/texid payload planes (round 3)
+    tex_path = os.path.join(a.out, "_checker_tex.png")
+    if not os.path.exists(tex_path):
+        from sfvp_tpu.render.png import encode_png
+
+        yy, xx = np.mgrid[0:64, 0:64]
+        cells = ((xx // 8 + yy // 8) % 2).astype(np.uint8)
+        im = np.where(cells[..., None] > 0, [235, 235, 235],
+                      [200, 40, 40]).astype(np.uint8)
+        with open(tex_path, "wb") as f:
+            f.write(encode_png(im))
+    tex = sphere_mesh(n_lat=224, n_lon=224, bump=0.3)
+    t = len(tex.face_diffuse)
+    tri = tex.vertices[tex.indices.reshape(-1)].reshape(t, 3, 3)
+    tex.face_uv = np.stack(
+        [tri[..., 0] * 0.5 + 0.5, tri[..., 2] * 0.5 + 0.5], axis=-1
+    ).astype(np.float32)
+    tex.face_tex = np.zeros((t,), np.int32)
+    tex.texture_paths = [tex_path]
+    cam = CameraConfig.look_at(origin=(0, 2.2, 5.0), target=(0, 0, 0),
+                               fov_y_deg=50)
+    run("sphere_textured",
+        RenderConfig(width=s, height=s, spp_per_step=16, max_depth=4,
+                     camera=cam, sampling="cosine",
+                     sky_emission=(0.8, 0.85, 1.0)),
+        tex)
+
 
 if __name__ == "__main__":
     main()
