@@ -168,6 +168,38 @@ def test_preview_server_roundtrip():
         pv.close()
 
 
+def test_preview_stream_pushes_frames():
+    """/stream is PUSH (multipart/x-mixed-replace): two update() calls
+    must deliver two PNG parts without the client re-requesting."""
+    import socket
+
+    from sfvp_tpu.render.preview import PreviewServer
+
+    pv = PreviewServer(port=0)
+    try:
+        img = np.random.default_rng(0).random((8, 8, 3)).astype(np.float32)
+        pv.update(img)
+        s = socket.create_connection(("127.0.0.1", pv.port), timeout=5)
+        s.sendall(b"GET /stream HTTP/1.1\r\nHost: x\r\n\r\n")
+        s.settimeout(5)
+
+        def read_until(marker, buf=b""):
+            while marker not in buf:
+                chunk = s.recv(65536)
+                assert chunk, "stream closed early"
+                buf += chunk
+            return buf
+
+        buf = read_until(b"multipart/x-mixed-replace")
+        buf = read_until(b"\x89PNG\r\n\x1a\n", buf)   # first pushed part
+        tail = buf.split(b"\x89PNG", 1)[1]
+        pv.update(img * 0.5)                           # push a second part
+        read_until(b"\x89PNG\r\n\x1a\n", tail)
+        s.close()
+    finally:
+        pv.close()
+
+
 def test_device_report_and_capabilities():
     rep = device_report()
     assert len(rep) >= 1 and "platform" in rep[0]
