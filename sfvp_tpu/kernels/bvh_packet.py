@@ -90,7 +90,8 @@ def make_packet_trace(
     codes_np = wide.codes
     if smem_codes is None:
         smem_codes = codes_np.nbytes <= SMEM_CODES_MAX_BYTES
-    codes = jnp.asarray(codes_np) if smem_codes else None
+    codes = (jnp.asarray(codes_np.reshape(-1))
+             if smem_codes else None)  # 1-D: SMEM pads 2-D rows to 128 lanes
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -164,7 +165,7 @@ def make_packet_trace(
                     # popped code, not the VMEM row) — 48 extracts instead
                     # of 64, no per-child tag decode
                     sc = [nrow[0, c] for c in range(48)]
-                    ccodes = [codes_ref[node_i, ci] for ci in range(8)]
+                    ccodes = [codes_ref[node_i * 8 + ci] for ci in range(8)]
                 else:
                     sc = [nrow[0, c] for c in range(64)]
                 for ci in range(8):
@@ -414,7 +415,8 @@ def make_packet_occlusion(
     codes_np = wide.codes
     if smem_codes is None:
         smem_codes = codes_np.nbytes <= SMEM_CODES_MAX_BYTES
-    codes = jnp.asarray(codes_np) if smem_codes else None
+    codes = (jnp.asarray(codes_np.reshape(-1))
+             if smem_codes else None)  # 1-D: SMEM pads 2-D rows to 128 lanes
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -464,7 +466,7 @@ def make_packet_occlusion(
                 spn = sp
                 if smem_codes:
                     sc = [nrow[0, c] for c in range(48)]
-                    ccodes = [codes_ref[node_i, ci] for ci in range(8)]
+                    ccodes = [codes_ref[node_i * 8 + ci] for ci in range(8)]
                 else:
                     sc = [nrow[0, c] for c in range(64)]
                 for ci in range(8):

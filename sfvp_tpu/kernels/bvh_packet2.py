@@ -74,7 +74,8 @@ def make_packet_trace2(
     codes_np = wide.codes
     if smem_codes is None:
         smem_codes = codes_np.nbytes <= SMEM_CODES_MAX_BYTES
-    codes_tbl = jnp.asarray(codes_np) if smem_codes else None
+    codes_tbl = (jnp.asarray(codes_np.reshape(-1))
+                 if smem_codes else None)  # 1-D: SMEM pads 2-D rows
     with_tex = wide.tris_aux is not None
     aux = jnp.asarray(wide.tris_aux) if with_tex else None
     n_pay = 19 if with_tex else N_PAY
@@ -207,7 +208,7 @@ def make_packet_trace2(
                 # see benchmarks/probe_carry.py)
                 if smem_codes:
                     nsc = [nrow[0, c2] for c2 in range(48)]
-                    nccodes = [codes_ref[node_i, ci] for ci in range(8)]
+                    nccodes = [codes_ref[node_i * 8 + ci] for ci in range(8)]
                 else:
                     nsc = [nrow[0, c2] for c2 in range(64)]
                 for ci in range(8):

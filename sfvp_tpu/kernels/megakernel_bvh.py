@@ -75,7 +75,8 @@ def make_bvh_regen_render_step(
     codes_np = wide.codes
     if smem_codes is None:
         smem_codes = codes_np.nbytes <= SMEM_CODES_MAX_BYTES
-    codes = jnp.asarray(codes_np) if smem_codes else None
+    codes = (jnp.asarray(codes_np.reshape(-1))
+             if smem_codes else None)  # 1-D: SMEM pads 2-D rows to 128 lanes
     stack_n = int(wide.max_stack)
 
     gh, gw = global_shape if global_shape is not None else (cfg.height, cfg.width)
@@ -334,7 +335,7 @@ def make_bvh_regen_render_step(
                         codes = []
                         if smem_codes:
                             sc = [nrow[0, cc] for cc in range(48)]
-                            ccodes = [codes_ref[node_i, ci] for ci in range(8)]
+                            ccodes = [codes_ref[node_i * 8 + ci] for ci in range(8)]
                         else:
                             sc = [nrow[0, cc] for cc in range(64)]
                         for ci in range(8):
@@ -667,7 +668,8 @@ def make_bvh_regen_render_step(
                             if smem_codes:
                                 nsc = [nrow[0, cc] for cc in range(48)]
                                 nccodes = [
-                                    codes_ref[node_i, ci] for ci in range(8)
+                                    codes_ref[node_i * 8 + ci]
+                                    for ci in range(8)
                                 ]
                             else:
                                 nsc = [nrow[0, cc] for cc in range(64)]
