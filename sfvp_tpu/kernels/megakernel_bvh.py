@@ -55,6 +55,7 @@ def make_bvh_regen_render_step(
     interpret: Optional[bool] = None,
     stream_tris: bool = False,
     smem_codes: Optional[bool] = None,
+    fast_node: bool = False,
 ):
     """render_step(state, row0) -> state. Whole spp per kernel call, BVH
     traversal per bounce, in-lane sample regeneration.
@@ -306,6 +307,19 @@ def make_bvh_regen_render_step(
                 ivy = safe_inv(dy)
                 ivz = safe_inv(dz)
                 tmax_l = jnp.where(active, t_max, np.float32(-np.inf))
+                if fast_node:
+                    # center-ray scalars for ordered pushes (v2 recipe,
+                    # kernels/bvh_packet2.py): ordering keys from ONE
+                    # representative ray's scalar slab test — no
+                    # cross-lane min reduction per child. Re-extracted
+                    # every bounce (the regen loop changes the rays).
+                    cr = r // 2
+                    cox_s = ox[cr, 64]
+                    coy_s = oy[cr, 64]
+                    coz_s = oz[cr, 64]
+                    civx = safe_inv(dx[cr, 64])
+                    civy = safe_inv(dy[cr, 64])
+                    civz = safe_inv(dz[cr, 64])
 
                 stack_ref[0] = jnp.int32(1)
                 t_init = (
@@ -333,6 +347,8 @@ def make_bvh_regen_render_step(
                         limit = jnp.minimum(bt, tmax_l)
                         keys = []
                         codes = []
+                        pk_counts = []
+                        hit_pair = None
                         if smem_codes:
                             sc = [nrow[0, cc] for cc in range(48)]
                             ccodes = [codes_ref[node_i * 8 + ci] for ci in range(8)]
@@ -364,23 +380,64 @@ def make_bvh_regen_render_step(
                             hit = tnear <= tfar
                             if smem_codes:
                                 code_c0 = ccodes[ci]
-                                push = (code_c0 != 0) & jnp.any(hit)
                             else:
                                 tag = sc[56 + ci]
                                 ref = sc[48 + ci].astype(jnp.int32)
                                 code_c0 = jnp.where(
-                                    tag > 1.5, -(ref + 1), ref + 1
+                                    tag > 0.5,
+                                    jnp.where(tag > 1.5, -(ref + 1),
+                                              ref + 1),
+                                    jnp.int32(0),
                                 )
-                                push = (tag > 0.5) & jnp.any(hit)
-                            key = jnp.min(
-                                jnp.where(hit, tnear, jnp.float32(np.inf))
-                            )
-                            keys.append(
-                                jnp.where(push, key, jnp.float32(-np.inf))
-                            )
-                            codes.append(
-                                jnp.where(push, code_c0, jnp.int32(0))
-                            )
+                            if fast_node:
+                                # pack two children's hit counts per i32
+                                # sum: 4 reductions/pop instead of 8 any()
+                                # + 8 min()
+                                hi32 = hit.astype(jnp.int32)
+                                if ci % 2 == 0:
+                                    hit_pair = hi32
+                                else:
+                                    pk_counts.append(
+                                        jnp.sum(hit_pair + hi32 * 65536)
+                                    )
+                                ctx0 = (bmnx - cox_s) * civx
+                                ctx1 = (bmxx - cox_s) * civx
+                                cty0 = (bmny - coy_s) * civy
+                                cty1 = (bmxy - coy_s) * civy
+                                ctz0 = (bmnz - coz_s) * civz
+                                ctz1 = (bmxz - coz_s) * civz
+                                ckey = jnp.maximum(
+                                    jnp.maximum(jnp.minimum(ctx0, ctx1),
+                                                jnp.minimum(cty0, cty1)),
+                                    jnp.maximum(jnp.minimum(ctz0, ctz1),
+                                                t_min),
+                                )
+                                keys.append(ckey)
+                                codes.append(code_c0)
+                            else:
+                                push = (code_c0 != 0) & jnp.any(hit)
+                                key = jnp.min(
+                                    jnp.where(hit, tnear,
+                                              jnp.float32(np.inf))
+                                )
+                                keys.append(
+                                    jnp.where(push, key,
+                                              jnp.float32(-np.inf))
+                                )
+                                codes.append(
+                                    jnp.where(push, code_c0, jnp.int32(0))
+                                )
+                        if fast_node:
+                            # decode packed counts -> push flags
+                            for ci in range(8):
+                                cnt = pk_counts[ci // 2]
+                                c_ci = ((cnt & 0xFFFF) if ci % 2 == 0
+                                        else (cnt >> 16))
+                                push = (codes[ci] != 0) & (c_ci > 0)
+                                codes[ci] = jnp.where(push, codes[ci],
+                                                      jnp.int32(0))
+                                keys[ci] = jnp.where(
+                                    push, keys[ci], jnp.float32(-np.inf))
                         net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
                                (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (3, 7),
                                (1, 5), (2, 6), (1, 4), (3, 6), (2, 4), (3, 5),
@@ -665,6 +722,10 @@ def make_bvh_regen_render_step(
                             node_i = jnp.maximum(code - 1, 0)
                             nrow = nodes_ref[pl.ds(node_i, 1), :]
                             spn = sp
+                            s_counts = []
+                            s_code_list = []
+                            s_pair = None
+                            s_codes = None
                             if smem_codes:
                                 nsc = [nrow[0, cc] for cc in range(48)]
                                 nccodes = [
@@ -694,22 +755,49 @@ def make_bvh_regen_render_step(
                                 )
                                 if smem_codes:
                                     code_c = nccodes[ci]
-                                    push = (code_c != 0) & jnp.any(
-                                        tnear <= tfar)
                                 else:
                                     tag = nsc[56 + ci]
                                     ref = nsc[48 + ci].astype(jnp.int32)
-                                    push = (tag > 0.5) & jnp.any(
-                                        tnear <= tfar)
                                     code_c = jnp.where(
-                                        tag > 1.5, -(ref + 1), ref + 1
+                                        tag > 0.5,
+                                        jnp.where(tag > 1.5, -(ref + 1),
+                                                  ref + 1),
+                                        jnp.int32(0),
                                     )
+                                if fast_node:
+                                    # packed-pair hit counts (4 reductions
+                                    # per pop; any-hit needs no ordering)
+                                    shi = (tnear <= tfar).astype(jnp.int32)
+                                    if ci % 2 == 0:
+                                        s_pair = shi
+                                        s_codes = code_c
+                                    else:
+                                        s_counts.append(
+                                            jnp.sum(s_pair + shi * 65536))
+                                        s_code_list.append(
+                                            (s_codes, code_c))
+                                    continue
+                                push = (code_c != 0) & jnp.any(
+                                    tnear <= tfar)
 
                                 @pl.when(push)
                                 def _(spn=spn, code_c=code_c):
                                     stack_ref[spn] = code_c
 
                                 spn = spn + push.astype(jnp.int32)
+                            if fast_node:
+                                for ci in range(8):
+                                    cnt = s_counts[ci // 2]
+                                    c_ci = ((cnt & 0xFFFF) if ci % 2 == 0
+                                            else (cnt >> 16))
+                                    code_c = s_code_list[ci // 2][ci % 2]
+                                    push = (code_c != 0) & (c_ci > 0)
+
+                                    @pl.when(push)
+                                    def _(spn=spn, code_c=code_c):
+                                        stack_ref[spn] = code_c
+
+                                    spn = spn + push.astype(jnp.int32)
                             return (spn, occ)
 
                         def leaf_fn(occ):
