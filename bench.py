@@ -77,12 +77,15 @@ def bench_cornell_wallclock(results):
     state = step(state)  # compile
     jax.block_until_ready(state.accum)
     state = init_state(cfg.height, cfg.width)
+    steps = -(-1000 // cfg.spp_per_step)  # first step count reaching 1000
     t0 = time.perf_counter()
-    while int(state.frame) * cfg.spp_per_step < 1000:
+    for _ in range(steps):
+        # async dispatch end to end (like a real render); steps serialize
+        # on the device through the donated accumulator
         state = step(state)
-        jax.block_until_ready(state.accum)
+    jax.block_until_ready(state.accum)
     dt = time.perf_counter() - t0
-    spp = int(state.frame) * cfg.spp_per_step
+    spp = steps * cfg.spp_per_step
     # vs_baseline: fraction of the 100 Mrays/s-rate wall clock this beat
     # (268.4M segs per 32spp step at 100 Mrays/s -> 2.684 s/step target)
     target_s = 2.684 * int(state.frame)

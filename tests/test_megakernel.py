@@ -148,6 +148,28 @@ def test_regen_kernel_dof_equivalence(buffers):
     assert float(a.mrays) == float(b.mrays)
 
 
+def test_regen_kernel_dof_mis_combo_equivalence(buffers):
+    """DOF + NEE + MIS + RR together: the lens draws must come between
+    the jitter draws and the NEE draws exactly like the wavefront."""
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.kernels.megakernel_regen import make_regen_render_step
+
+    cfg = RenderConfig(
+        width=16, height=8, spp_per_step=2, max_depth=3,
+        camera=CameraConfig(lens_radius=0.12, focus_dist=3.0),
+        use_nee=True, use_mis=True, use_rr=True, rr_start_depth=1,
+        sampling="cosine",
+    )
+    a = jax.jit(make_render_step(cfg, buffers))(init_state(8, 16))
+    b = jax.jit(make_regen_render_step(cfg, buffers, interpret=True))(
+        init_state(8, 16)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-4, atol=1e-6
+    )
+    assert float(a.mrays) == float(b.mrays)
+
+
 def test_regen_kernel_dof_needs_focus(buffers):
     from sfvp_tpu.config import CameraConfig
     from sfvp_tpu.kernels.megakernel_regen import make_regen_render_step
