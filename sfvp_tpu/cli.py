@@ -50,8 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", action="store_true",
                    help="print the device capability report and exit")
     p.add_argument("--env-map", default=None,
-                   help="equirectangular sky image (PNG/PPM) for "
-                        "image-based lighting")
+                   help="equirectangular sky image (PNG/PPM/Radiance .hdr) "
+                        "for image-based lighting")
     p.add_argument("--lens-radius", type=float, default=0.0,
                    help="thin-lens aperture radius (0 = pinhole)")
     p.add_argument("--focus-dist", type=float, default=0.0,
@@ -165,6 +165,7 @@ def main(argv=None) -> int:
             log_path=args.log,
             srgb=args.srgb,
             progress=not args.quiet,
+            preview_port=args.preview_port,
         )
         return 0
     if args.adaptive is not None:

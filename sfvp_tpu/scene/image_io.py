@@ -126,14 +126,68 @@ def srgb_to_linear(u8: np.ndarray) -> np.ndarray:
     ).astype(np.float32)
 
 
+def decode_hdr(data: bytes) -> np.ndarray:
+    """Radiance RGBE (.hdr) decoder -> (H, W, 3) float32 LINEAR radiance.
+
+    Dependency-free, like the PNG/PPM decoders. Supports the standard
+    ``-Y H +X W`` orientation with new-style RLE scanlines (the format
+    every .hdr exporter writes) plus flat (unencoded) scanlines. HDR is
+    the native format for image-based lighting: an 8-bit sky clips the
+    sun at 1.0, which is exactly what env importance sampling exists to
+    handle."""
+    if not (data.startswith(b"#?RADIANCE") or data.startswith(b"#?RGBE")):
+        raise ValueError("not a Radiance .hdr file")
+    # header: lines until the blank line; then the resolution line
+    pos = data.index(b"\n\n") + 2
+    eol = data.index(b"\n", pos)
+    res = data[pos:eol].split()
+    if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+        raise ValueError(f"unsupported .hdr orientation {res!r}")
+    h, w = int(res[1]), int(res[3])
+    buf = np.frombuffer(data, np.uint8, offset=eol + 1)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    i = 0
+    for y in range(h):
+        if (w < 8 or w > 0x7FFF or buf[i] != 2 or buf[i + 1] != 2
+                or (int(buf[i + 2]) << 8 | int(buf[i + 3])) != w):
+            # flat scanline
+            rgbe[y] = buf[i:i + 4 * w].reshape(w, 4)
+            i += 4 * w
+            continue
+        i += 4
+        for c in range(4):  # RLE per component plane
+            x = 0
+            while x < w:
+                n = int(buf[i])
+                if n > 128:  # run of buf[i+1]
+                    rgbe[y, x:x + n - 128, c] = buf[i + 1]
+                    x += n - 128
+                    i += 2
+                else:        # n literal bytes
+                    rgbe[y, x:x + n, c] = buf[i + 1:i + 1 + n]
+                    x += n
+                    i += 1 + n
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(
+        e > 0, np.ldexp(np.float32(1.0), e - 136), np.float32(0.0)
+    ).astype(np.float32)  # 2^(e-128) / 256 folds in the mantissa scale
+    return (rgbe[..., :3].astype(np.float32) * scale[..., None]).astype(
+        np.float32
+    )
+
+
 def load_image(path: str, srgb: bool = True) -> np.ndarray:
-    """(H, W, 3) float32 linear image from a PNG or PPM file."""
+    """(H, W, 3) float32 linear image from a PNG, PPM or Radiance .hdr
+    file. HDR data is already linear radiance; ``srgb`` only applies to
+    the 8-bit formats."""
     with open(path, "rb") as f:
         data = f.read()
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         u8 = decode_png(data)
     elif data[:2] == b"P6":
         u8 = decode_ppm(data)
+    elif data[:2] == b"#?":
+        return decode_hdr(data)
     else:
         raise ValueError(f"unsupported image format: {path}")
     if srgb:

@@ -95,6 +95,84 @@ def _write_textured_scene(tmp_path, native_suffix=""):
     return str(tmp_path / f"s{native_suffix}.obj")
 
 
+def _encode_hdr_flat(img: np.ndarray) -> bytes:
+    """Minimal Radiance writer (flat scanlines) for round-trip tests."""
+    h, w = img.shape[:2]
+    header = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + (
+        f"-Y {h} +X {w}\n".encode()
+    )
+    maxc = img.max(axis=-1)
+    nz = maxc > 1e-32
+    _, e = np.frexp(np.maximum(maxc, 1e-32))  # 2^(e-1) <= max < 2^e
+    scale = np.where(nz, 256.0 / np.exp2(e.astype(np.float64)), 0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(nz, e + 128, 0).astype(np.uint8)
+    return header + rgbe.tobytes()
+
+
+def test_hdr_decode_flat_roundtrip():
+    from sfvp_tpu.scene.image_io import decode_hdr
+
+    g = np.random.default_rng(0)
+    img = (g.random((6, 7, 3)).astype(np.float32) * 40.0)
+    img[0, 0] = 0.0  # zero pixel -> e = 0 path
+    out = decode_hdr(_encode_hdr_flat(img))
+    assert out.shape == (6, 7, 3)
+    # RGBE quantization: shared exponent 2^e with max < 2^e, floor-
+    # rounded 8-bit mantissas -> error bounded by one step = 2^e/256
+    # <= max/128 per component
+    step = img.max(axis=-1, keepdims=True) / 128.0
+    assert (np.abs(out - img) <= step + 1e-4).all()
+
+
+def test_hdr_decode_rle_scanline():
+    """Hand-built new-style RLE scanline: runs + literals must decode to
+    the same pixels as the equivalent flat scanline."""
+    from sfvp_tpu.scene.image_io import decode_hdr
+
+    w = 16
+    row = np.zeros((1, w, 3), np.float32)
+    row[0, :8] = [2.0, 4.0, 8.0]
+    row[0, 8:] = [0.5, 0.25, 0.125]
+    flat = decode_hdr(_encode_hdr_flat(row))
+
+    # same row, RLE-encoded: per-plane [run 8 of a, run 8 of b]
+    rgbe = np.zeros((w, 4), np.uint8)
+    m, e = np.frexp(np.maximum(row[0].max(-1), 1e-32))
+    rgbe[:, 3] = (e + 128).astype(np.uint8)
+    scale = 256.0 / np.exp2(e)
+    rgbe[:, :3] = np.clip(row[0] * scale[:, None], 0, 255).astype(np.uint8)
+    payload = bytes([2, 2, 0, w])
+    for c in range(4):
+        payload += bytes([128 + 8, rgbe[0, c], 128 + 8, rgbe[8, c]])
+    data = (b"#?RADIANCE\n\n" + f"-Y 1 +X {w}\n".encode() + payload)
+    out = decode_hdr(data)
+    np.testing.assert_allclose(out, flat, rtol=1e-6)
+
+
+def test_hdr_env_preserves_radiance_above_one(tmp_path):
+    """An .hdr sky with a 500x sun must reach the env sampler unclipped
+    (the whole point of HDR IBL — 8-bit formats clip at 1.0)."""
+    from sfvp_tpu.scene.textures import sample_environment
+    import jax.numpy as jnp
+
+    img = np.full((8, 16, 3), 0.2, np.float32)
+    img[2, 5] = [500.0, 400.0, 300.0]
+    p = tmp_path / "sky.hdr"
+    p.write_bytes(_encode_hdr_flat(img))
+    table = build_texture_table([str(p)])
+    assert float(np.asarray(table.tr).max()) > 100.0
+    # direction hitting texel (row 2, col 5): theta=(2.5/8)pi, phi from u
+    theta = (2 + 0.5) * np.pi / 8
+    phi = ((5 + 0.5) / 16) * 2 * np.pi - np.pi
+    d = (jnp.asarray([np.sin(theta) * np.cos(phi)], jnp.float32),
+         jnp.asarray([np.cos(theta)], jnp.float32),
+         jnp.asarray([np.sin(theta) * np.sin(phi)], jnp.float32))
+    r, g, b = sample_environment(table, d)
+    assert float(r[0]) > 100.0
+
+
 def test_obj_vt_map_kd_ingest(tmp_path):
     p = _write_textured_scene(tmp_path)
     s = load_obj(p, native="never")
