@@ -126,17 +126,27 @@ def make_instanced_trace(instances: Sequence[Instance], leaf_size: int = 4):
 
 
 def flatten_instances(instances: Sequence[Instance]) -> Scene:
-    """Merge instances into one world-space Scene (single-level fast path)."""
+    """Merge instances into one world-space Scene (single-level fast path).
+
+    Carries the FULL material surface: Kd/Ke/Ks, material type, GGX
+    roughness, per-corner vt + texture ids (texture lists merged with
+    offset ids), and the first env map present."""
     verts: List[np.ndarray] = []
     diff: List[np.ndarray] = []
     emis: List[np.ndarray] = []
     spec: List[np.ndarray] = []
     mtype: List[np.ndarray] = []
+    rough: List[np.ndarray] = []
+    uvs: List[np.ndarray] = []
+    texs: List[np.ndarray] = []
+    tex_paths: List[str] = []
     names: List[str] = []
     mat_ids: List[np.ndarray] = []
     name_offset = 0
+    env_map = None
     for inst in instances:
         s = inst.scene
+        t = s.num_triangles
         rot = inst.transform[:, :3]
         trans = inst.transform[:, 3]
         verts.append(s.vertices @ rot.T + trans)
@@ -150,13 +160,34 @@ def flatten_instances(instances: Sequence[Instance]) -> Scene:
         mtype.append(
             s.face_mat_type
             if s.face_mat_type is not None
-            else np.zeros(s.num_triangles, np.int32)
+            else np.zeros(t, np.int32)
         )
+        rough.append(
+            s.face_rough
+            if getattr(s, "face_rough", None) is not None
+            else np.zeros(t, np.float32)
+        )
+        uvs.append(
+            s.face_uv
+            if getattr(s, "face_uv", None) is not None
+            else np.zeros((t, 3, 2), np.float32)
+        )
+        ftex = (
+            s.face_tex
+            if getattr(s, "face_tex", None) is not None
+            else np.full(t, -1, np.int32)
+        )
+        texs.append(
+            np.where(ftex >= 0, ftex + len(tex_paths), -1).astype(np.int32)
+        )
+        tex_paths.extend(getattr(s, "texture_paths", None) or [])
+        if env_map is None:
+            env_map = getattr(s, "env_map", None)
         names.extend(s.material_names)
         ids = (
             s.face_material_id
             if s.face_material_id is not None
-            else np.full(s.num_triangles, -1, np.int32)
+            else np.full(t, -1, np.int32)
         )
         mat_ids.append(
             np.where(ids >= 0, ids + name_offset, -1).astype(np.int32)
@@ -171,6 +202,11 @@ def flatten_instances(instances: Sequence[Instance]) -> Scene:
         face_emission=np.concatenate(emis).astype(np.float32),
         face_specular=np.concatenate(spec).astype(np.float32),
         face_mat_type=np.concatenate(mtype).astype(np.int32),
+        face_rough=np.concatenate(rough).astype(np.float32),
+        face_uv=np.concatenate(uvs).astype(np.float32),
+        face_tex=np.concatenate(texs).astype(np.int32),
+        texture_paths=tex_paths,
+        env_map=env_map,
         material_names=names,
         face_material_id=np.concatenate(mat_ids),
     )

@@ -91,6 +91,49 @@ def test_instances_flatten(cornell):
     np.testing.assert_array_equal(single.vertices, cornell.vertices)
 
 
+def test_instances_flatten_carries_material_surface(cornell):
+    """flatten_instances must carry the FULL material surface — roughness,
+    per-corner uvs, texture ids (offset per instance), texture paths, and
+    env map — not just Kd/Ke (regression: these were silently dropped)."""
+    from sfvp_tpu.scene.objload import Scene
+
+    def textured(tex_paths, env=None):
+        t = 2
+        return Scene(
+            vertices=np.zeros((3 * t, 3), np.float32),
+            indices=np.arange(3 * t, dtype=np.uint32),
+            face_diffuse=np.ones((t, 3), np.float32),
+            face_emission=np.zeros((t, 3), np.float32),
+            face_specular=np.zeros((t, 3), np.float32),
+            face_mat_type=np.full(t, 2, np.int32),
+            face_rough=np.full(t, 0.25, np.float32),
+            face_uv=np.full((t, 3, 2), 0.5, np.float32),
+            face_tex=np.asarray([0, len(tex_paths) - 1], np.int32),
+            texture_paths=list(tex_paths),
+            env_map=env,
+        )
+
+    a = textured(["a0.png", "a1.png"], env="sky.hdr")
+    b = textured(["b0.png"])
+    merged = flatten_instances(
+        [identity_instance(a), identity_instance(b), identity_instance(cornell)]
+    )
+    assert merged.texture_paths == ["a0.png", "a1.png", "b0.png"]
+    assert merged.env_map == "sky.hdr"
+    # instance b's texture ids offset past instance a's two textures
+    np.testing.assert_array_equal(merged.face_tex[:2], [0, 1])
+    np.testing.assert_array_equal(merged.face_tex[2:4], [2, 2])
+    # cornell (no textures) pads with -1 / zeros of the right shapes
+    np.testing.assert_array_equal(
+        merged.face_tex[4:], np.full(cornell.num_triangles, -1, np.int32)
+    )
+    assert merged.face_rough.shape == (merged.num_triangles,)
+    np.testing.assert_allclose(merged.face_rough[:4], 0.25)
+    assert merged.face_uv.shape == (merged.num_triangles, 3, 2)
+    np.testing.assert_allclose(merged.face_uv[:4], 0.5)
+    np.testing.assert_array_equal(merged.face_mat_type[:4], 2)
+
+
 def test_two_level_instanced_trace(cornell):
     """Two-level tracing (per-mesh BLAS + ray transforms) must agree with
     brute force over the flattened world-space scene, including flattened
