@@ -82,7 +82,7 @@ def select_render_step(
         many_lights = int(em.sum()) > 256
     # Capability map of the BRUTE-force megakernels: the regen megakernel
     # (megakernel_regen.py) runs flat diffuse + mirror shading, NEE
-    # (<= 64 lights), balance-heuristic MIS and thin-lens DOF in-kernel;
+    # (<= 256 lights), balance-heuristic MIS and thin-lens DOF in-kernel;
     # the chunked megakernel (megakernel.py) is the bitwise-parity
     # baseline (no NEE/DOF). GGX, textures and env-map skies route small
     # scenes to the jnp wavefront loop (still TPU-jitted); the in-kernel
@@ -146,7 +146,7 @@ def select_render_step(
             # in-lane sample regeneration and in-kernel packet traversal —
             # no per-bounce relaunch, no dead lanes, no bounce sort
             # (1.2-1.8x over the wavefront loop on 100k-tri GI); NEE runs
-            # in-kernel up to 64 lights. Beyond the VMEM budget the
+            # in-kernel up to 256 lights. Beyond the VMEM budget the
             # triangle rows stream from HBM (blocking per-leaf DMA — still
             # 1.27x over the prefetching wavefront kernel at 500k tris);
             # node rows stay VMEM-resident either way.
