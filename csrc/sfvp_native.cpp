@@ -209,9 +209,17 @@ SceneData* load_obj_impl(const std::string& path, bool flip_y) {
         out->specular[3 * i + a] = m.ks[a];
       }
       bool ks_nonzero = m.ks[0] > 0 || m.ks[1] > 0 || m.ks[2] > 0;
-      // PBR 'Pr' roughness + Ks -> GGX glossy (2); classic illum>=3 ->
-      // perfect mirror (1). Mirrors semantics in scene/objload.py.
-      if (m.pr > 0.f && ks_nonzero) {
+      // illum>=4 + Ni>1 -> smooth dielectric (3), rough stores the
+      // encoded IOR (Ni-1)/4, Ks tint (white when zero); PBR 'Pr'
+      // roughness + Ks -> GGX glossy (2); classic illum>=3 -> perfect
+      // mirror (1). Mirrors semantics in scene/objload.py.
+      if (m.illum >= 4.f && m.ni > 1.f) {
+        out->mat_type[i] = 3;
+        float enc = (m.ni - 1.f) / 4.f;
+        out->rough[i] = enc < 0.96f ? enc : 0.96f;
+        if (!ks_nonzero)
+          for (int a = 0; a < 3; ++a) out->specular[3 * i + a] = 1.f;
+      } else if (m.pr > 0.f && ks_nonzero) {
         out->mat_type[i] = 2;
         out->rough[i] = m.pr < 1.f ? m.pr : 1.f;
       } else if (m.illum >= 3.f && ks_nonzero) {

@@ -292,11 +292,13 @@ def _wide_depth(nodes: np.ndarray, width: int = WIDTH) -> int:
 def materials_array(scene_buffers) -> np.ndarray:
     """(T, 7) albedo/ke/mtype table from SceneBuffers (original tri order).
 
-    The 16-lane tri slot only fits one albedo triple, so mirrors and glossy
-    surfaces (mtype 1/2, which never use Kd) store their Ks tint in the
-    albedo lanes. The final lane packs ``mtype + roughness``: roughness is
-    clamped to [0, 0.96], so ``floor`` recovers the integer material type
-    and the fraction recovers the GGX roughness without widening the slot."""
+    The 16-lane tri slot only fits one albedo triple, so mirror/glossy/
+    dielectric surfaces (mtype >= 1, which never use Kd) store their Ks
+    tint in the albedo lanes. The final lane packs ``mtype + roughness``:
+    the fraction is clamped to [0, 0.96], so ``floor`` recovers the
+    integer material type and the fraction recovers the GGX roughness
+    (mtype 2) or the encoded IOR (Ni-1)/4 (mtype 3) without widening the
+    slot."""
     t = scene_buffers.num_tris
     col = lambda f: np.asarray(getattr(scene_buffers, f))[:t]  # noqa: E731
     mtype = col("mtype")
@@ -305,7 +307,7 @@ def materials_array(scene_buffers) -> np.ndarray:
     ks = np.stack([col("sr"), col("sg"), col("sb")], axis=1)
     ke = np.stack([col("er"), col("eg"), col("eb")], axis=1)
     albedo = np.where(mtype[:, None] >= 1, ks, kd)
-    packed = mtype.astype(np.float32) + np.where(mtype == 2, rough, 0.0)
+    packed = mtype.astype(np.float32) + np.where(mtype >= 2, rough, 0.0)
     return np.concatenate(
         [albedo, ke, packed[:, None]], axis=1
     ).astype(np.float32)

@@ -89,10 +89,11 @@ def select_render_step(
     # env fetch is a per-lane gather Mosaic cannot express (see
     # docs/ROADMAP.md).
     has_glossy = bool(np.any(np.asarray(buffers.mtype)[:t] == 2))
+    has_diel = bool(np.any(np.asarray(buffers.mtype)[:t] == 3))
     has_tex = buffers.has_textures
     has_dof = cfg.camera.lens_radius > 0.0
     has_env = getattr(buffers, "env", None) is not None
-    if ((many_lights or has_glossy or has_tex or has_env)
+    if ((many_lights or has_glossy or has_diel or has_tex or has_env)
             and backend == "pallas" and traversal == "brute"):
         return make_render_step(
             cfg, buffers, trace_fn=select_trace_fn(cfg, buffers),
@@ -136,7 +137,7 @@ def select_render_step(
         # kernel wins at the default chunk=1 and for all NEE-less configs.
         prefer_wavefront = cfg.use_nee and (many_lights or cfg.spp_chunk > 1)
         if (cfg.megakernel_regen and not prefer_wavefront and not has_env
-                and not has_tex):
+                and not has_tex and not has_diel):
             # textures and env skies need a per-lane image fetch the fused
             # kernel cannot express (no per-lane dynamic addressing in
             # Mosaic); those scenes use the wavefront loop below, whose

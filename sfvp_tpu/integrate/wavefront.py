@@ -152,6 +152,9 @@ def make_render_step(
     has_glossy = bool(
         _np.any(_np.asarray(scene.mtype)[: scene.num_tris] == 2)
     )
+    has_diel = bool(
+        _np.any(_np.asarray(scene.mtype)[: scene.num_tris] == 3)
+    )
     if trace_fn is None:
         trace_fn = trace_brute_jnp
     gh, gw = global_shape if global_shape is not None else (cfg.height, cfg.width)
@@ -187,7 +190,8 @@ def make_render_step(
     use_payload = trace_payload_fn is not None
     do_sort = use_payload and cfg.sort_bounce_rays
     sort_material = (
-        do_sort and cfg.sort_material_key and (has_mirrors or has_glossy)
+        do_sort and cfg.sort_material_key
+        and (has_mirrors or has_glossy or has_diel)
     )
     if do_sort:
         # static scene bounds for the morton sort key
@@ -340,6 +344,12 @@ def make_render_step(
              rough) = shade_inputs(scene, hit)
             hit_t = hit.t
         is_mirror = (mtype == 1) & jnp.logical_not(miss)
+        # specular lanes (delta BSDFs): skipped by NEE, emission counted
+        # in full at the next hit
+        is_spec = is_mirror
+        if has_diel:
+            is_diel = (mtype == 3) & jnp.logical_not(miss)
+            is_spec = is_mirror | is_diel
         if use_env:
             # image-based sky (extension): equirect environment lookup in
             # the miss direction instead of the constant (miss.rmiss:10)
@@ -448,7 +458,7 @@ def make_render_step(
                 cos_s = jnp.where(is_glossy, cos_i_g, cos_s)
                 brdf_l = vec.where(is_glossy, f_g, brdf_l)
             cos_l = jnp.abs(vec.dot(wl, nl))  # double-sided light
-            shadow_q = active & jnp.logical_not(miss | is_mirror) & (cos_s > 0)
+            shadow_q = active & jnp.logical_not(miss | is_spec) & (cos_s > 0)
             occluded = _shadow_occluded(position, wl, dist, shadow_q)
             visible = shadow_q & jnp.logical_not(occluded)
             g_over_pdf = cos_s * cos_l / (dist2 * pdf_area)
@@ -485,7 +495,7 @@ def make_render_step(
                 f_g, pdf_g_l, cos_i_g = ggx_eval(wl)
                 cos_s = jnp.where(is_glossy, cos_i_g, cos_s)
                 brdf_l = vec.where(is_glossy, f_g, brdf_l)
-            shadow_q = active & jnp.logical_not(miss | is_mirror) & (cos_s > 0)
+            shadow_q = active & jnp.logical_not(miss | is_spec) & (cos_s > 0)
             occluded = _shadow_occluded(
                 position, wl, jnp.full_like(cos_s, t_max), shadow_q
             )
@@ -555,6 +565,25 @@ def make_render_step(
         else:
             new_dir = sampled
 
+        if has_diel:
+            # smooth dielectric (extension): Snell refraction with the
+            # exact unpolarized Fresnel split, stochastic reflect/refract
+            # choice reusing the r1 draw (keeps RNG streams material-
+            # independent — same pattern as the GGX VNDF reuse above).
+            # The rough column carries the encoded IOR (Ni-1)/4 for
+            # mtype 3 (scene/objload.py); tint is Ks. No radiance
+            # eta^2 factor (camera-path radiance convention).
+            from ..sampling import dielectric_reflect_refract_soa
+
+            ior = 1.0 + 4.0 * rough
+            refl_d, refr_d, fres, tir = dielectric_reflect_refract_soa(
+                d, normal, ior
+            )
+            choose_refl = tir | (r1 < fres)
+            diel_dir = vec.where(choose_refl, refl_d, refr_d)
+            new_dir = vec.where(is_diel, diel_dir, new_dir)
+            scale = vec.where(is_diel, spec, scale)
+
         cont = active & jnp.logical_not(miss)
         if glossy_kill is not None:
             cont = cont & jnp.logical_not(glossy_kill)
@@ -573,7 +602,7 @@ def make_render_step(
         weight = vec.where(cont, vec.mul(weight, scale), weight)
         done = jnp.logical_not(cont)
         count_emit = (
-            is_mirror if (use_nee or use_env_nee) else count_emit
+            is_spec if (use_nee or use_env_nee) else count_emit
         )
         if use_mis:
             if uniform:

@@ -142,6 +142,39 @@ def ggx_vndf_pdf(cos_o, cos_h, alpha):
 # ------------------------ array-interface wrappers -------------------------
 
 
+def dielectric_reflect_refract_soa(d, normal, ior):
+    """Smooth-dielectric interface math (mtype 3, extension — the
+    reference's shader model is diffuse+emission only,
+    ref closesthit.rchit:60-62).
+
+    ``d``: unit incident direction (pointing INTO the surface),
+    ``normal``: geometric normal (either orientation — flipped toward the
+    incident side internally), ``ior``: index of refraction of the medium
+    behind the front face (air = 1 assumed outside).
+
+    Returns ``(refl_dir, refr_dir, fresnel, tir)``: the mirror direction
+    about the incident-side normal, the Snell-refracted direction (unit,
+    garbage under TIR — select with ``tir``), the exact unpolarized
+    Fresnel reflectance (1.0 under TIR), and the total-internal-
+    reflection mask.
+    """
+    n_dot_d = vec.dot(d, normal)
+    entering = n_dot_d < 0
+    n_d = vec.where(entering, normal, vec.scale(normal, -1.0))
+    eta = jnp.where(entering, 1.0 / ior, ior)
+    cos_i = jnp.clip(-vec.dot(d, n_d), 0.0, 1.0)
+    sin2_t = eta * eta * jnp.maximum(1.0 - cos_i * cos_i, 0.0)
+    tir = sin2_t > 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    # exact unpolarized Fresnel: F = (r_s^2 + r_p^2)/2 with eta = n1/n2
+    rs = (eta * cos_i - cos_t) / jnp.maximum(eta * cos_i + cos_t, 1e-12)
+    rp = (eta * cos_t - cos_i) / jnp.maximum(eta * cos_t + cos_i, 1e-12)
+    fres = jnp.where(tir, 1.0, 0.5 * (rs * rs + rp * rp))
+    refl_d = vec.sub(d, vec.scale(n_d, 2.0 * vec.dot(d, n_d)))
+    refr_d = vec.add(vec.scale(d, eta), vec.scale(n_d, eta * cos_i - cos_t))
+    return refl_d, refr_d, fres, tir
+
+
 def coordinate_system(n):
     t, b = coordinate_system_soa(vec.from_array(n))
     return vec.to_array(t), vec.to_array(b)

@@ -39,8 +39,10 @@ class SceneBuffers(NamedTuple):
     sr: jnp.ndarray      # Ks columns (mirror tint / glossy F0)
     sg: jnp.ndarray
     sb: jnp.ndarray
-    mtype: jnp.ndarray   # (Tp,) i32: 0=diffuse, 1=mirror, 2=glossy GGX
-    rough: jnp.ndarray   # (Tp,) f32 GGX roughness (mtype 2 only)
+    mtype: jnp.ndarray   # (Tp,) i32: 0=diffuse, 1=mirror, 2=glossy GGX,
+    #                      3=smooth dielectric
+    rough: jnp.ndarray   # (Tp,) f32 GGX roughness (mtype 2) or encoded
+    #                      IOR (Ni-1)/4 (mtype 3)
     num_tris: int  # static: real (unpadded) triangle count
     # texture extension (None on untextured scenes): per-corner vt columns,
     # per-face texture id, and the packed texel pool (scene/textures.py)

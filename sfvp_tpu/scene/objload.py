@@ -40,8 +40,10 @@ class Scene:
     face_emission: np.ndarray  # (T, 3) float32 (Ke)
     # extensions beyond the reference's {Kd, Ke} model (BASELINE config 3):
     face_specular: np.ndarray = None   # (T, 3) float32 (Ks), mirror/F0 tint
-    face_mat_type: np.ndarray = None   # (T,) i32: 0=diffuse 1=mirror 2=glossy
-    face_rough: np.ndarray = None      # (T,) float32 GGX roughness (mtype 2)
+    face_mat_type: np.ndarray = None   # (T,) i32: 0=diffuse 1=mirror
+    #                                    2=glossy 3=dielectric
+    face_rough: np.ndarray = None      # (T,) f32: GGX roughness (mtype 2)
+    #                                    or encoded IOR (Ni-1)/4 (mtype 3)
     face_uv: np.ndarray = None         # (T, 3, 2) float32 per-corner vt
     face_tex: np.ndarray = None        # (T,) i32 texture index, -1 = none
     texture_paths: List[str] = dataclasses.field(default_factory=list)
@@ -218,10 +220,18 @@ def load_obj(
                 face_tex[t] = tex_index[map_kd]
             # extensions (the reference's shader model is diffuse+emission
             # only, ref closesthit.rchit:60-62):
+            # - classic 'illum >= 4' refraction with Ni > 1 -> smooth
+            #   dielectric (mtype 3); the rough column stores the encoded
+            #   IOR (Ni-1)/4 and the tint is Ks (white when Ks is zero)
             # - PBR MTL 'Pr' roughness + nonzero Ks -> GGX glossy (mtype 2)
             # - classic 'illum >= 3' ray-traced reflection -> perfect
             #   mirror tinted by Ks (mtype 1)
-            if float(mat["Pr"]) > 0.0 and np.any(mat["Ks"] > 0):
+            if float(mat["illum"]) >= 4.0 and float(mat["Ni"]) > 1.0:
+                mat_type[t] = 3
+                rough[t] = min((float(mat["Ni"]) - 1.0) / 4.0, 0.96)
+                if not np.any(mat["Ks"] > 0):
+                    specular[t] = 1.0
+            elif float(mat["Pr"]) > 0.0 and np.any(mat["Ks"] > 0):
                 mat_type[t] = 2
                 rough[t] = min(float(mat["Pr"]), 1.0)
             elif float(mat["illum"]) >= 3.0 and np.any(mat["Ks"] > 0):

@@ -34,17 +34,19 @@ def test_obj_loader_parity_cornell():
 
 
 def test_obj_loader_parity_quirks(tmp_path):
-    """Relative indices, n-gons, usemtl before/after groups, illum 3."""
+    """Relative indices, n-gons, usemtl before/after groups, illum 3,
+    dielectric (illum 7 + Ni) incl. the white-tint default."""
     (tmp_path / "m.mtl").write_text(
         "newmtl a\nKd 0.1 0.2 0.3\nKe 1 2 3\nillum 2\n"
         "newmtl b\nKd 0 0 0\nKs 0.5 0.5 0.5\nillum 3\n"
+        "newmtl g\nKd 0 0 0\nKs 0 0 0\nNi 1.5\nillum 7\n"
     )
     (tmp_path / "q.obj").write_text(
         "mtllib m.mtl\n"
         "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nv 0 0 1\n"
         "usemtl a\nf 1 2 3 4\n"
         "usemtl b\nf -5 -4 -1\n"
-        "g grp\nf 1 2 5\n"
+        "g grp\nusemtl g\nf 1 2 5\n"
     )
     p = str(tmp_path / "q.obj")
     a = load_obj(p, native="never")
@@ -52,6 +54,8 @@ def test_obj_loader_parity_quirks(tmp_path):
     np.testing.assert_array_equal(a.vertices, b.vertices)
     np.testing.assert_array_equal(a.face_mat_type, b.face_mat_type)
     np.testing.assert_array_equal(a.face_specular, b.face_specular)
+    np.testing.assert_array_equal(a.face_rough, b.face_rough)
+    assert a.face_mat_type[-1] == 3
     assert a.material_names == b.material_names
 
 
