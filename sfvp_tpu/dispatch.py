@@ -137,7 +137,7 @@ def select_render_step(
         # kernel wins at the default chunk=1 and for all NEE-less configs.
         prefer_wavefront = cfg.use_nee and (many_lights or cfg.spp_chunk > 1)
         if (cfg.megakernel_regen and not prefer_wavefront and not has_env
-                and not has_tex and not has_diel):
+                and not has_tex):
             # textures and env skies need a per-lane image fetch the fused
             # kernel cannot express (no per-lane dynamic addressing in
             # Mosaic); those scenes use the wavefront loop below, whose

@@ -100,6 +100,9 @@ def make_bvh_regen_render_step(
     has_glossy = bool(
         _np.any(_np.asarray(scene_buffers.mtype)[:num_tris] == 2)
     )
+    has_diel = bool(
+        _np.any(_np.asarray(scene_buffers.mtype)[:num_tris] == 3)
+    )
 
     # in-kernel NEE light table, identical layout to megakernel_regen.py:
     # (16, L) rows = v0(3) v1(3) v2(3) normal(3) Le(3) cdf(1); shadow
@@ -547,19 +550,26 @@ def make_bvh_regen_render_step(
                     ke,
                 )
                 if has_mirrors:
-                    # packed material lane: 1.0 = mirror, 2.0+rough = glossy
+                    # packed material lane: 1.0 = mirror, 2.0+rough =
+                    # glossy, 3.0+encoded-IOR = dielectric
                     is_mirror = (
                         (mt > 0.5) & (mt < 1.5) & jnp.logical_not(miss)
                     )
                 else:
                     is_mirror = jnp.zeros((r, lanes), bool)
+                if has_diel:
+                    is_diel = (mt > 2.5) & jnp.logical_not(miss)
+                    is_spec = is_mirror | is_diel
+                else:
+                    is_diel = jnp.zeros((r, lanes), bool)
+                    is_spec = is_mirror
 
                 if has_glossy:
                     # GGX shading frame (same math as the wavefront
                     # integrator: view-oriented normal, branch-exact
                     # tangent basis); used by both NEE eval and the
                     # VNDF bounce below
-                    is_glossy = (mt > 1.5) & jnp.logical_not(miss)
+                    is_glossy = (mt > 1.5) & (mt < 2.5) & jnp.logical_not(miss)
                     rough_g = jnp.where(is_glossy, mt - 2.0, 0.0)
                     alpha_g = jnp.maximum(rough_g * rough_g, 1e-4)
                     d3v = (dx, dy, dz)
@@ -691,7 +701,7 @@ def make_bvh_regen_render_step(
                         )
                     cos_l = jnp.abs(wlx * ln[0] + wly * ln[1] + wlz * ln[2])
                     shadow_q = (
-                        active & jnp.logical_not(miss | is_mirror)
+                        active & jnp.logical_not(miss | is_spec)
                         & (cos_s > 0)
                     )
                     smax = (1.0 / inv_dist) * np.float32(1.0 - 1e-3)
@@ -962,6 +972,41 @@ def make_bvh_regen_render_step(
                     # mirrors (accel/wide.py), so the tint is just albedo
                     scale3 = vec.where(is_mirror, albedo, scale3)
 
+                if has_diel:
+                    # smooth dielectric (mtype 3): same Snell + exact
+                    # Fresnel math as sampling.dielectric_reflect_refract_
+                    # soa, inlined elementwise (Mosaic-safe — no gathers).
+                    # The packed lane fraction is the encoded IOR (Ni-1)/4;
+                    # the reflect/refract choice reuses the r1 draw exactly
+                    # like the wavefront integrator.
+                    ior = 1.0 + 4.0 * jnp.where(is_diel, mt - 3.0, 0.0)
+                    d3w = (dx, dy, dz)
+                    nd_d = vec.dot(d3w, normal)
+                    n_dl = vec.where(nd_d < 0, normal,
+                                     vec.scale(normal, -1.0))
+                    eta = jnp.where(nd_d < 0, 1.0 / ior, ior)
+                    cos_i = jnp.clip(-vec.dot(d3w, n_dl), 0.0, 1.0)
+                    sin2_t = eta * eta * jnp.maximum(
+                        1.0 - cos_i * cos_i, 0.0)
+                    tir = sin2_t > 1.0
+                    cos_tt = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+                    rs_f = (eta * cos_i - cos_tt) / jnp.maximum(
+                        eta * cos_i + cos_tt, 1e-12)
+                    rp_f = (eta * cos_tt - cos_i) / jnp.maximum(
+                        eta * cos_tt + cos_i, 1e-12)
+                    fres = jnp.where(
+                        tir, 1.0, 0.5 * (rs_f * rs_f + rp_f * rp_f))
+                    refl_dd = vec.sub(
+                        d3w, vec.scale(n_dl, 2.0 * vec.dot(d3w, n_dl)))
+                    refr_dd = vec.add(
+                        vec.scale(d3w, eta),
+                        vec.scale(n_dl, eta * cos_i - cos_tt))
+                    choose_refl = tir | (r1 < fres)
+                    diel_dir = vec.where(choose_refl, refl_dd, refr_dd)
+                    new_dir = vec.where(is_diel, diel_dir, new_dir)
+                    # Ks tint lives in the albedo lanes (accel/wide.py)
+                    scale3 = vec.where(is_diel, albedo, scale3)
+
                 cont = active & jnp.logical_not(miss) & (bounce + 1 < max_depth)
                 if glossy_kill is not None:
                     cont = cont & jnp.logical_not(glossy_kill)
@@ -990,7 +1035,7 @@ def make_bvh_regen_render_step(
                 s = s + finished.astype(jnp.int32)
                 bounce = jnp.where(cont, bounce + 1, 0)
                 if use_nee:
-                    count_emit = is_mirror.astype(jnp.int32)
+                    count_emit = is_spec.astype(jnp.int32)
                 if use_mis:
                     pdf_prev = jnp.where(cont, new_pdf, pdf_prev)
                 segs = segs + jnp.where(active, 1.0, 0.0)
