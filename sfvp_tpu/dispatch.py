@@ -81,19 +81,19 @@ def select_render_step(
             np.asarray(buffers.eg)[:t] > 0) | (np.asarray(buffers.eb)[:t] > 0)
         many_lights = int(em.sum()) > 256
     # Capability map of the BRUTE-force megakernels: the regen megakernel
-    # (megakernel_regen.py) runs flat diffuse + mirror shading, NEE
-    # (<= 256 lights), balance-heuristic MIS and thin-lens DOF in-kernel;
-    # the chunked megakernel (megakernel.py) is the bitwise-parity
-    # baseline (no NEE/DOF). GGX, textures and env-map skies route small
-    # scenes to the jnp wavefront loop (still TPU-jitted); the in-kernel
-    # env fetch is a per-lane gather Mosaic cannot express (see
-    # docs/ROADMAP.md).
+    # (megakernel_regen.py) runs diffuse + mirror + GGX + smooth
+    # dielectric shading, NEE (<= 256 lights), balance-heuristic MIS and
+    # thin-lens DOF in-kernel; the chunked megakernel (megakernel.py) is
+    # the bitwise-parity baseline (diffuse+mirror, no NEE/DOF). Textures
+    # and env-map skies route small scenes to the jnp wavefront loop
+    # (still TPU-jitted); the in-kernel env fetch is a per-lane gather
+    # Mosaic cannot express (see docs/ROADMAP.md).
     has_glossy = bool(np.any(np.asarray(buffers.mtype)[:t] == 2))
     has_diel = bool(np.any(np.asarray(buffers.mtype)[:t] == 3))
     has_tex = buffers.has_textures
     has_dof = cfg.camera.lens_radius > 0.0
     has_env = getattr(buffers, "env", None) is not None
-    if ((many_lights or has_glossy or has_diel or has_tex or has_env)
+    if ((many_lights or has_tex or has_env)
             and backend == "pallas" and traversal == "brute"):
         return make_render_step(
             cfg, buffers, trace_fn=select_trace_fn(cfg, buffers),
@@ -107,15 +107,16 @@ def select_render_step(
                 cfg, buffers, global_shape=global_shape,
                 block_rows=cfg.pallas_block_rows,
             )
-        if not cfg.use_nee and not has_dof:
+        if (not cfg.use_nee and not has_dof
+                and not has_glossy and not has_diel):
             from .kernels.megakernel import make_render_step_pallas
 
             return make_render_step_pallas(
                 cfg, buffers, global_shape=global_shape,
                 block_rows=cfg.pallas_block_rows,
             )
-        # chunked megakernel has no NEE/DOF: fall through to the jnp
-        # wavefront below
+        # chunked megakernel has no NEE/DOF/GGX/dielectric: fall through
+        # to the jnp wavefront below
     if backend == "pallas" and traversal == "bvh":
         # packet-traversal kernel returns the full shade payload (no XLA
         # gathers; textured scenes add uv/texid planes and the shade phase

@@ -81,8 +81,9 @@ def _pcg2d_vec(vx, vy):
 
 def scene_table(scene_buffers) -> jnp.ndarray:
     """(20, Tp) f32 triangle table: rows 0-8 vertex coords, 9-11 Kd,
-    12-14 Ke, 15-17 Ks, 18 material type (as f32), 19 padding. Read back
-    as scalars inside the kernel."""
+    12-14 Ke, 15-17 Ks, 18 material type (as f32), 19 roughness (GGX for
+    mtype 2, encoded IOR (Ni-1)/4 for mtype 3). Read back as scalars
+    inside the kernel."""
     cols = [
         scene_buffers.v0x, scene_buffers.v0y, scene_buffers.v0z,
         scene_buffers.v1x, scene_buffers.v1y, scene_buffers.v1z,
@@ -91,7 +92,7 @@ def scene_table(scene_buffers) -> jnp.ndarray:
         scene_buffers.er, scene_buffers.eg, scene_buffers.eb,
         scene_buffers.sr, scene_buffers.sg, scene_buffers.sb,
         scene_buffers.mtype.astype(jnp.float32),
-        jnp.zeros_like(scene_buffers.v0x),
+        scene_buffers.rough,
     ]
     return jnp.stack(cols, axis=0)
 
@@ -312,7 +313,9 @@ def make_wave_kernel(
             if has_mirrors:
                 # perfect mirror (extension): reflect about the normal
                 # flipped toward the incoming ray (double-sided geometry)
-                is_mirror = (bmat[9] > 0.5) & jnp.logical_not(miss)
+                is_mirror = (
+                    (bmat[9] > 0.5) & (bmat[9] < 1.5) & jnp.logical_not(miss)
+                )
                 n_dot_d = vec.dot(d, normal)
                 n_f = vec.where(n_dot_d > 0, vec.scale(normal, -1.0), normal)
                 refl = vec.sub(d, vec.scale(n_f, 2.0 * vec.dot(d, n_f)))

@@ -16,10 +16,13 @@ of per-sample contributions differs (direct accumulation instead of
 per-sample subtotals), so images match to ~1e-6 rather than bitwise.
 
 Extensions that run in-kernel (all config-gated off in parity mode): NEE
-with an unrolled <=64-light table, balance-heuristic MIS (pdf carry, same
-math as the wavefront integrator), Russian roulette, and thin-lens DOF
+with an unrolled <=256-light table, balance-heuristic MIS (pdf carry, same
+math as the wavefront integrator), Russian roulette, thin-lens DOF
 (two extra draws in the regen block, camera.apply_thin_lens_soa
-semantics).
+semantics), GGX glossy (VNDF sample + Smith height-correlated eval) and
+smooth dielectric (Snell + exact Fresnel) — the same material set as the
+BVH regen megakernel (megakernel_bvh.py), sourced from the brute scene
+table's Ks/mtype/rough rows instead of the wide-BVH lane encoding.
 """
 
 from __future__ import annotations
@@ -33,6 +36,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
+from ..sampling import (
+    ggx_d,
+    ggx_lambda,
+    ggx_sample_vndf_local,
+    ggx_vndf_pdf,
+)
 from ..utils import vec
 from .megakernel import (
     INV_PI, TWO_PI, _pcg2d_vec, _rand_vec, _U, scene_table,
@@ -63,9 +72,13 @@ def make_regen_render_step(
 
     table = scene_table(scene_buffers)
     num_tris = scene_buffers.num_tris
-    has_mirrors = bool(
-        _np.any(_np.asarray(scene_buffers.mtype)[:num_tris] > 0)
-    )
+    mtypes = _np.asarray(scene_buffers.mtype)[:num_tris]
+    # any non-diffuse material widens the per-tri slot to include Ks+mtype
+    # (and roughness when GGX/dielectric faces exist)
+    has_mirrors = bool(_np.any(mtypes > 0))
+    has_glossy = bool(_np.any(mtypes == 2))
+    has_diel = bool(_np.any(mtypes == 3))
+    n_mat = 11 if (has_glossy or has_diel) else (10 if has_mirrors else 6)
 
     # ---- in-kernel NEE light table: (16, L) rows = v0(3) v1(3) v2(3)
     # normal(3) Le(3) cdf(1); area pdf folded into a static total_area ----
@@ -155,7 +168,6 @@ def make_regen_render_step(
                 p2 = (tri_ref[6, i], tri_ref[7, i], tri_ref[8, i])
                 e1 = tuple(b - a for a, b in zip(p0, p1))
                 e2 = tuple(b - a for a, b in zip(p0, p2))
-                n_mat = 10 if has_mirrors else 6
                 mat = tuple(tri_ref[9 + k, i] for k in range(n_mat))
                 tris.append((p0, p1, p2, e1, e2, mat))
 
@@ -251,7 +263,7 @@ def make_regen_render_step(
                 b0 = (zero, zero, zero)
                 b1 = (zero, zero, zero)
                 b2 = (zero, zero, zero)
-                bmat = (zero,) * (10 if has_mirrors else 6)
+                bmat = (zero,) * n_mat
                 for (p0t, p1t, p2t, e1, e2, mat) in tris:
                     pvx = d[1] * e2[2] - d[2] * e2[1]
                     pvy = d[2] * e2[0] - d[0] * e2[2]
@@ -306,9 +318,55 @@ def make_regen_render_step(
                 )
 
                 if has_mirrors:
-                    is_mirror = (bmat[9] > 0.5) & jnp.logical_not(miss)
+                    mt = bmat[9]
+                    is_mirror = (
+                        (mt > 0.5) & (mt < 1.5) & jnp.logical_not(miss)
+                    )
                 else:
                     is_mirror = jnp.zeros((r, lanes), bool)
+                if has_diel:
+                    is_diel = (mt > 2.5) & jnp.logical_not(miss)
+                    is_spec = is_mirror | is_diel
+                else:
+                    is_diel = jnp.zeros((r, lanes), bool)
+                    is_spec = is_mirror
+
+                if has_glossy:
+                    # GGX shading frame (same math as megakernel_bvh.py /
+                    # the wavefront integrator: view-oriented normal,
+                    # branch-exact tangent basis); used by the NEE eval
+                    # and the VNDF bounce below
+                    is_glossy = (mt > 1.5) & (mt < 2.5) & jnp.logical_not(miss)
+                    rough_g = jnp.where(is_glossy, bmat[10], 0.0)
+                    alpha_g = jnp.maximum(rough_g * rough_g, 1e-4)
+                    ks3 = (bmat[6], bmat[7], bmat[8])
+                    n_g = vec.where(
+                        vec.dot(d, normal) > 0,
+                        vec.scale(normal, -1.0), normal,
+                    )
+                    ngx, ngy, ngz = n_g
+                    g_use_x = jnp.abs(ngx) > jnp.abs(ngy)
+                    g_inv_a = jax.lax.rsqrt(
+                        jnp.maximum(ngx * ngx + ngz * ngz, 1e-30))
+                    g_inv_b = jax.lax.rsqrt(
+                        jnp.maximum(ngy * ngy + ngz * ngz, 1e-30))
+                    tng = (
+                        jnp.where(g_use_x, ngz * g_inv_a, 0.0),
+                        jnp.where(g_use_x, 0.0, -ngz * g_inv_b),
+                        jnp.where(g_use_x, -ngx * g_inv_a, ngy * g_inv_b),
+                    )
+                    btg = vec.cross(n_g, tng)
+                    wo = vec.scale(d, -1.0)
+                    woz = jnp.maximum(vec.dot(wo, n_g), 1e-6)
+                    wo_l = (vec.dot(wo, tng), vec.dot(wo, btg), woz)
+
+                    def ggx_f_k(coh):
+                        m1 = 1.0 - coh
+                        f5 = m1 * m1
+                        f5 = f5 * f5 * m1
+                        return tuple(s_ + (1.0 - s_) * f5 for s_ in ks3)
+
+                    lam_o = ggx_lambda(woz, alpha_g)
 
                 # NEE gating (non-MIS): BSDF-path emission only on camera
                 # rays, post-specular bounces, and sky misses. Under MIS,
@@ -385,9 +443,32 @@ def make_regen_render_step(
                     wly = tly * inv_dist
                     wlz = tlz * inv_dist
                     cos_s = wlx * normal[0] + wly * normal[1] + wlz * normal[2]
+                    brdf_l = tuple(a * INV_PI for a in diffuse)
+                    if has_glossy:
+                        wl3 = (wlx, wly, wlz)
+                        wl_l = (vec.dot(wl3, tng), vec.dot(wl3, btg),
+                                vec.dot(wl3, n_g))
+                        cos_i_g = wl_l[2]
+                        hh = vec.add(wo_l, wl_l)
+                        inv_hh = jax.lax.rsqrt(
+                            jnp.maximum(vec.dot(hh, hh), 1e-20))
+                        hh = vec.scale(hh, inv_hh)
+                        dgg = ggx_d(hh[2], alpha_g)
+                        g2_l = 1.0 / (
+                            1.0 + lam_o + ggx_lambda(cos_i_g, alpha_g))
+                        coh_l = jnp.maximum(vec.dot(wo_l, hh), 1e-6)
+                        fr_l = ggx_f_k(coh_l)
+                        den_l = jnp.maximum(
+                            4.0 * woz * jnp.maximum(cos_i_g, 1e-6), 1e-6)
+                        f_g = tuple(fc * dgg * g2_l / den_l for fc in fr_l)
+                        cos_s = jnp.where(is_glossy, cos_i_g, cos_s)
+                        brdf_l = tuple(
+                            jnp.where(is_glossy, fg, bl)
+                            for fg, bl in zip(f_g, brdf_l)
+                        )
                     cos_l = jnp.abs(wlx * ln[0] + wly * ln[1] + wlz * ln[2])
                     shadow_q = (
-                        active & jnp.logical_not(miss | is_mirror)
+                        active & jnp.logical_not(miss | is_spec)
                         & (cos_s > 0)
                     )
                     smax = (1.0 / inv_dist) * np.float32(1.0 - 1e-3)
@@ -417,8 +498,8 @@ def make_regen_render_step(
                     g_pdf = cos_s * cos_l / dist2 * np.float32(total_area)
                     if use_mis:
                         # balance heuristic in solid-angle measure (same
-                        # as megakernel_bvh.py; no glossy branch here —
-                        # the brute kernels are diffuse+mirror only)
+                        # math as megakernel_bvh.py / the wavefront
+                        # integrator, incl. the glossy VNDF pdf branch)
                         p_nee_sa = dist2 / (
                             np.float32(total_area)
                             * jnp.maximum(cos_l, np.float32(1e-6))
@@ -427,19 +508,25 @@ def make_regen_render_step(
                             p_bsdf_l = jnp.full_like(cos_s, 1.0 / TWO_PI)
                         else:
                             p_bsdf_l = jnp.maximum(cos_s, 0.0) * INV_PI
+                        if has_glossy:
+                            p_bsdf_l = jnp.where(
+                                is_glossy,
+                                ggx_vndf_pdf(woz, hh[2], alpha_g),
+                                p_bsdf_l,
+                            )
                         g_pdf = g_pdf * (
                             p_nee_sa / jnp.maximum(p_nee_sa + p_bsdf_l,
                                                    1e-30)
                         )
                     vis = shadow_q & jnp.logical_not(occ)
                     tr = tr + jnp.where(
-                        vis, wr * (diffuse[0] * INV_PI) * le[0] * g_pdf, 0.0
+                        vis, wr * brdf_l[0] * le[0] * g_pdf, 0.0
                     )
                     tg = tg + jnp.where(
-                        vis, wg * (diffuse[1] * INV_PI) * le[1] * g_pdf, 0.0
+                        vis, wg * brdf_l[1] * le[1] * g_pdf, 0.0
                     )
                     tb = tb + jnp.where(
-                        vis, wb * (diffuse[2] * INV_PI) * le[2] * g_pdf, 0.0
+                        vis, wb * brdf_l[2] * le[2] * g_pdf, 0.0
                     )
 
                 # ---- next direction ----
@@ -473,6 +560,28 @@ def make_regen_render_step(
                 else:
                     scale3 = diffuse
 
+                glossy_kill = None
+                if has_glossy:
+                    # VNDF half-vector sample (Heitz 2018) via the shared
+                    # sampling.py implementation (pure jnp, runs in-kernel);
+                    # same r1/r2 draws as the hemisphere sample
+                    h_l = ggx_sample_vndf_local(r1, r2, wo_l, alpha_g)
+                    coh = jnp.maximum(vec.dot(wo_l, h_l), 1e-6)
+                    wi_l = vec.sub(vec.scale(h_l, 2.0 * coh), wo_l)
+                    g_valid = wi_l[2] > 1e-5
+                    wi_g = vec.add(
+                        vec.add(vec.scale(tng, wi_l[0]),
+                                vec.scale(btg, wi_l[1])),
+                        vec.scale(n_g, wi_l[2]),
+                    )
+                    g2_over_g1 = (1.0 + lam_o) / (
+                        1.0 + lam_o + ggx_lambda(wi_l[2], alpha_g)
+                    )
+                    scale_g = vec.scale(ggx_f_k(coh), g2_over_g1)
+                    new_dir = vec.where(is_glossy, wi_g, new_dir)
+                    scale3 = vec.where(is_glossy, scale_g, scale3)
+                    glossy_kill = is_glossy & jnp.logical_not(g_valid)
+
                 if use_mis:
                     # pdf of the direction just sampled (solid angle),
                     # recorded BEFORE the mirror override exactly like the
@@ -483,6 +592,12 @@ def make_regen_render_step(
                     else:
                         new_pdf = jnp.maximum(
                             vec.dot(new_dir, normal), 0.0) * INV_PI
+                    if has_glossy:
+                        new_pdf = jnp.where(
+                            is_glossy,
+                            ggx_vndf_pdf(woz, h_l[2], alpha_g),
+                            new_pdf,
+                        )
 
                 if has_mirrors:
                     n_dot_d = vec.dot(d, normal)
@@ -493,7 +608,43 @@ def make_regen_render_step(
                     scale3 = vec.where(is_mirror,
                                        (bmat[6], bmat[7], bmat[8]), scale3)
 
+                if has_diel:
+                    # smooth dielectric (mtype 3): same Snell + exact
+                    # Fresnel math as sampling.dielectric_reflect_refract_
+                    # soa, inlined elementwise. IOR travels in the table's
+                    # roughness slot encoded (Ni-1)/4; the reflect/refract
+                    # choice reuses the r1 draw exactly like the wavefront
+                    # integrator.
+                    ior = 1.0 + 4.0 * jnp.where(is_diel, bmat[10], 0.0)
+                    nd_d = vec.dot(d, normal)
+                    n_dl = vec.where(nd_d < 0, normal,
+                                     vec.scale(normal, -1.0))
+                    eta = jnp.where(nd_d < 0, 1.0 / ior, ior)
+                    cos_i = jnp.clip(-vec.dot(d, n_dl), 0.0, 1.0)
+                    sin2_t = eta * eta * jnp.maximum(
+                        1.0 - cos_i * cos_i, 0.0)
+                    tir = sin2_t > 1.0
+                    cos_tt = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+                    rs_f = (eta * cos_i - cos_tt) / jnp.maximum(
+                        eta * cos_i + cos_tt, 1e-12)
+                    rp_f = (eta * cos_tt - cos_i) / jnp.maximum(
+                        eta * cos_tt + cos_i, 1e-12)
+                    fres = jnp.where(
+                        tir, 1.0, 0.5 * (rs_f * rs_f + rp_f * rp_f))
+                    refl_dd = vec.sub(
+                        d, vec.scale(n_dl, 2.0 * vec.dot(d, n_dl)))
+                    refr_dd = vec.add(
+                        vec.scale(d, eta),
+                        vec.scale(n_dl, eta * cos_i - cos_tt))
+                    choose_refl = tir | (r1 < fres)
+                    diel_dir = vec.where(choose_refl, refl_dd, refr_dd)
+                    new_dir = vec.where(is_diel, diel_dir, new_dir)
+                    scale3 = vec.where(is_diel,
+                                       (bmat[6], bmat[7], bmat[8]), scale3)
+
                 cont = active & jnp.logical_not(miss) & (bounce + 1 < max_depth)
+                if glossy_kill is not None:
+                    cont = cont & jnp.logical_not(glossy_kill)
                 if use_rr:
                     pmax = jnp.clip(
                         vec.maxc(vec.mul((wr, wg, wb), scale3)), 0.05, 0.95
@@ -519,7 +670,7 @@ def make_regen_render_step(
                 s = s + finished.astype(jnp.int32)
                 bounce = jnp.where(cont, bounce + 1, 0)
                 if use_nee:
-                    count_emit = is_mirror.astype(jnp.int32)
+                    count_emit = is_spec.astype(jnp.int32)
                 if use_mis:
                     pdf_prev = jnp.where(cont, new_pdf, pdf_prev)
                 segs = segs + jnp.where(active, 1.0, 0.0)

@@ -81,3 +81,21 @@ def test_mis_and_dof_stay_on_regen_megakernel(cornell_buffers):
     )
     step = select_render_step(cfg, cornell_buffers)
     assert step.__module__ == "sfvp_tpu.kernels.megakernel_regen"
+
+
+def test_glossy_and_dielectric_stay_on_regen_megakernel():
+    """GGX and smooth-dielectric materials run in-kernel on small scenes
+    (the brute regen kernel reads Ks/mtype/rough from the scene table)."""
+    g = np.random.default_rng(0)
+    tris = (g.uniform(-5, 5, (8, 1, 3))
+            + g.normal(0, 0.5, (8, 3, 3))).astype(np.float32)
+    z = np.zeros((8, 3), np.float32)
+    for mt in (2, 3):
+        mtypes = np.zeros(8, np.int32)
+        mtypes[:2] = mt
+        rough = np.full(8, 0.3, np.float32)
+        bufs = from_arrays(tris, z, z, specular=z + 0.5, mat_type=mtypes,
+                           rough=rough)
+        cfg = RenderConfig(backend="pallas", traversal="brute")
+        step = select_render_step(cfg, bufs)
+        assert step.__module__ == "sfvp_tpu.kernels.megakernel_regen"

@@ -182,6 +182,101 @@ def test_regen_kernel_dof_needs_focus(buffers):
         make_regen_render_step(cfg, buffers, interpret=True)
 
 
+def _glossy_scene():
+    from sfvp_tpu.scene.objload import Scene
+
+    big = 4.0
+    tris = [
+        [[-big, 0, -big], [big, 0, -big], [big, 0, big]],
+        [[-big, 0, -big], [big, 0, big], [-big, 0, big]],
+        [[-0.4, 2.0, -0.4], [0.4, 2.0, -0.4], [0.4, 2.0, 0.4]],
+        [[-0.4, 2.0, -0.4], [0.4, 2.0, 0.4], [-0.4, 2.0, 0.4]],
+    ]
+    return Scene(
+        vertices=np.asarray(tris, np.float32).reshape(-1, 3),
+        indices=np.arange(12, dtype=np.uint32),
+        face_diffuse=np.zeros((4, 3), np.float32),
+        face_emission=np.asarray(
+            [[0, 0, 0], [0, 0, 0], [6, 5, 4], [6, 5, 4]], np.float32),
+        face_specular=np.asarray(
+            [[0.9, 0.8, 0.7]] * 2 + [[0, 0, 0]] * 2, np.float32),
+        face_mat_type=np.asarray([2, 2, 0, 0], np.int32),
+        face_rough=np.asarray([0.35, 0.35, 0, 0], np.float32),
+    )
+
+
+def test_regen_kernel_glossy_equivalence():
+    """In-kernel GGX (VNDF sample, Smith height-correlated, NEE eval +
+    MIS VNDF pdf) == the wavefront integrator on a glossy-floor scene,
+    through the BRUTE regen kernel (material from the scene table's
+    Ks/mtype/rough rows)."""
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.kernels.megakernel_regen import make_regen_render_step
+
+    cam = CameraConfig.look_at(origin=(0.0, 1.4, 3.2), target=(0, 0, 0),
+                               fov_y_deg=45)
+    bufs = upload(_glossy_scene())
+    for nee, mis in ((False, False), (True, False), (True, True)):
+        cfg = RenderConfig(width=16, height=8, spp_per_step=2, max_depth=3,
+                           camera=cam, sampling="cosine", use_nee=nee,
+                           use_mis=mis, sky_emission=(0.1, 0.1, 0.1))
+        a = jax.jit(make_render_step(cfg, bufs))(init_state(8, 16))
+        b = jax.jit(make_regen_render_step(cfg, bufs, interpret=True))(
+            init_state(8, 16)
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.accum), np.asarray(b.accum), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_regen_kernel_dielectric_equivalence():
+    """In-kernel smooth dielectric (Snell + exact Fresnel, TIR, r1-reused
+    reflect/refract choice, specular NEE gating) == the wavefront
+    integrator, through the BRUTE regen kernel (IOR from the scene
+    table's rough row, encoded (Ni-1)/4)."""
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.kernels.megakernel_regen import make_regen_render_step
+    from sfvp_tpu.scene.objload import Scene
+
+    big = 4.0
+    tris = [
+        [[-big, 0, -big], [big, 0, -big], [big, 0, big]],
+        [[-big, 0, -big], [big, 0, big], [-big, 0, big]],
+        [[-1.5, 1.0, -1.5], [1.5, 1.2, -1.5], [1.5, 1.2, 1.5]],
+        [[-1.5, 1.0, -1.5], [1.5, 1.2, 1.5], [-1.5, 1.0, 1.5]],
+        [[-0.4, 2.5, -0.4], [0.4, 2.5, -0.4], [0.4, 2.5, 0.4]],
+        [[-0.4, 2.5, -0.4], [0.4, 2.5, 0.4], [-0.4, 2.5, 0.4]],
+    ]
+    enc = (1.5 - 1.0) / 4.0
+    scene = Scene(
+        vertices=np.asarray(tris, np.float32).reshape(-1, 3),
+        indices=np.arange(18, dtype=np.uint32),
+        face_diffuse=np.asarray(
+            [[0.7, 0.6, 0.5]] * 2 + [[0, 0, 0]] * 4, np.float32),
+        face_emission=np.asarray(
+            [[0, 0, 0]] * 4 + [[6, 5, 4]] * 2, np.float32),
+        face_specular=np.asarray(
+            [[0, 0, 0]] * 2 + [[0.95, 0.97, 1.0]] * 2 + [[0, 0, 0]] * 2,
+            np.float32),
+        face_mat_type=np.asarray([0, 0, 3, 3, 0, 0], np.int32),
+        face_rough=np.asarray([0, 0, enc, enc, 0, 0], np.float32),
+    )
+    cam = CameraConfig.look_at(origin=(0.0, 1.8, 3.2), target=(0, 0.5, 0),
+                               fov_y_deg=45)
+    bufs = upload(scene)
+    for nee, mis in ((False, False), (True, False), (True, True)):
+        cfg = RenderConfig(width=16, height=8, spp_per_step=2, max_depth=4,
+                           camera=cam, sampling="cosine", use_nee=nee,
+                           use_mis=mis, sky_emission=(0.1, 0.1, 0.1))
+        a = jax.jit(make_render_step(cfg, bufs))(init_state(8, 16))
+        b = jax.jit(make_regen_render_step(cfg, bufs, interpret=True))(
+            init_state(8, 16)
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.accum), np.asarray(b.accum), rtol=1e-4, atol=1e-6
+        )
+
+
 def test_regen_kernel_row_offset(buffers):
     from sfvp_tpu.kernels.megakernel_regen import make_regen_render_step
 
@@ -207,3 +302,4 @@ def test_scene_table_layout(buffers):
     np.testing.assert_array_equal(tbl[12], np.asarray(buffers.er))
     np.testing.assert_array_equal(tbl[15], np.asarray(buffers.sr))
     np.testing.assert_array_equal(tbl[18], np.asarray(buffers.mtype, dtype=np.float32))
+    np.testing.assert_array_equal(tbl[19], np.asarray(buffers.rough))
