@@ -74,26 +74,40 @@ def select_render_step(
 
     t = buffers.num_tris
     many_lights = False
+    has_emissive = True
     if cfg.use_nee:
         # in-kernel NEE unrolls the light CDF select; past 256 lights the
         # wavefront integrator's searchsorted light sampling scales better
         em = (np.asarray(buffers.er)[:t] > 0) | (
             np.asarray(buffers.eg)[:t] > 0) | (np.asarray(buffers.eb)[:t] > 0)
         many_lights = int(em.sum()) > 256
+        has_emissive = bool(em.any())
     # Capability map of the BRUTE-force megakernels: the regen megakernel
     # (megakernel_regen.py) runs diffuse + mirror + GGX + smooth
-    # dielectric shading, NEE (<= 256 lights), balance-heuristic MIS and
-    # thin-lens DOF in-kernel; the chunked megakernel (megakernel.py) is
-    # the bitwise-parity baseline (diffuse+mirror, no NEE/DOF). Textures
-    # and env-map skies route small scenes to the jnp wavefront loop
-    # (still TPU-jitted); the in-kernel env fetch is a per-lane gather
-    # Mosaic cannot express (see docs/ROADMAP.md).
+    # dielectric shading, NEE (<= 256 lights), balance-heuristic MIS,
+    # thin-lens DOF and equirect env-map skies (separable one-hot MXU
+    # fetch, kernels/imgfetch.py, maps up to ~512x256) in-kernel; the
+    # chunked megakernel (megakernel.py) is the bitwise-parity baseline
+    # (diffuse+mirror, no NEE/DOF). Textures route small scenes to the
+    # jnp wavefront loop (still TPU-jitted); so do oversized env maps and
+    # env importance sampling (NEE on an env-only scene).
     has_glossy = bool(np.any(np.asarray(buffers.mtype)[:t] == 2))
     has_diel = bool(np.any(np.asarray(buffers.mtype)[:t] == 3))
     has_tex = buffers.has_textures
     has_dof = cfg.camera.lens_radius > 0.0
-    has_env = getattr(buffers, "env", None) is not None
-    if ((many_lights or has_tex or has_env)
+    env = getattr(buffers, "env", None)
+    has_env = env is not None
+    if has_env:
+        from .kernels.imgfetch import env_fits_in_kernel
+
+        # env NEE (importance-sampled environment on a scene whose only
+        # light IS the env) is a wavefront-only estimator; plain env miss
+        # shading fuses when the packed map fits VMEM
+        env_nee = cfg.use_nee and not has_emissive
+        env_blocks_fused = env_nee or not env_fits_in_kernel(env)
+    else:
+        env_blocks_fused = False
+    if ((many_lights or has_tex or env_blocks_fused)
             and backend == "pallas" and traversal == "brute"):
         return make_render_step(
             cfg, buffers, trace_fn=select_trace_fn(cfg, buffers),
@@ -137,13 +151,14 @@ def select_render_step(
         # amortize better than per-iteration shadow traversals. The fused
         # kernel wins at the default chunk=1 and for all NEE-less configs.
         prefer_wavefront = cfg.use_nee and (many_lights or cfg.spp_chunk > 1)
-        if (cfg.megakernel_regen and not prefer_wavefront and not has_env
-                and not has_tex):
-            # textures and env skies need a per-lane image fetch the fused
-            # kernel cannot express (no per-lane dynamic addressing in
-            # Mosaic); those scenes use the wavefront loop below, whose
-            # packet kernels carry uv/texid planes and fetch at the XLA
-            # level between bounces.
+        if (cfg.megakernel_regen and not prefer_wavefront
+                and not env_blocks_fused and not has_tex):
+            # textures need a per-lane image fetch per HIT that the fused
+            # kernel does not yet express; those scenes use the wavefront
+            # loop below, whose packet kernels carry uv/texid planes and
+            # fetch at the XLA level between bounces. Env skies fuse via
+            # the separable one-hot MXU fetch (kernels/imgfetch.py)
+            # unless the map is oversized or env NEE is in play.
             # fused BVH regen megakernel: whole spp per kernel call with
             # in-lane sample regeneration and in-kernel packet traversal —
             # no per-bounce relaunch, no dead lanes, no bounce sort

@@ -1,0 +1,185 @@
+"""In-kernel (Mosaic) per-lane image fetch via a separable one-hot MXU
+gather.
+
+Per-lane dynamic addressing does not exist on TPU, so a direct texel
+gather inside a Pallas kernel is impossible, and the naive alternative
+(a full lanes x texels one-hot contraction) is O(H*W) VMEM per wave.
+This module implements the separable form, which is O(H + W):
+
+1. vertical bilinear lerp as a matmul on the MXU: for each sublane row
+   of the (r, 128) wave block, build a (H, 128) two-tap one-hot column
+   weight matrix (rows y0/y1 weighted (1-fy)/fy) and contract the
+   transposed image ``E_T (3W, H) @ O (H, 128) -> (3W, 128)`` — every
+   lane now holds its vertically-interpolated scanline;
+2. horizontal bilinear lerp as a masked sublane reduction: weight the
+   (W, 128) channel slab with the two-tap x0/x1 mask and sum over
+   sublanes -> (1, 128) per channel.
+
+Exact bilinear filtering (same weights as scene/textures.py
+sample_bilinear, reassociated as wy*wx), any per-lane (u, v), cost
+3W*H*128 MACs + O(W+H) vector ops per block row. The environment-map
+use (equirect miss shading, extension over the reference's constant sky,
+ref miss.rmiss:10) keys u from atan2 and v from arccos in-kernel.
+
+Layout helper ``pack_env_transposed`` turns a TextureTable single image
+into the (3W, H) f32 operand.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# VMEM budget for the packed (3W, H) env operand inside the fused
+# megakernels: 512x256 packs to ~1.6MB; the per-row (3W, 128) scan
+# transient adds 3W*128*4. Bigger skies route to the wavefront path.
+ENV_VMEM_MAX_BYTES = 2 * 1024 * 1024
+
+
+def env_fits_in_kernel(table) -> bool:
+    """Dispatch-side predicate: can the fused megakernels hold this
+    environment map in VMEM? (Same bound the kernels enforce.)"""
+    if table is None:
+        return False
+    H = int(np.asarray(table.height)[0])
+    W = int(np.asarray(table.width)[0])
+    return 3 * W * H * 4 <= ENV_VMEM_MAX_BYTES
+
+
+def pack_env_transposed(table) -> tuple[np.ndarray, int, int]:
+    """TextureTable (single equirect image, id 0) -> ((3W, H) f32 numpy
+    operand, H, W). Channel c occupies sublane rows [c*W, (c+1)*W); the
+    lane/contraction dim is the image row (latitude)."""
+    H = int(np.asarray(table.height)[0])
+    W = int(np.asarray(table.width)[0])
+    img = np.stack(
+        [np.asarray(table.tr), np.asarray(table.tg), np.asarray(table.tb)],
+        axis=-1,
+    )[: H * W].reshape(H, W, 3)
+    # E_T[c*W + w, h] = img[h, w, c]
+    et = np.transpose(img, (2, 1, 0)).reshape(3 * W, H)
+    return np.ascontiguousarray(et.astype(np.float32)), H, W
+
+
+# Mosaic has no atan2/arccos lowering: polynomial implementations, max
+# error ~1.0e-7 over the full range (measured; minimax-grade lstsq fit of
+# atan(t)/t in t^2 on [0,1], degree 11, Horner in f32).
+_ATAN_C = (
+    1.0, -0.3333333, 0.1999991, -0.14283949, 0.11092985, -0.08979051,
+    0.07242284, -0.05421531, 0.034133423, -0.016055161, 0.004827228,
+    -0.00068049727,
+)
+_PI = np.float32(np.pi)
+_PI_2 = np.float32(np.pi / 2)
+
+
+def _atan_poly01(t):
+    """atan(t) for t in [0, 1]."""
+    u = t * t
+    p = jnp.full_like(t, np.float32(_ATAN_C[-1]))
+    for c in _ATAN_C[-2::-1]:
+        p = p * u + np.float32(c)
+    return t * p
+
+
+def atan2(z, x):
+    """Branch-free atan2 for Mosaic kernels (vector planes)."""
+    az = jnp.abs(z)
+    ax = jnp.abs(x)
+    hi = jnp.maximum(az, ax)
+    lo = jnp.minimum(az, ax)
+    q = lo / jnp.maximum(hi, np.float32(1e-30))
+    r = _atan_poly01(q)
+    r = jnp.where(az > ax, _PI_2 - r, r)
+    r = jnp.where(x < 0, _PI - r, r)
+    return jnp.where(z < 0, -r, r)
+
+
+def arccos(y):
+    """arccos via atan2(sqrt(1-y^2), y); y pre-clipped to [-1, 1]."""
+    s = jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0))
+    return atan2(s, y)
+
+
+def equirect_uv(d, H):
+    """Miss-direction -> (u, v) texture coords, same math as
+    scene/textures.py sample_environment (incl. the polar clamp band);
+    the trig is the in-kernel polynomial (~1e-7 abs vs libm)."""
+    dx, dy, dz = d
+    u = atan2(dz, dx) * np.float32(0.5 / np.pi) + np.float32(0.5)
+    v = 1.0 - arccos(jnp.clip(dy, -1.0, 1.0)) * np.float32(1.0 / np.pi)
+    hf = np.float32(H)
+    v = jnp.clip(v, np.float32(0.5) / hf, 1.0 - np.float32(0.5) / hf)
+    return u, v
+
+
+def bilinear_fetch_rows(et, u, v, H, W):
+    """Separable one-hot bilinear fetch inside a Pallas kernel.
+
+    et: (3W, H) f32 image operand (pack_env_transposed layout), loaded.
+    u, v: (r, 128) f32 per-lane coords (wrap addressing, OBJ bottom-left
+    v origin — same convention as sample_bilinear).
+    Returns ((r,128),)*3 rgb planes. r is static; the row loop unrolls.
+    """
+    r = u.shape[0]
+    wf = np.float32(W)
+    hf = np.float32(H)
+    uu = u - jnp.floor(u)
+    vv = v - jnp.floor(v)
+    x = uu * wf - np.float32(0.5)
+    y = (1.0 - vv) * hf - np.float32(0.5)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    # wrap (repeat) in float: mod keeps everything compare-ready without
+    # int casts; exact for the small integer lattice involved
+    x0w = x0 - jnp.floor(x0 / wf) * wf
+    x1w = (x0 + 1.0) - jnp.floor((x0 + 1.0) / wf) * wf
+    y0w = y0 - jnp.floor(y0 / hf) * hf
+    y1w = (y0 + 1.0) - jnp.floor((y0 + 1.0) / hf) * hf
+
+    # Mosaic iota must be integer-typed; i32->f32 cast is supported
+    iota_h = jax.lax.broadcasted_iota(
+        jnp.int32, (H, 128), 0).astype(jnp.float32)
+    iota_w = jax.lax.broadcasted_iota(
+        jnp.int32, (W, 128), 0).astype(jnp.float32)
+
+    rows = ([], [], [])
+    for j in range(r):
+        y0r = y0w[j:j + 1, :]   # (1,128) static slice
+        y1r = y1w[j:j + 1, :]
+        fyr = fy[j:j + 1, :]
+        o = (
+            jnp.where(iota_h == y0r, 1.0 - fyr, 0.0)
+            + jnp.where(iota_h == y1r, fyr, 0.0)
+        )                                                   # (H,128)
+        # HIGHEST: the MXU's default bf16 passes cost ~1% color error;
+        # full-f32 passes measured FREE at these sizes (probe_envfetch_
+        # ablate.py: 16-19us/block for every variant incl. no-dot — the
+        # fetch rides inside kernel overhead)
+        scan = jax.lax.dot_general(
+            et, o, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                                   # (3W,128)
+        x0r = x0w[j:j + 1, :]
+        x1r = x1w[j:j + 1, :]
+        fxr = fx[j:j + 1, :]
+        hmask = (
+            jnp.where(iota_w == x0r, 1.0 - fxr, 0.0)
+            + jnp.where(iota_w == x1r, fxr, 0.0)
+        )                                                   # (W,128)
+        for c in range(3):
+            slab = scan[c * W:(c + 1) * W, :]
+            rows[c].append(
+                jnp.sum(slab * hmask, axis=0, keepdims=True))
+    return tuple(jnp.concatenate(rows[c], axis=0) for c in range(3))
+
+
+def env_fetch_rows(et, d, H, W):
+    """Equirect environment fetch for a (r,128) SoA direction block."""
+    u, v = equirect_uv(d, H)
+    return bilinear_fetch_rows(et, u, v, H, W)

@@ -137,6 +137,27 @@ def make_bvh_regen_render_step(
     # dead MIS pdf math into the kernel
     use_mis = cfg.use_mis and use_nee
 
+    # ---- in-kernel environment sky (extension over the constant sky,
+    # ref miss.rmiss:10): equirect image packed (3W, H) in VMEM, fetched
+    # per miss lane via the separable one-hot MXU gather
+    # (kernels/imgfetch.py). Env NEE (env-only scenes under use_nee)
+    # keeps the wavefront path — dispatch routes it there.
+    env = getattr(scene_buffers, "env", None)
+    use_env = env is not None
+    env_table = None
+    env_h = env_w = 0
+    if use_env:
+        from .imgfetch import ENV_VMEM_MAX_BYTES, pack_env_transposed
+
+        et_np, env_h, env_w = pack_env_transposed(env)
+        if et_np.nbytes > ENV_VMEM_MAX_BYTES:
+            raise ValueError(
+                f"in-kernel env sky supports maps up to "
+                f"{ENV_VMEM_MAX_BYTES} bytes packed ({env_w}x{env_h} is "
+                f"{et_np.nbytes}); use the wavefront integrator"
+            )
+        env_table = jnp.asarray(et_np)
+
     lanes = 128
     r = block_rows
     if interpret is None:
@@ -176,6 +197,9 @@ def make_bvh_regen_render_step(
                 refs = refs[1:]
             if use_nee:
                 light_ref = refs[0]
+                refs = refs[1:]
+            if use_env:
+                env_ref = refs[0]
                 refs = refs[1:]
             if stream_tris:
                 (colr_ref, colg_ref, colb_ref, segs_ref, stack_ref,
@@ -544,11 +568,14 @@ def make_bvh_regen_render_step(
                 inv_len = jax.lax.rsqrt(jnp.maximum(vec.dot(nrm, nrm), 1e-30))
                 normal = vec.scale(nrm, -inv_len)
                 diffuse = albedo
-                emission = vec.where(
-                    miss,
-                    (sky[0] + zero, sky[1] + zero, sky[2] + zero),
-                    ke,
-                )
+                if use_env:
+                    from .imgfetch import env_fetch_rows
+
+                    sky3 = env_fetch_rows(
+                        env_ref[...], (dx, dy, dz), env_h, env_w)
+                else:
+                    sky3 = (sky[0] + zero, sky[1] + zero, sky[2] + zero)
+                emission = vec.where(miss, sky3, ke)
                 if has_mirrors:
                     # packed material lane: 1.0 = mirror, 2.0+rough =
                     # glossy, 3.0+encoded-IOR = dielectric
@@ -1081,6 +1108,9 @@ def make_bvh_regen_render_step(
         if use_nee:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(light_table)
+        if use_env:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            args.append(env_table)
         scratch = [pltpu.SMEM((stack_n,), jnp.int32)]
         if stream_tris:
             scratch += [

@@ -112,6 +112,27 @@ def make_regen_render_step(
     # dead MIS pdf math into the kernel
     use_mis = cfg.use_mis and use_nee
 
+    # ---- in-kernel environment sky (extension over the constant sky,
+    # ref miss.rmiss:10): equirect image packed (3W, H) in VMEM, fetched
+    # per miss lane via the separable one-hot MXU gather
+    # (kernels/imgfetch.py). Env NEE (env-only scenes under use_nee)
+    # keeps the wavefront path — dispatch routes it there.
+    env = getattr(scene_buffers, "env", None)
+    use_env = env is not None
+    env_table = None
+    env_h = env_w = 0
+    if use_env:
+        from .imgfetch import ENV_VMEM_MAX_BYTES, pack_env_transposed
+
+        et_np, env_h, env_w = pack_env_transposed(env)
+        if et_np.nbytes > ENV_VMEM_MAX_BYTES:
+            raise ValueError(
+                f"in-kernel env sky supports maps up to "
+                f"{ENV_VMEM_MAX_BYTES} bytes packed ({env_w}x{env_h} is "
+                f"{et_np.nbytes}); use the wavefront integrator"
+            )
+        env_table = jnp.asarray(et_np)
+
     lanes = 128
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -146,9 +167,11 @@ def make_regen_render_step(
         def kernel(scal_ref, tri_ref, *refs):
             if use_nee:
                 light_ref = refs[0]
-                colr_ref, colg_ref, colb_ref, segs_ref = refs[1:]
-            else:
-                colr_ref, colg_ref, colb_ref, segs_ref = refs
+                refs = refs[1:]
+            if use_env:
+                env_ref = refs[0]
+                refs = refs[1:]
+            colr_ref, colg_ref, colb_ref, segs_ref = refs
             pid = pl.program_id(0)
             frame = scal_ref[0]
             row0 = scal_ref[1]
@@ -311,10 +334,15 @@ def make_regen_render_step(
                 inv_len = jax.lax.rsqrt(jnp.maximum(vec.dot(nrm, nrm), 1e-30))
                 normal = vec.scale(nrm, -inv_len)
                 diffuse = (bmat[0], bmat[1], bmat[2])
+                if use_env:
+                    from .imgfetch import env_fetch_rows
+
+                    sky3 = env_fetch_rows(
+                        env_ref[...], (dx, dy, dz), env_h, env_w)
+                else:
+                    sky3 = (sky[0] + zero, sky[1] + zero, sky[2] + zero)
                 emission = vec.where(
-                    miss,
-                    (sky[0] + zero, sky[1] + zero, sky[2] + zero),
-                    (bmat[3], bmat[4], bmat[5]),
+                    miss, sky3, (bmat[3], bmat[4], bmat[5]),
                 )
 
                 if has_mirrors:
@@ -711,6 +739,9 @@ def make_regen_render_step(
         if use_nee:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(light_table)
+        if use_env:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            args.append(env_table)
         colr, colg, colb, segs = pl.pallas_call(
             kernel,
             grid=(grid,),

@@ -87,7 +87,9 @@ def test_miss_samples_environment(tmp_path):
     np.testing.assert_allclose(img, exp, rtol=1e-5, atol=1e-6)
 
 
-def test_dispatch_env_routes_off_megakernel(tmp_path):
+def test_dispatch_small_env_fuses_on_megakernel(tmp_path):
+    """A VMEM-sized env map stays on the fused regen megakernel (the
+    separable one-hot MXU fetch, kernels/imgfetch.py)."""
     from sfvp_tpu.dispatch import select_render_step
 
     scene = _far_tri_scene(_quadrant_env(tmp_path))
@@ -95,8 +97,96 @@ def test_dispatch_env_routes_off_megakernel(tmp_path):
     cfg = RenderConfig(width=8, height=8, spp_per_step=2, max_depth=2,
                        backend="pallas")
     step = select_render_step(cfg, buffers)
+    assert step.__module__ == "sfvp_tpu.kernels.megakernel_regen"
     out = jax.jit(lambda s: step(s, 0))(init_state(8, 8))
     assert np.isfinite(np.asarray(out.accum)).all()
+
+
+def test_dispatch_env_fallbacks(tmp_path):
+    """Oversized env maps and env NEE (env-only scene under use_nee)
+    still route to the wavefront integrator."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from sfvp_tpu.dispatch import select_render_step
+    from sfvp_tpu.scene.textures import TextureTable
+
+    scene = _far_tri_scene(_quadrant_env(tmp_path))
+    buffers = upload(scene)
+    cfg = RenderConfig(width=8, height=8, spp_per_step=2, max_depth=2,
+                       backend="pallas")
+
+    # env NEE: the scene has no emissive tris, so use_nee importance-
+    # samples the environment — a wavefront-only estimator
+    step = select_render_step(dataclasses.replace(cfg, use_nee=True),
+                              buffers)
+    assert step.__module__ == "sfvp_tpu.integrate.wavefront"
+
+    # oversized map (1024x512 packs to 6MB > ENV_VMEM_MAX_BYTES)
+    big_h, big_w = 512, 1024
+    n = big_h * big_w
+    big_env = TextureTable(
+        tr=jnp.zeros((n,), jnp.float32), tg=jnp.zeros((n,), jnp.float32),
+        tb=jnp.zeros((n,), jnp.float32),
+        off=jnp.zeros((1,), jnp.int32),
+        width=jnp.full((1,), big_w, jnp.int32),
+        height=jnp.full((1,), big_h, jnp.int32),
+    )
+    big_buffers = buffers._replace(env=big_env)
+    step = select_render_step(cfg, big_buffers)
+    assert step.__module__ == "sfvp_tpu.integrate.wavefront"
+
+
+def _env_equiv_case(tmp_path, make_kernel_step, n_tris, **cfg_kw):
+    """Shared harness: interpret-mode fused kernel vs the jnp wavefront
+    oracle on an env-lit scene with an area light."""
+    from sfvp_tpu.dispatch import select_trace_fn
+    from sfvp_tpu.scene.buffers import from_arrays
+    from sfvp_tpu.scene.textures import build_texture_table
+
+    g = np.random.default_rng(7)
+    img = (g.uniform(0, 1, (8, 16, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "sky.png"
+    p.write_bytes(encode_png(img))
+    env = build_texture_table([str(p)], srgb=False)
+
+    tris = (g.uniform(-4, 4, (n_tris, 1, 3))
+            + g.normal(0, 0.5, (n_tris, 3, 3))).astype(np.float32)
+    kd = g.uniform(0.2, 0.9, (n_tris, 3)).astype(np.float32)
+    ke = np.zeros((n_tris, 3), np.float32)
+    ke[0] = 5.0
+    buffers = from_arrays(tris, kd, ke, env=env)
+
+    from sfvp_tpu.integrate.wavefront import make_render_step as mk_wave
+
+    cfg = RenderConfig(width=16, height=16, spp_per_step=4, max_depth=4,
+                       **cfg_kw)
+    wave = mk_wave(cfg, buffers, trace_fn=select_trace_fn(cfg, buffers),
+                   global_shape=(16, 16))
+    kern = make_kernel_step(cfg, buffers, global_shape=(16, 16),
+                            interpret=True)
+    st = init_state(16, 16)
+    a = np.asarray(wave(st).accum)
+    b = np.asarray(kern(st).accum)
+    err = np.max(np.abs(a - b)) / max(1e-6, float(np.max(np.abs(a))))
+    assert err < 2e-3, err
+    assert float(np.max(a)) > 0
+
+
+def test_regen_megakernel_env_equivalence(tmp_path):
+    from sfvp_tpu.kernels.megakernel_regen import make_regen_render_step
+
+    _env_equiv_case(tmp_path, make_regen_render_step, 6)
+    _env_equiv_case(tmp_path, make_regen_render_step, 6,
+                    use_nee=True, use_mis=True, sampling="cosine")
+
+
+def test_bvh_megakernel_env_equivalence(tmp_path):
+    from sfvp_tpu.kernels.megakernel_bvh import make_bvh_regen_render_step
+
+    _env_equiv_case(tmp_path, make_bvh_regen_render_step, 40,
+                    use_nee=True, use_mis=True, sampling="cosine")
 
 
 def _floor_scene(env_path):
