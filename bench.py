@@ -151,8 +151,11 @@ def bench_city_sorted(results):
 
 
 def bench_textured_100k(results):
-    """map_Kd at scale: 100k tris + checker texture through the packet
-    kernels' uv/texid payload planes (round-3 capability)."""
+    """map_Kd at scale: 100k tris + checker texture. Routes through the
+    fused BVH regen megakernel's in-kernel atlas fetch since round 3
+    (3.31 vs the wavefront/packet path's 1.50 Mrays/s); the spp_chunk=8
+    config is kept for round-over-round comparability (chunking is
+    stream-invariant, test_spp_chunk_invariance)."""
     import numpy as np
 
     from sfvp_tpu import upload

@@ -151,14 +151,19 @@ def select_render_step(
         # amortize better than per-iteration shadow traversals. The fused
         # kernel wins at the default chunk=1 and for all NEE-less configs.
         prefer_wavefront = cfg.use_nee and (many_lights or cfg.spp_chunk > 1)
+        if has_tex:
+            from .kernels.imgfetch import atlas_fits_in_kernel
+
+            tex_blocks_fused = not atlas_fits_in_kernel(buffers.textures)
+        else:
+            tex_blocks_fused = False
         if (cfg.megakernel_regen and not prefer_wavefront
-                and not env_blocks_fused and not has_tex):
-            # textures need a per-lane image fetch per HIT that the fused
-            # kernel does not yet express; those scenes use the wavefront
-            # loop below, whose packet kernels carry uv/texid planes and
-            # fetch at the XLA level between bounces. Env skies fuse via
-            # the separable one-hot MXU fetch (kernels/imgfetch.py)
-            # unless the map is oversized or env NEE is in play.
+                and not env_blocks_fused and not tex_blocks_fused):
+            # env skies and map_Kd textures fuse via the separable
+            # one-hot MXU fetch (kernels/imgfetch.py); oversized maps
+            # (>2MB packed), >16 textures, and env NEE route to the
+            # wavefront loop below, whose packet kernels carry uv/texid
+            # planes and fetch at the XLA level between bounces.
             # fused BVH regen megakernel: whole spp per kernel call with
             # in-lane sample regeneration and in-kernel packet traversal —
             # no per-bounce relaunch, no dead lanes, no bounce sort

@@ -116,16 +116,27 @@ def equirect_uv(d, H):
 
 
 def bilinear_fetch_rows(et, u, v, H, W):
-    """Separable one-hot bilinear fetch inside a Pallas kernel.
+    """Separable one-hot bilinear fetch inside a Pallas kernel (single
+    image: scalar dimensions).
 
     et: (3W, H) f32 image operand (pack_env_transposed layout), loaded.
     u, v: (r, 128) f32 per-lane coords (wrap addressing, OBJ bottom-left
     v origin — same convention as sample_bilinear).
     Returns ((r,128),)*3 rgb planes. r is static; the row loop unrolls.
     """
+    wf = jnp.full_like(u, np.float32(W))
+    hf = jnp.full_like(u, np.float32(H))
+    off = jnp.zeros_like(u)
+    return bilinear_fetch_rows_var(et, u, v, wf, hf, off, H, W)
+
+
+def bilinear_fetch_rows_var(et, u, v, wf, hf, off, Htot, Wmax):
+    """Per-lane-dimension variant for texture atlases: every lane may
+    address a different texture. wf/hf are the lane's texture dimensions
+    as (r,128) f32 planes; off is the lane's vertical start inside the
+    (3*Wmax, Htot) atlas (pack_atlas_transposed layout). Wrap (repeat)
+    addressing happens inside the lane's own w x h window."""
     r = u.shape[0]
-    wf = np.float32(W)
-    hf = np.float32(H)
     uu = u - jnp.floor(u)
     vv = v - jnp.floor(v)
     x = uu * wf - np.float32(0.5)
@@ -138,10 +149,11 @@ def bilinear_fetch_rows(et, u, v, H, W):
     # int casts; exact for the small integer lattice involved
     x0w = x0 - jnp.floor(x0 / wf) * wf
     x1w = (x0 + 1.0) - jnp.floor((x0 + 1.0) / wf) * wf
-    y0w = y0 - jnp.floor(y0 / hf) * hf
-    y1w = (y0 + 1.0) - jnp.floor((y0 + 1.0) / hf) * hf
+    y0w = off + y0 - jnp.floor(y0 / hf) * hf
+    y1w = off + (y0 + 1.0) - jnp.floor((y0 + 1.0) / hf) * hf
 
     # Mosaic iota must be integer-typed; i32->f32 cast is supported
+    H, W = Htot, Wmax
     iota_h = jax.lax.broadcasted_iota(
         jnp.int32, (H, 128), 0).astype(jnp.float32)
     iota_w = jax.lax.broadcasted_iota(
@@ -183,3 +195,70 @@ def env_fetch_rows(et, d, H, W):
     """Equirect environment fetch for a (r,128) SoA direction block."""
     u, v = equirect_uv(d, H)
     return bilinear_fetch_rows(et, u, v, H, W)
+
+
+# ---- texture atlases (map_Kd in the fused megakernels) ----
+
+# the packed (3*Wmax, Htot) atlas must fit VMEM next to the scene/BVH
+# tables; per-texture dims resolve via unrolled selects, so cap the count
+TEX_VMEM_MAX_BYTES = 2 * 1024 * 1024
+MAX_KERNEL_TEXTURES = 16
+
+
+def atlas_fits_in_kernel(table) -> bool:
+    """Dispatch-side predicate: can the fused megakernels hold this
+    TextureTable as a packed atlas? (Same bounds the kernels enforce.)"""
+    if table is None:
+        return False
+    ws = np.asarray(table.width)
+    hs = np.asarray(table.height)
+    if len(ws) > MAX_KERNEL_TEXTURES:
+        return False
+    return 3 * int(ws.max()) * int(hs.sum()) * 4 <= TEX_VMEM_MAX_BYTES
+
+
+def pack_atlas_transposed(table):
+    """TextureTable -> ((3*Wmax, Htot) f32 atlas, offs, ws, hs).
+
+    Texture k occupies contraction columns [offs[k], offs[k]+hs[k]) and,
+    per channel c, sublane rows [c*Wmax, c*Wmax+ws[k]). Lanes resolve
+    their texture's (off, w, h) by unrolled selects over texid."""
+    K = int(np.asarray(table.off).shape[0])
+    ws = [int(w) for w in np.asarray(table.width)]
+    hs = [int(h) for h in np.asarray(table.height)]
+    base = [int(o) for o in np.asarray(table.off)]
+    wmax = max(ws)
+    htot = sum(hs)
+    chans = [np.asarray(table.tr), np.asarray(table.tg),
+             np.asarray(table.tb)]
+    at = np.zeros((3 * wmax, htot), np.float32)
+    offs = []
+    off_h = 0
+    for k in range(K):
+        h, w = hs[k], ws[k]
+        for c in range(3):
+            img = chans[c][base[k]:base[k] + h * w].reshape(h, w)
+            at[c * wmax:c * wmax + w, off_h:off_h + h] = img.T
+        offs.append(off_h)
+        off_h += h
+    return np.ascontiguousarray(at), offs, ws, hs
+
+
+def atlas_fetch_rows(at, texu, texv, tid1, offs, ws, hs, Htot, Wmax):
+    """map_Kd fetch for a (r,128) hit wave inside a Pallas kernel.
+
+    tid1: (r,128) f32 texid+1 plane (0 = untextured -> white, matching
+    sample_bilinear's tex_id < 0 semantics). Per-lane texture dims come
+    from unrolled selects over the static (offs, ws, hs) lists."""
+    offp = jnp.zeros_like(texu)
+    wfp = jnp.ones_like(texu)
+    hfp = jnp.ones_like(texu)
+    for k in range(len(ws)):
+        sel = tid1 == np.float32(k + 1)
+        offp = jnp.where(sel, np.float32(offs[k]), offp)
+        wfp = jnp.where(sel, np.float32(ws[k]), wfp)
+        hfp = jnp.where(sel, np.float32(hs[k]), hfp)
+    rgb = bilinear_fetch_rows_var(at, texu, texv, wfp, hfp, offp,
+                                  Htot, Wmax)
+    white = tid1 < np.float32(0.5)
+    return tuple(jnp.where(white, 1.0, c) for c in rgb)

@@ -158,6 +158,38 @@ def make_bvh_regen_render_step(
             )
         env_table = jnp.asarray(et_np)
 
+    # ---- in-kernel map_Kd textures (extension — the reference shades
+    # flat Kd, ref closesthit.rchit:60-62): the wide-BVH aux leaf rows
+    # carry per-corner vt + texid+1; the winning hit's interpolated
+    # (u, v, texid) ride 3 extra payload planes and one separable
+    # one-hot atlas fetch per bounce modulates Kd, same estimator as
+    # integrate/wavefront.py:105-114.
+    use_tex = (getattr(scene_buffers, "has_textures", False)
+               and wide.tris_aux is not None)
+    atlas_table = None
+    aux = None
+    tex_offs = tex_ws = tex_hs = None
+    atlas_htot = atlas_wmax = 0
+    if use_tex:
+        from .imgfetch import (
+            MAX_KERNEL_TEXTURES, TEX_VMEM_MAX_BYTES, pack_atlas_transposed,
+        )
+
+        at_np, tex_offs, tex_ws, tex_hs = pack_atlas_transposed(
+            scene_buffers.textures)
+        if (at_np.nbytes > TEX_VMEM_MAX_BYTES
+                or len(tex_ws) > MAX_KERNEL_TEXTURES):
+            raise ValueError(
+                f"in-kernel textures support up to {MAX_KERNEL_TEXTURES} "
+                f"maps / {TEX_VMEM_MAX_BYTES} atlas bytes (got "
+                f"{len(tex_ws)} maps, {at_np.nbytes} bytes); use the "
+                "wavefront integrator"
+            )
+        atlas_table = jnp.asarray(at_np)
+        atlas_wmax = max(tex_ws)
+        atlas_htot = sum(tex_hs)
+        aux = jnp.asarray(wide.tris_aux)
+
     lanes = 128
     r = block_rows
     if interpret is None:
@@ -201,9 +233,15 @@ def make_bvh_regen_render_step(
             if use_env:
                 env_ref = refs[0]
                 refs = refs[1:]
+            if use_tex:
+                aux_ref = refs[0]
+                atlas_ref = refs[1]
+                refs = refs[2:]
             if stream_tris:
                 (colr_ref, colg_ref, colb_ref, segs_ref, stack_ref,
-                 tbuf_ref, tsem) = refs
+                 tbuf_ref, tsem) = refs[:7]
+                if use_tex:
+                    abuf_ref, asem = refs[7:]
             else:
                 colr_ref, colg_ref, colb_ref, segs_ref, stack_ref = refs
 
@@ -218,6 +256,17 @@ def make_bvh_regen_render_step(
                 cp.start()
                 cp.wait()
                 return tbuf_ref[...]
+
+            def load_aux_row(lrow):
+                """The parallel uv/texid leaf row (same index as tris)."""
+                if not stream_tris:
+                    return aux_ref[pl.ds(lrow, 1), :]
+                cp = pltpu.make_async_copy(
+                    aux_ref.at[pl.ds(lrow, 1), :], abuf_ref, asem
+                )
+                cp.start()
+                cp.wait()
+                return abuf_ref[...]
             pid = pl.program_id(0)
             frame = scal_ref[0]
             row0 = scal_ref[1]
@@ -349,11 +398,12 @@ def make_bvh_regen_render_step(
                     civz = safe_inv(dz[cr, 64])
 
                 stack_ref[0] = jnp.int32(1)
+                n_pay = 19 if use_tex else 16
                 t_init = (
                     jnp.int32(1),
                     jnp.full((r, lanes), INF),   # bt
                     zero, zero,                  # bu, bv
-                ) + (zero,) * 16                 # payload planes
+                ) + (zero,) * n_pay              # payload planes
 
                 def t_cond(tc):
                     return tc[0] > 0
@@ -494,6 +544,9 @@ def make_bvh_regen_render_step(
                         pay = list(pay)
                         trow = load_tri_row(jnp.maximum(-code - 1, 0))
                         tsc = [trow[0, cc] for cc in range(128)]
+                        if use_tex:
+                            arow = load_aux_row(jnp.maximum(-code - 1, 0))
+                            asc = [arow[0, cc] for cc in range(128)]
                         for k in range(8):
                             base = 16 * k
                             t0x = tsc[base + 0]
@@ -536,6 +589,18 @@ def make_bvh_regen_render_step(
                                 tsc[base + 13], tsc[base + 14],
                                 tsc[base + 15],
                             )
+                            if use_tex:
+                                # interpolate per-corner vt with the
+                                # slot's own barycentrics (same as
+                                # bvh_packet.py / wavefront shade_inputs)
+                                wb_s = 1.0 - u - v
+                                tu = (asc[base + 0] * wb_s
+                                      + asc[base + 2] * u
+                                      + asc[base + 4] * v)
+                                tw = (asc[base + 1] * wb_s
+                                      + asc[base + 3] * u
+                                      + asc[base + 5] * v)
+                                vals = vals + (tu, tw, asc[base + 6])
                             pay = [
                                 jnp.where(ok, sv + zero, pv)
                                 for sv, pv in zip(vals, pay)
@@ -568,6 +633,14 @@ def make_bvh_regen_render_step(
                 inv_len = jax.lax.rsqrt(jnp.maximum(vec.dot(nrm, nrm), 1e-30))
                 normal = vec.scale(nrm, -inv_len)
                 diffuse = albedo
+                if use_tex:
+                    from .imgfetch import atlas_fetch_rows
+
+                    texc = atlas_fetch_rows(
+                        atlas_ref[...], pay[16], pay[17], pay[18],
+                        tex_offs, tex_ws, tex_hs, atlas_htot, atlas_wmax,
+                    )
+                    diffuse = vec.mul(diffuse, texc)
                 if use_env:
                     from .imgfetch import env_fetch_rows
 
@@ -704,7 +777,7 @@ def make_bvh_regen_render_step(
                     wly = tly * inv_dist
                     wlz = tlz * inv_dist
                     cos_s = wlx * normal[0] + wly * normal[1] + wlz * normal[2]
-                    brdf_l = tuple(a * INV_PI for a in albedo)
+                    brdf_l = tuple(a * INV_PI for a in diffuse)
                     if has_glossy:
                         wl3 = (wlx, wly, wlz)
                         wl_l = (vec.dot(wl3, tng), vec.dot(wl3, btg),
@@ -1111,12 +1184,23 @@ def make_bvh_regen_render_step(
         if use_env:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(env_table)
+        if use_tex:
+            in_specs.append(pl.BlockSpec(
+                memory_space=pl.ANY if stream_tris else pltpu.VMEM))
+            args.append(aux)
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            args.append(atlas_table)
         scratch = [pltpu.SMEM((stack_n,), jnp.int32)]
         if stream_tris:
             scratch += [
                 pltpu.VMEM((1, lanes), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ]
+            if use_tex:
+                scratch += [
+                    pltpu.VMEM((1, lanes), jnp.float32),
+                    pltpu.SemaphoreType.DMA(()),
+                ]
         colr, colg, colb, segs = pl.pallas_call(
             kernel,
             grid=(grid,),

@@ -287,3 +287,88 @@ def test_untextured_payload_has_no_tex_planes():
     d = (jnp.zeros((128,)), jnp.zeros((128,)), jnp.full((128,), -1.0))
     pay = trace(o, d, 1e4)
     assert pay.texid is None and pay.texu is None
+
+
+def _multi_tex_buffers():
+    """40-tri scene with two different-sized textures + untextured faces
+    (the fused-kernel atlas stress shape)."""
+    from sfvp_tpu.scene.buffers import from_arrays
+
+    def chan(h, w, seed):
+        return np.random.default_rng(seed).uniform(
+            0.05, 1.0, (h * w,)).astype(np.float32)
+
+    h1, w1, h2, w2 = 8, 16, 16, 8
+    tex = TextureTable(
+        tr=jnp.asarray(np.concatenate([chan(h1, w1, 1), chan(h2, w2, 2)])),
+        tg=jnp.asarray(np.concatenate([chan(h1, w1, 3), chan(h2, w2, 4)])),
+        tb=jnp.asarray(np.concatenate([chan(h1, w1, 5), chan(h2, w2, 6)])),
+        off=jnp.asarray(np.array([0, h1 * w1], np.int32)),
+        width=jnp.asarray(np.array([w1, w2], np.int32)),
+        height=jnp.asarray(np.array([h1, h2], np.int32)),
+    )
+    g = np.random.default_rng(3)
+    T = 40
+    tris = (g.uniform(-4, 4, (T, 1, 3))
+            + g.normal(0, 0.5, (T, 3, 3))).astype(np.float32)
+    kd = g.uniform(0.2, 0.9, (T, 3)).astype(np.float32)
+    ke = np.zeros((T, 3), np.float32)
+    ke[0] = 5.0
+    uv = g.uniform(-0.3, 1.3, (T, 3, 2)).astype(np.float32)
+    face_tex = (np.arange(T) % 3 - 1).astype(np.int32)  # -1, 0, 1 mix
+    return from_arrays(tris, kd, ke, face_uv=uv, face_tex=face_tex,
+                       textures=tex)
+
+
+def test_bvh_megakernel_texture_equivalence():
+    """The fused BVH regen megakernel's in-kernel atlas fetch
+    (kernels/imgfetch.py separable one-hot gather) matches the wavefront
+    integrator on a mixed multi-texture scene, incl. NEE+MIS and the
+    HBM-streamed triangle path."""
+    from sfvp_tpu.dispatch import select_trace_fn
+    from sfvp_tpu.kernels.megakernel_bvh import make_bvh_regen_render_step
+
+    buffers = _multi_tex_buffers()
+    for kw, stream in ((dict(), False),
+                       (dict(use_nee=True, use_mis=True,
+                             sampling="cosine"), False),
+                       (dict(use_nee=True, use_mis=True,
+                             sampling="cosine"), True)):
+        cfg = RenderConfig(width=16, height=16, spp_per_step=4,
+                           max_depth=4, **kw)
+        wave = make_render_step(
+            cfg, buffers, trace_fn=select_trace_fn(cfg, buffers),
+            global_shape=(16, 16))
+        kern = make_bvh_regen_render_step(
+            cfg, buffers, global_shape=(16, 16), interpret=True,
+            stream_tris=stream)
+        st = init_state(16, 16)
+        a = np.asarray(wave(st).accum)
+        b = np.asarray(kern(st).accum)
+        err = np.max(np.abs(a - b)) / max(1e-6, float(np.max(np.abs(a))))
+        assert err < 2e-3, (kw, stream, err)
+        assert float(np.max(a)) > 0
+
+
+def test_dispatch_textured_scene_fuses_on_bvh_megakernel():
+    """A VMEM-sized atlas keeps textured bvh scenes on the fused regen
+    megakernel; an oversized atlas falls back to the wavefront loop."""
+    from sfvp_tpu.dispatch import select_render_step
+
+    buffers = _multi_tex_buffers()
+    cfg = RenderConfig(width=8, height=8, spp_per_step=2, max_depth=2,
+                       backend="pallas", traversal="bvh")
+    step = select_render_step(cfg, buffers)
+    assert step.__module__ == "sfvp_tpu.kernels.megakernel_bvh"
+
+    big = 1024
+    n = big * big
+    big_tex = TextureTable(
+        tr=jnp.zeros((n,), jnp.float32), tg=jnp.zeros((n,), jnp.float32),
+        tb=jnp.zeros((n,), jnp.float32),
+        off=jnp.zeros((1,), jnp.int32),
+        width=jnp.full((1,), big, jnp.int32),
+        height=jnp.full((1,), big, jnp.int32),
+    )
+    step = select_render_step(cfg, buffers._replace(textures=big_tex))
+    assert step.__module__ == "sfvp_tpu.integrate.wavefront"
