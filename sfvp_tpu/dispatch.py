@@ -85,12 +85,13 @@ def select_render_step(
     # Capability map of the BRUTE-force megakernels: the regen megakernel
     # (megakernel_regen.py) runs diffuse + mirror + GGX + smooth
     # dielectric shading, NEE (<= 256 lights), balance-heuristic MIS,
-    # thin-lens DOF and equirect env-map skies (separable one-hot MXU
-    # fetch, kernels/imgfetch.py, maps up to ~512x256) in-kernel; the
-    # chunked megakernel (megakernel.py) is the bitwise-parity baseline
-    # (diffuse+mirror, no NEE/DOF). Textures route small scenes to the
-    # jnp wavefront loop (still TPU-jitted); so do oversized env maps and
-    # env importance sampling (NEE on an env-only scene).
+    # thin-lens DOF, equirect env-map skies and map_Kd textures (both via
+    # the separable one-hot MXU fetch, kernels/imgfetch.py; maps up to
+    # ~512x256 / atlases up to ~2MB) in-kernel; the chunked megakernel
+    # (megakernel.py) is the bitwise-parity baseline (diffuse+mirror, no
+    # NEE/DOF/textures/env). Oversized atlases and env maps, and env
+    # importance sampling (NEE on an env-only scene), route to the jnp
+    # wavefront loop (still TPU-jitted).
     has_glossy = bool(np.any(np.asarray(buffers.mtype)[:t] == 2))
     has_diel = bool(np.any(np.asarray(buffers.mtype)[:t] == 3))
     has_tex = buffers.has_textures
@@ -107,7 +108,13 @@ def select_render_step(
         env_blocks_fused = env_nee or not env_fits_in_kernel(env)
     else:
         env_blocks_fused = False
-    if ((many_lights or has_tex or env_blocks_fused)
+    if has_tex:
+        from .kernels.imgfetch import atlas_fits_in_kernel
+
+        tex_blocks_fused = not atlas_fits_in_kernel(buffers.textures)
+    else:
+        tex_blocks_fused = False
+    if ((many_lights or tex_blocks_fused or env_blocks_fused)
             and backend == "pallas" and traversal == "brute"):
         return make_render_step(
             cfg, buffers, trace_fn=select_trace_fn(cfg, buffers),
@@ -122,15 +129,16 @@ def select_render_step(
                 block_rows=cfg.pallas_block_rows,
             )
         if (not cfg.use_nee and not has_dof
-                and not has_glossy and not has_diel):
+                and not has_glossy and not has_diel
+                and not has_tex and not has_env):
             from .kernels.megakernel import make_render_step_pallas
 
             return make_render_step_pallas(
                 cfg, buffers, global_shape=global_shape,
                 block_rows=cfg.pallas_block_rows,
             )
-        # chunked megakernel has no NEE/DOF/GGX/dielectric: fall through
-        # to the jnp wavefront below
+        # chunked megakernel has no NEE/DOF/GGX/dielectric/textures/env:
+        # fall through to the jnp wavefront below
     if backend == "pallas" and traversal == "bvh":
         # packet-traversal kernel returns the full shade payload (no XLA
         # gathers; textured scenes add uv/texid planes and the shade phase
@@ -151,12 +159,6 @@ def select_render_step(
         # amortize better than per-iteration shadow traversals. The fused
         # kernel wins at the default chunk=1 and for all NEE-less configs.
         prefer_wavefront = cfg.use_nee and (many_lights or cfg.spp_chunk > 1)
-        if has_tex:
-            from .kernels.imgfetch import atlas_fits_in_kernel
-
-            tex_blocks_fused = not atlas_fits_in_kernel(buffers.textures)
-        else:
-            tex_blocks_fused = False
         if (cfg.megakernel_regen and not prefer_wavefront
                 and not env_blocks_fused and not tex_blocks_fused):
             # env skies and map_Kd textures fuse via the separable

@@ -82,8 +82,9 @@ def _pcg2d_vec(vx, vy):
 def scene_table(scene_buffers) -> jnp.ndarray:
     """(20, Tp) f32 triangle table: rows 0-8 vertex coords, 9-11 Kd,
     12-14 Ke, 15-17 Ks, 18 material type (as f32), 19 roughness (GGX for
-    mtype 2, encoded IOR (Ni-1)/4 for mtype 3). Read back as scalars
-    inside the kernel."""
+    mtype 2, encoded IOR (Ni-1)/4 for mtype 3). Textured scenes append
+    rows 20-26: u0 v0 u1 v1 u2 v2 texid+1 (0 = untextured). Read back as
+    scalars inside the kernel."""
     cols = [
         scene_buffers.v0x, scene_buffers.v0y, scene_buffers.v0z,
         scene_buffers.v1x, scene_buffers.v1y, scene_buffers.v1z,
@@ -94,6 +95,13 @@ def scene_table(scene_buffers) -> jnp.ndarray:
         scene_buffers.mtype.astype(jnp.float32),
         scene_buffers.rough,
     ]
+    if scene_buffers.has_textures:
+        cols += [
+            scene_buffers.u0, scene_buffers.v0t,
+            scene_buffers.u1, scene_buffers.v1t,
+            scene_buffers.u2, scene_buffers.v2t,
+            scene_buffers.tex.astype(jnp.float32) + 1.0,
+        ]
     return jnp.stack(cols, axis=0)
 
 

@@ -133,6 +133,35 @@ def make_regen_render_step(
             )
         env_table = jnp.asarray(et_np)
 
+    # ---- in-kernel map_Kd textures (extension; same atlas machinery as
+    # megakernel_bvh.py): scene_table rows 20-26 carry per-corner vt +
+    # texid+1, the winning hit's interpolated (u, v, texid) are selected
+    # in the unrolled intersection loop, and one separable one-hot atlas
+    # fetch per bounce modulates Kd (integrate/wavefront.py:105-114
+    # semantics).
+    use_tex = bool(getattr(scene_buffers, "has_textures", False))
+    atlas_table = None
+    tex_offs = tex_ws = tex_hs = None
+    atlas_htot = atlas_wmax = 0
+    if use_tex:
+        from .imgfetch import (
+            MAX_KERNEL_TEXTURES, TEX_VMEM_MAX_BYTES, pack_atlas_transposed,
+        )
+
+        at_np, tex_offs, tex_ws, tex_hs = pack_atlas_transposed(
+            scene_buffers.textures)
+        if (at_np.nbytes > TEX_VMEM_MAX_BYTES
+                or len(tex_ws) > MAX_KERNEL_TEXTURES):
+            raise ValueError(
+                f"in-kernel textures support up to {MAX_KERNEL_TEXTURES} "
+                f"maps / {TEX_VMEM_MAX_BYTES} atlas bytes (got "
+                f"{len(tex_ws)} maps, {at_np.nbytes} bytes); use the "
+                "wavefront integrator"
+            )
+        atlas_table = jnp.asarray(at_np)
+        atlas_wmax = max(tex_ws)
+        atlas_htot = sum(tex_hs)
+
     lanes = 128
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -171,6 +200,9 @@ def make_regen_render_step(
             if use_env:
                 env_ref = refs[0]
                 refs = refs[1:]
+            if use_tex:
+                atlas_ref = refs[0]
+                refs = refs[1:]
             colr_ref, colg_ref, colb_ref, segs_ref = refs
             pid = pl.program_id(0)
             frame = scal_ref[0]
@@ -192,7 +224,9 @@ def make_regen_render_step(
                 e1 = tuple(b - a for a, b in zip(p0, p1))
                 e2 = tuple(b - a for a, b in zip(p0, p2))
                 mat = tuple(tri_ref[9 + k, i] for k in range(n_mat))
-                tris.append((p0, p1, p2, e1, e2, mat))
+                auxv = (tuple(tri_ref[20 + k, i] for k in range(7))
+                        if use_tex else None)
+                tris.append((p0, p1, p2, e1, e2, mat, auxv))
 
             row_ids = jax.lax.broadcasted_iota(jnp.int32, (r, lanes), 0)
             lane_ids = jax.lax.broadcasted_iota(jnp.int32, (r, lanes), 1)
@@ -287,7 +321,9 @@ def make_regen_render_step(
                 b1 = (zero, zero, zero)
                 b2 = (zero, zero, zero)
                 bmat = (zero,) * n_mat
-                for (p0t, p1t, p2t, e1, e2, mat) in tris:
+                if use_tex:
+                    btex = (zero, zero, zero)    # tu, tw, texid+1
+                for (p0t, p1t, p2t, e1, e2, mat, auxv) in tris:
                     pvx = d[1] * e2[2] - d[2] * e2[1]
                     pvy = d[2] * e2[0] - d[0] * e2[2]
                     pvz = d[0] * e2[1] - d[1] * e2[0]
@@ -320,6 +356,14 @@ def make_regen_render_step(
                         jnp.where(ok, mv + zero, bmv)
                         for mv, bmv in zip(mat, bmat)
                     )
+                    if use_tex:
+                        # interpolate per-corner vt with this tri's own
+                        # barycentrics (wavefront shade_inputs semantics)
+                        wb_s = 1.0 - u - v
+                        tu = auxv[0] * wb_s + auxv[2] * u + auxv[4] * v
+                        tw = auxv[1] * wb_s + auxv[3] * u + auxv[5] * v
+                        btex = vec.where(
+                            ok, (tu, tw, auxv[6] + zero), btex)
 
                 miss = jnp.isinf(bt)
                 bw = 1.0 - bu - bv
@@ -334,6 +378,14 @@ def make_regen_render_step(
                 inv_len = jax.lax.rsqrt(jnp.maximum(vec.dot(nrm, nrm), 1e-30))
                 normal = vec.scale(nrm, -inv_len)
                 diffuse = (bmat[0], bmat[1], bmat[2])
+                if use_tex:
+                    from .imgfetch import atlas_fetch_rows
+
+                    texc = atlas_fetch_rows(
+                        atlas_ref[...], btex[0], btex[1], btex[2],
+                        tex_offs, tex_ws, tex_hs, atlas_htot, atlas_wmax,
+                    )
+                    diffuse = vec.mul(diffuse, texc)
                 if use_env:
                     from .imgfetch import env_fetch_rows
 
@@ -501,7 +553,7 @@ def make_regen_render_step(
                     )
                     smax = (1.0 / inv_dist) * np.float32(1.0 - 1e-3)
                     occ = jnp.zeros((r, lanes), bool)
-                    for (p0t, p1t, p2t, e1, e2, _mat) in tris:
+                    for (p0t, p1t, p2t, e1, e2, _mat, _aux) in tris:
                         pvx = wly * e2[2] - wlz * e2[1]
                         pvy = wlz * e2[0] - wlx * e2[2]
                         pvz = wlx * e2[1] - wly * e2[0]
@@ -742,6 +794,9 @@ def make_regen_render_step(
         if use_env:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(env_table)
+        if use_tex:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            args.append(atlas_table)
         colr, colg, colb, segs = pl.pallas_call(
             kernel,
             grid=(grid,),

@@ -225,7 +225,9 @@ def test_textured_render(tmp_path):
     assert center.max() > 4 * max(center.min(), 1e-6)
 
 
-def test_dispatch_textured_uses_wavefront(tmp_path):
+def test_dispatch_textured_small_scene_fuses_on_regen(tmp_path):
+    """Small textured scenes with a VMEM-sized atlas fuse on the brute
+    regen megakernel (dispatch.py no longer gates brute on has_tex)."""
     from sfvp_tpu.dispatch import select_render_step
 
     p = _write_textured_scene(tmp_path)
@@ -233,6 +235,7 @@ def test_dispatch_textured_uses_wavefront(tmp_path):
     cfg = RenderConfig(width=8, height=8, spp_per_step=2, max_depth=2,
                        backend="pallas")
     step = select_render_step(cfg, buffers)
+    assert step.__module__ == "sfvp_tpu.kernels.megakernel_regen"
     out = jax.jit(lambda s: step(s, 0))(init_state(8, 8))
     assert np.isfinite(np.asarray(out.accum)).all()
 
@@ -348,6 +351,27 @@ def test_bvh_megakernel_texture_equivalence():
         err = np.max(np.abs(a - b)) / max(1e-6, float(np.max(np.abs(a))))
         assert err < 2e-3, (kw, stream, err)
         assert float(np.max(a)) > 0
+
+
+def test_brute_regen_texture_equivalence():
+    """The brute-force regen megakernel's in-kernel atlas fetch
+    (scene_table rows 20-26 + kernels/imgfetch.py) matches the jnp
+    wavefront integrator on a mixed multi-texture scene, incl. NEE+MIS."""
+    from sfvp_tpu.kernels.megakernel_regen import make_regen_render_step
+
+    buffers = _multi_tex_buffers()
+    for kw in (dict(),
+               dict(use_nee=True, use_mis=True, sampling="cosine")):
+        cfg = RenderConfig(width=16, height=16, spp_per_step=2,
+                           max_depth=3, **kw)
+        a = jax.jit(make_render_step(cfg, buffers))(init_state(16, 16))
+        b = jax.jit(make_regen_render_step(cfg, buffers, interpret=True))(
+            init_state(16, 16)
+        )
+        an, bn = np.asarray(a.accum), np.asarray(b.accum)
+        err = np.max(np.abs(an - bn)) / max(1e-6, float(np.max(np.abs(an))))
+        assert err < 2e-3, (kw, err)
+        assert float(np.max(an)) > 0
 
 
 def test_dispatch_textured_scene_fuses_on_bvh_megakernel():
