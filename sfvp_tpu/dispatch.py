@@ -74,24 +74,23 @@ def select_render_step(
 
     t = buffers.num_tris
     many_lights = False
-    has_emissive = True
     if cfg.use_nee:
         # in-kernel NEE unrolls the light CDF select; past 256 lights the
         # wavefront integrator's searchsorted light sampling scales better
         em = (np.asarray(buffers.er)[:t] > 0) | (
             np.asarray(buffers.eg)[:t] > 0) | (np.asarray(buffers.eb)[:t] > 0)
         many_lights = int(em.sum()) > 256
-        has_emissive = bool(em.any())
     # Capability map of the BRUTE-force megakernels: the regen megakernel
     # (megakernel_regen.py) runs diffuse + mirror + GGX + smooth
     # dielectric shading, NEE (<= 256 lights), balance-heuristic MIS,
-    # thin-lens DOF, equirect env-map skies and map_Kd textures (both via
-    # the separable one-hot MXU fetch, kernels/imgfetch.py; maps up to
-    # ~512x256 / atlases up to ~2MB) in-kernel; the chunked megakernel
-    # (megakernel.py) is the bitwise-parity baseline (diffuse+mirror, no
-    # NEE/DOF/textures/env). Oversized atlases and env maps, and env
-    # importance sampling (NEE on an env-only scene), route to the jnp
-    # wavefront loop (still TPU-jitted).
+    # thin-lens DOF, equirect env-map skies, env NEE (importance-sampled
+    # environment on env-only scenes, exact in-kernel CDF inversion) and
+    # map_Kd textures (all via the separable one-hot MXU machinery,
+    # kernels/imgfetch.py; maps up to ~512x256 / atlases up to ~2MB)
+    # in-kernel; the chunked megakernel (megakernel.py) is the bitwise-
+    # parity baseline (diffuse+mirror, no NEE/DOF/textures/env).
+    # Oversized atlases and env maps route to the jnp wavefront loop
+    # (still TPU-jitted).
     has_glossy = bool(np.any(np.asarray(buffers.mtype)[:t] == 2))
     has_diel = bool(np.any(np.asarray(buffers.mtype)[:t] == 3))
     has_tex = buffers.has_textures
@@ -101,11 +100,12 @@ def select_render_step(
     if has_env:
         from .kernels.imgfetch import env_fits_in_kernel
 
-        # env NEE (importance-sampled environment on a scene whose only
-        # light IS the env) is a wavefront-only estimator; plain env miss
-        # shading fuses when the packed map fits VMEM
-        env_nee = cfg.use_nee and not has_emissive
-        env_blocks_fused = env_nee or not env_fits_in_kernel(env)
+        # env miss shading AND env NEE (importance-sampled environment on
+        # a scene whose only light IS the env) both fuse when the packed
+        # map fits VMEM — the texel-CDF inversion runs in-kernel as the
+        # separable exact-searchsorted (kernels/imgfetch.py); only
+        # oversized maps route to the wavefront loop
+        env_blocks_fused = not env_fits_in_kernel(env)
     else:
         env_blocks_fused = False
     if has_tex:
@@ -161,9 +161,9 @@ def select_render_step(
         prefer_wavefront = cfg.use_nee and (many_lights or cfg.spp_chunk > 1)
         if (cfg.megakernel_regen and not prefer_wavefront
                 and not env_blocks_fused and not tex_blocks_fused):
-            # env skies and map_Kd textures fuse via the separable
-            # one-hot MXU fetch (kernels/imgfetch.py); oversized maps
-            # (>2MB packed), >16 textures, and env NEE route to the
+            # env skies, env NEE and map_Kd textures fuse via the
+            # separable one-hot MXU machinery (kernels/imgfetch.py);
+            # oversized maps (>2MB packed) and >16 textures route to the
             # wavefront loop below, whose packet kernels carry uv/texid
             # planes and fetch at the XLA level between bounces.
             # fused BVH regen megakernel: whole spp per kernel call with

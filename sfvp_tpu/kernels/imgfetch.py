@@ -197,6 +197,118 @@ def env_fetch_rows(et, d, H, W):
     return bilinear_fetch_rows(et, u, v, H, W)
 
 
+# ---- environment importance sampling (env NEE in the fused kernels) ----
+#
+# The wavefront estimator (integrate/lights.py sample_env / env_pdf) does
+# a per-lane searchsorted over the H*W texel CDF — a gather TPU lanes
+# can't do. The separable form below reproduces it EXACTLY (the same f32
+# comparisons against the same f32 values): the flat CDF is row-major, so
+#   ti = #{j: cdf[j] <= r}  =  W * #{h: rowend[h] <= r}  +  #{w in that
+#   row: cdf[row, w] <= r}
+# (rows whose END is <= r contribute all W entries by monotonicity; rows
+# after the selected one contribute none). The row count is a sublane
+# reduction over an (H, 128) compare; the selected row's CDF/PDF values
+# land in lanes via the same exact one-hot MXU select the bilinear fetch
+# uses (0/1 weights at HIGHEST precision: a copy, not a sum).
+
+
+def pack_env_dist_transposed(dist):
+    """EnvDistribution -> ((2W, H) cdf/pdf operand, (H, 128) row-end cdf).
+
+    cdfpdf[w, h]     = flat_cdf[h*W + w]   (rows 0..W-1)
+    cdfpdf[W + w, h] = pdf_flat[h*W + w]   (rows W..2W-1)
+    rowend[h, :]     = flat_cdf[(h+1)*W - 1], lane-broadcast.
+    """
+    H, W = dist.height, dist.width
+    cdf = np.asarray(dist.cdf, np.float32).reshape(H, W)
+    pdf = np.asarray(dist.pdf_flat, np.float32).reshape(H, W)
+    cdfpdf = np.concatenate([cdf.T, pdf.T], axis=0)
+    rowend = np.broadcast_to(cdf[:, -1:], (H, 128))
+    return (np.ascontiguousarray(cdfpdf),
+            np.ascontiguousarray(rowend.astype(np.float32)))
+
+
+def env_cdf_sample_rows(cdfpdf, rowend, r_sel, H, W):
+    """Invert the flat texel CDF for a (r, 128) selection-random block.
+
+    Returns (row, col, pdf_flat) as (r, 128) f32 planes; (row, col) is
+    bitwise the texel jnp.searchsorted(cdf, r, side="right") picks (incl.
+    the final min(ti, H*W-1) clamp)."""
+    r = r_sel.shape[0]
+    iota_h = jax.lax.broadcasted_iota(
+        jnp.int32, (H, 128), 0).astype(jnp.float32)
+    iota_w = jax.lax.broadcasted_iota(
+        jnp.int32, (W, 128), 0).astype(jnp.float32)
+    rows_o, cols_o, pdfs_o = [], [], []
+    for j in range(r):
+        rs = r_sel[j:j + 1, :]                                  # (1,128)
+        cnt = jnp.sum(
+            jnp.where(rowend <= rs, 1.0, 0.0), axis=0, keepdims=True
+        )
+        rowj = jnp.minimum(cnt, np.float32(H - 1))
+        o = jnp.where(iota_h == rowj, 1.0, 0.0)                 # (H,128)
+        slab = jax.lax.dot_general(
+            cdfpdf, o, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                                       # (2W,128)
+        cdf_slab = slab[:W, :]
+        pdf_slab = slab[W:, :]
+        ccnt = jnp.sum(
+            jnp.where(cdf_slab <= rs, 1.0, 0.0), axis=0, keepdims=True
+        )
+        colj = jnp.minimum(ccnt, np.float32(W - 1))
+        pdfj = jnp.sum(
+            jnp.where(iota_w == colj, pdf_slab, 0.0),
+            axis=0, keepdims=True,
+        )
+        rows_o.append(rowj)
+        cols_o.append(colj)
+        pdfs_o.append(pdfj)
+    cat = lambda xs: jnp.concatenate(xs, axis=0)  # noqa: E731
+    return cat(rows_o), cat(cols_o), cat(pdfs_o)
+
+
+def env_pdf_sa_rows(cdfpdf, d, H, W):
+    """Solid-angle pdf the env sampler assigns to direction d (the MIS
+    weight of BSDF-path sky hits) — integrate/lights.py env_pdf semantics
+    with the in-kernel polynomial trig."""
+    dx, dy, dz = d
+    u = atan2(dz, dx) * np.float32(0.5 / np.pi) + np.float32(0.5)
+    dyc = jnp.clip(dy, -1.0, 1.0)
+    theta = arccos(dyc)
+    rowp = jnp.clip(
+        jnp.floor(theta * np.float32(H / np.pi)), 0.0, np.float32(H - 1)
+    )
+    cw = jnp.floor(jnp.maximum(u, 0.0) * np.float32(W))
+    colp = jnp.clip(
+        cw - jnp.floor(cw / np.float32(W)) * np.float32(W),
+        0.0, np.float32(W - 1),
+    )
+    iota_h = jax.lax.broadcasted_iota(
+        jnp.int32, (H, 128), 0).astype(jnp.float32)
+    iota_w = jax.lax.broadcasted_iota(
+        jnp.int32, (W, 128), 0).astype(jnp.float32)
+    pdf_part = cdfpdf[W:, :]                                    # (W,H)
+    r = rowp.shape[0]
+    pdfs_o = []
+    for j in range(r):
+        o = jnp.where(iota_h == rowp[j:j + 1, :], 1.0, 0.0)     # (H,128)
+        pdf_slab = jax.lax.dot_general(
+            pdf_part, o, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                                       # (W,128)
+        pdfs_o.append(jnp.sum(
+            jnp.where(iota_w == colp[j:j + 1, :], pdf_slab, 0.0),
+            axis=0, keepdims=True,
+        ))
+    pdfflat = jnp.concatenate(pdfs_o, axis=0)
+    inv_patch = np.float32(W * H / (2.0 * np.pi * np.pi))
+    return (pdfflat * inv_patch
+            / jnp.maximum(jnp.sin(theta), np.float32(1e-6)))
+
+
 # ---- texture atlases (map_Kd in the fused megakernels) ----
 
 # the packed (3*Wmax, Htot) atlas must fit VMEM next to the scene/BVH

@@ -16,9 +16,10 @@ bounce depths, which costs ~15% traversal quality vs sorted wavefronts
 
 Per-sample semantics identical to the reference and to the other
 integrators (ref shaders/raygen.rgen:41-91): same PCG seeding, same bounce
-math, miss = sky + terminate, emissive hits never terminate. NEE (<= 64
-lights) runs in-kernel with an any-hit shadow packet traversal per bounce,
-with optional balance-heuristic MIS (use_mis) carrying the bounce pdf.
+math, miss = sky + terminate, emissive hits never terminate. NEE (<= 256
+lights, or importance-sampled env NEE on env-only scenes) runs in-kernel
+with an any-hit shadow packet traversal per bounce, with optional
+balance-heuristic MIS (use_mis) carrying the bounce pdf.
 """
 
 from __future__ import annotations
@@ -133,15 +134,10 @@ def make_bvh_regen_render_step(
                 rows.extend(np.asarray(c) for c in t3)
             rows.append(np.asarray(lt.cdf))
             light_table = jnp.asarray(np.stack(rows, axis=0))
-    # AFTER the empty-table fallback: a lightless scene must not compile
-    # dead MIS pdf math into the kernel
-    use_mis = cfg.use_mis and use_nee
-
     # ---- in-kernel environment sky (extension over the constant sky,
     # ref miss.rmiss:10): equirect image packed (3W, H) in VMEM, fetched
     # per miss lane via the separable one-hot MXU gather
-    # (kernels/imgfetch.py). Env NEE (env-only scenes under use_nee)
-    # keeps the wavefront path — dispatch routes it there.
+    # (kernels/imgfetch.py).
     env = getattr(scene_buffers, "env", None)
     use_env = env is not None
     env_table = None
@@ -157,6 +153,26 @@ def make_bvh_regen_render_step(
                 f"{et_np.nbytes}); use the wavefront integrator"
             )
         env_table = jnp.asarray(et_np)
+
+    # ---- in-kernel env NEE (importance-sampled environment; wavefront
+    # integrate/wavefront.py:168-183 semantics): engages when NEE is
+    # requested and the scene's only light IS the environment. The flat
+    # texel-CDF inversion runs as the separable exact-searchsorted of
+    # kernels/imgfetch.py; the shadow ray is the same any-hit packet
+    # traversal as area-light NEE with t_max as the limit.
+    use_env_nee = cfg.use_nee and light_table is None and use_env
+    env_nee_cdfpdf = env_nee_rowend = None
+    if use_env_nee:
+        from ..integrate.lights import build_env_distribution
+        from .imgfetch import pack_env_dist_transposed
+
+        cp_np, re_np = pack_env_dist_transposed(
+            build_env_distribution(env))
+        env_nee_cdfpdf = jnp.asarray(cp_np)
+        env_nee_rowend = jnp.asarray(re_np)
+    # AFTER the empty-table fallback: a lightless scene must not compile
+    # dead MIS pdf math into the kernel
+    use_mis = cfg.use_mis and (use_nee or use_env_nee)
 
     # ---- in-kernel map_Kd textures (extension — the reference shades
     # flat Kd, ref closesthit.rchit:60-62): the wide-BVH aux leaf rows
@@ -233,6 +249,10 @@ def make_bvh_regen_render_step(
             if use_env:
                 env_ref = refs[0]
                 refs = refs[1:]
+            if use_env_nee:
+                encdf_ref = refs[0]
+                enrow_ref = refs[1]
+                refs = refs[2:]
             if use_tex:
                 aux_ref = refs[0]
                 atlas_ref = refs[1]
@@ -703,115 +723,16 @@ def make_bvh_regen_render_step(
 
                     lam_o = ggx_lambda(woz, alpha_g)
 
-                # NEE gating (non-MIS): BSDF-path emission only on camera
-                # rays, post-specular bounces, and sky misses. Under MIS,
-                # everywhere else with the balance-heuristic weight
-                # p_bsdf / (p_bsdf + p_nee) — same math as the wavefront
-                # integrator.
-                if not use_nee:
-                    emit_w = active.astype(jnp.float32)
-                elif not use_mis:
-                    emit_w = (
-                        active & ((count_emit > 0) | miss)
-                    ).astype(jnp.float32)
-                else:
-                    cos_l_hit = jnp.abs(
-                        dx * normal[0] + dy * normal[1] + dz * normal[2]
-                    )
-                    t_safe = jnp.where(miss, 0.0, bt)
-                    p_nee_hit = (
-                        (t_safe * t_safe) * np.float32(1.0 / total_area)
-                        / jnp.maximum(cos_l_hit, np.float32(1e-6))
-                    )
-                    w_bsdf = pdf_prev / jnp.maximum(
-                        pdf_prev + p_nee_hit, 1e-30
-                    )
-                    is_emissive = (
-                        jnp.maximum(jnp.maximum(emission[0], emission[1]),
-                                    emission[2]) > 0
-                    ) & jnp.logical_not(miss)
-                    emit_w = jnp.where(
-                        (count_emit > 0) | miss, 1.0,
-                        jnp.where(is_emissive, w_bsdf, 0.0),
-                    ) * active.astype(jnp.float32)
-                tr = tr + wr * emission[0] * emit_w
-                tg = tg + wg * emission[1] * emit_w
-                tb = tb + wb * emission[2] * emit_w
-
-                if use_nee:
-                    r_sel, seed = _rand_vec(seed)
-                    rl1, seed = _rand_vec(seed)
-                    rl2, seed = _rand_vec(seed)
-                    # CDF select (unrolled; L is small and static)
-                    li = jnp.zeros((r, lanes), jnp.int32)
-                    for i in range(num_lights - 1):
-                        li = li + (r_sel > lights[i][15]).astype(jnp.int32)
-                    fld = [f + zero for f in lights[0][:15]]
-                    for i in range(1, num_lights):
-                        pick = li == i
-                        fld = [
-                            jnp.where(pick, lights[i][k], f)
-                            for k, f in enumerate(fld)
-                        ]
-                    lv0 = fld[0:3]
-                    lv1 = fld[3:6]
-                    lv2 = fld[6:9]
-                    ln = fld[9:12]
-                    le = fld[12:15]
-                    su = jnp.sqrt(jnp.maximum(rl1, 0.0))
-                    b0w = 1.0 - su
-                    b1w = su * (1.0 - rl2)
-                    b2w = su * rl2
-                    q = [
-                        lv0[a] * b0w + lv1[a] * b1w + lv2[a] * b2w
-                        for a in range(3)
-                    ]
-                    tlx = q[0] - position[0]
-                    tly = q[1] - position[1]
-                    tlz = q[2] - position[2]
-                    dist2 = jnp.maximum(
-                        tlx * tlx + tly * tly + tlz * tlz, 1e-12
-                    )
-                    inv_dist = jax.lax.rsqrt(dist2)
-                    wlx = tlx * inv_dist
-                    wly = tly * inv_dist
-                    wlz = tlz * inv_dist
-                    cos_s = wlx * normal[0] + wly * normal[1] + wlz * normal[2]
-                    brdf_l = tuple(a * INV_PI for a in diffuse)
-                    if has_glossy:
-                        wl3 = (wlx, wly, wlz)
-                        wl_l = (vec.dot(wl3, tng), vec.dot(wl3, btg),
-                                vec.dot(wl3, n_g))
-                        cos_i_g = wl_l[2]
-                        hh = vec.add(wo_l, wl_l)
-                        inv_hh = jax.lax.rsqrt(
-                            jnp.maximum(vec.dot(hh, hh), 1e-20))
-                        hh = vec.scale(hh, inv_hh)
-                        dgg = ggx_d(hh[2], alpha_g)
-                        g2_l = 1.0 / (1.0 + lam_o + ggx_lambda(cos_i_g, alpha_g))
-                        coh_l = jnp.maximum(vec.dot(wo_l, hh), 1e-6)
-                        fr_l = ggx_f_k(coh_l)
-                        den_l = jnp.maximum(
-                            4.0 * woz * jnp.maximum(cos_i_g, 1e-6), 1e-6)
-                        f_g = tuple(fc * dgg * g2_l / den_l for fc in fr_l)
-                        cos_s = jnp.where(is_glossy, cos_i_g, cos_s)
-                        brdf_l = tuple(
-                            jnp.where(is_glossy, fg, bl)
-                            for fg, bl in zip(f_g, brdf_l)
-                        )
-                    cos_l = jnp.abs(wlx * ln[0] + wly * ln[1] + wlz * ln[2])
-                    shadow_q = (
-                        active & jnp.logical_not(miss | is_spec)
-                        & (cos_s > 0)
-                    )
-                    smax = (1.0 / inv_dist) * np.float32(1.0 - 1e-3)
-                    # ---- any-hit shadow packet traversal (the in-kernel
-                    # analog of kernels/bvh_packet.make_packet_occlusion;
-                    # the SMEM stack is empty again after the main pass) --
+                def shadow_occluded(so3, wl3, smax, shadow_q):
+                    """Any-hit shadow packet traversal (the in-kernel
+                    analog of kernels/bvh_packet.make_packet_occlusion),
+                    shared by area-light and env NEE; the SMEM stack is
+                    empty again after the main pass."""
+                    sox, soy, soz = so3
+                    wlx, wly, wlz = wl3
                     sivx = safe_inv(wlx)
                     sivy = safe_inv(wly)
                     sivz = safe_inv(wlz)
-                    sox, soy, soz = position
                     stack_ref[0] = jnp.int32(1)
                     s_init = (jnp.int32(1), jnp.zeros((r, lanes), jnp.float32))
 
@@ -958,6 +879,133 @@ def make_bvh_regen_render_step(
                         return jax.lax.cond(is_leaf, leaf_fn, node_fn, occ)
 
                     _, occ_f = jax.lax.while_loop(s_cond, s_body, s_init)
+                    return occ_f
+
+                # NEE gating (non-MIS): BSDF-path emission only on camera
+                # rays, post-specular bounces, and sky misses. Under MIS,
+                # everywhere else with the balance-heuristic weight
+                # p_bsdf / (p_bsdf + p_nee) — same math as the wavefront
+                # integrator.
+                if use_env_nee:
+                    # the sky itself is light-sampled: gate (or MIS-weight)
+                    # BSDF-path SKY emission; surface hits keep full weight
+                    # (an env-only scene has no emissive triangles) —
+                    # integrate/wavefront.py:408-423
+                    if not use_mis:
+                        emit_w = (
+                            active
+                            & ((count_emit > 0) | jnp.logical_not(miss))
+                        ).astype(jnp.float32)
+                    else:
+                        from .imgfetch import env_pdf_sa_rows
+
+                        p_env_d = env_pdf_sa_rows(
+                            encdf_ref[...], (dx, dy, dz), env_h, env_w)
+                        w_env = pdf_prev / jnp.maximum(
+                            pdf_prev + p_env_d, 1e-30)
+                        emit_w = jnp.where(
+                            (count_emit > 0) | jnp.logical_not(miss),
+                            1.0, w_env,
+                        ) * active.astype(jnp.float32)
+                elif not use_nee:
+                    emit_w = active.astype(jnp.float32)
+                elif not use_mis:
+                    emit_w = (
+                        active & ((count_emit > 0) | miss)
+                    ).astype(jnp.float32)
+                else:
+                    cos_l_hit = jnp.abs(
+                        dx * normal[0] + dy * normal[1] + dz * normal[2]
+                    )
+                    t_safe = jnp.where(miss, 0.0, bt)
+                    p_nee_hit = (
+                        (t_safe * t_safe) * np.float32(1.0 / total_area)
+                        / jnp.maximum(cos_l_hit, np.float32(1e-6))
+                    )
+                    w_bsdf = pdf_prev / jnp.maximum(
+                        pdf_prev + p_nee_hit, 1e-30
+                    )
+                    is_emissive = (
+                        jnp.maximum(jnp.maximum(emission[0], emission[1]),
+                                    emission[2]) > 0
+                    ) & jnp.logical_not(miss)
+                    emit_w = jnp.where(
+                        (count_emit > 0) | miss, 1.0,
+                        jnp.where(is_emissive, w_bsdf, 0.0),
+                    ) * active.astype(jnp.float32)
+                tr = tr + wr * emission[0] * emit_w
+                tg = tg + wg * emission[1] * emit_w
+                tb = tb + wb * emission[2] * emit_w
+
+                if use_nee:
+                    r_sel, seed = _rand_vec(seed)
+                    rl1, seed = _rand_vec(seed)
+                    rl2, seed = _rand_vec(seed)
+                    # CDF select (unrolled; L is small and static)
+                    li = jnp.zeros((r, lanes), jnp.int32)
+                    for i in range(num_lights - 1):
+                        li = li + (r_sel > lights[i][15]).astype(jnp.int32)
+                    fld = [f + zero for f in lights[0][:15]]
+                    for i in range(1, num_lights):
+                        pick = li == i
+                        fld = [
+                            jnp.where(pick, lights[i][k], f)
+                            for k, f in enumerate(fld)
+                        ]
+                    lv0 = fld[0:3]
+                    lv1 = fld[3:6]
+                    lv2 = fld[6:9]
+                    ln = fld[9:12]
+                    le = fld[12:15]
+                    su = jnp.sqrt(jnp.maximum(rl1, 0.0))
+                    b0w = 1.0 - su
+                    b1w = su * (1.0 - rl2)
+                    b2w = su * rl2
+                    q = [
+                        lv0[a] * b0w + lv1[a] * b1w + lv2[a] * b2w
+                        for a in range(3)
+                    ]
+                    tlx = q[0] - position[0]
+                    tly = q[1] - position[1]
+                    tlz = q[2] - position[2]
+                    dist2 = jnp.maximum(
+                        tlx * tlx + tly * tly + tlz * tlz, 1e-12
+                    )
+                    inv_dist = jax.lax.rsqrt(dist2)
+                    wlx = tlx * inv_dist
+                    wly = tly * inv_dist
+                    wlz = tlz * inv_dist
+                    cos_s = wlx * normal[0] + wly * normal[1] + wlz * normal[2]
+                    brdf_l = tuple(a * INV_PI for a in diffuse)
+                    if has_glossy:
+                        wl3 = (wlx, wly, wlz)
+                        wl_l = (vec.dot(wl3, tng), vec.dot(wl3, btg),
+                                vec.dot(wl3, n_g))
+                        cos_i_g = wl_l[2]
+                        hh = vec.add(wo_l, wl_l)
+                        inv_hh = jax.lax.rsqrt(
+                            jnp.maximum(vec.dot(hh, hh), 1e-20))
+                        hh = vec.scale(hh, inv_hh)
+                        dgg = ggx_d(hh[2], alpha_g)
+                        g2_l = 1.0 / (1.0 + lam_o + ggx_lambda(cos_i_g, alpha_g))
+                        coh_l = jnp.maximum(vec.dot(wo_l, hh), 1e-6)
+                        fr_l = ggx_f_k(coh_l)
+                        den_l = jnp.maximum(
+                            4.0 * woz * jnp.maximum(cos_i_g, 1e-6), 1e-6)
+                        f_g = tuple(fc * dgg * g2_l / den_l for fc in fr_l)
+                        cos_s = jnp.where(is_glossy, cos_i_g, cos_s)
+                        brdf_l = tuple(
+                            jnp.where(is_glossy, fg, bl)
+                            for fg, bl in zip(f_g, brdf_l)
+                        )
+                    cos_l = jnp.abs(wlx * ln[0] + wly * ln[1] + wlz * ln[2])
+                    shadow_q = (
+                        active & jnp.logical_not(miss | is_spec)
+                        & (cos_s > 0)
+                    )
+                    smax = (1.0 / inv_dist) * np.float32(1.0 - 1e-3)
+                    occ_f = shadow_occluded(
+                        position, (wlx, wly, wlz), smax, shadow_q)
                     g_pdf = cos_s * cos_l / dist2 * np.float32(total_area)
                     if use_mis:
                         # balance heuristic in solid-angle measure
@@ -989,6 +1037,96 @@ def make_bvh_regen_render_step(
                     )
                     tb = tb + jnp.where(
                         vis, wb * brdf_l[2] * le[2] * g_pdf, 0.0
+                    )
+
+                if use_env_nee:
+                    # importance-sample the environment (wavefront
+                    # integrate/wavefront.py:484-520 semantics, same draw
+                    # order): exact flat-CDF inversion, texel-jittered
+                    # direction, any-hit shadow packet to t_max, radiance
+                    # via the same separable fetch as miss shading
+                    from .imgfetch import env_cdf_sample_rows
+
+                    r_sel, seed = _rand_vec(seed)
+                    rl1, seed = _rand_vec(seed)
+                    rl2, seed = _rand_vec(seed)
+                    rowp, colp, pdfflat = env_cdf_sample_rows(
+                        encdf_ref[...], enrow_ref[...], r_sel,
+                        env_h, env_w,
+                    )
+                    theta_l = (rowp + rl1) * np.float32(np.pi / env_h)
+                    phi_l = (
+                        (colp + rl2) * np.float32(2.0 * np.pi / env_w)
+                        - np.float32(np.pi)
+                    )
+                    st_l = jnp.sin(theta_l)
+                    wlx = st_l * jnp.cos(phi_l)
+                    wly = jnp.cos(theta_l)
+                    wlz = st_l * jnp.sin(phi_l)
+                    inv_patch = np.float32(
+                        env_w * env_h / (2.0 * np.pi * np.pi))
+                    pdf_sa = (pdfflat * inv_patch
+                              / jnp.maximum(st_l, np.float32(1e-6)))
+                    cos_s = (wlx * normal[0] + wly * normal[1]
+                             + wlz * normal[2])
+                    brdf_l = tuple(a * INV_PI for a in diffuse)
+                    if has_glossy:
+                        wl3 = (wlx, wly, wlz)
+                        wl_l = (vec.dot(wl3, tng), vec.dot(wl3, btg),
+                                vec.dot(wl3, n_g))
+                        cos_i_g = wl_l[2]
+                        hh = vec.add(wo_l, wl_l)
+                        inv_hh = jax.lax.rsqrt(
+                            jnp.maximum(vec.dot(hh, hh), 1e-20))
+                        hh = vec.scale(hh, inv_hh)
+                        dgg = ggx_d(hh[2], alpha_g)
+                        g2_l = 1.0 / (
+                            1.0 + lam_o + ggx_lambda(cos_i_g, alpha_g))
+                        coh_l = jnp.maximum(vec.dot(wo_l, hh), 1e-6)
+                        fr_l = ggx_f_k(coh_l)
+                        den_l = jnp.maximum(
+                            4.0 * woz * jnp.maximum(cos_i_g, 1e-6), 1e-6)
+                        f_g = tuple(fc * dgg * g2_l / den_l for fc in fr_l)
+                        cos_s = jnp.where(is_glossy, cos_i_g, cos_s)
+                        brdf_l = tuple(
+                            jnp.where(is_glossy, fg, bl)
+                            for fg, bl in zip(f_g, brdf_l)
+                        )
+                    shadow_q = (
+                        active & jnp.logical_not(miss | is_spec)
+                        & (cos_s > 0)
+                    )
+                    smax_env = t_max * np.float32(1.0 - 1e-3)
+                    occ_f = shadow_occluded(
+                        position, (wlx, wly, wlz), smax_env, shadow_q)
+                    from .imgfetch import env_fetch_rows as _env_fetch
+
+                    env_le = _env_fetch(
+                        env_ref[...], (wlx, wly, wlz), env_h, env_w)
+                    g_w = cos_s / jnp.maximum(pdf_sa, np.float32(1e-12))
+                    if use_mis:
+                        if uniform:
+                            p_bsdf_l = jnp.full_like(cos_s, 1.0 / TWO_PI)
+                        else:
+                            p_bsdf_l = jnp.maximum(cos_s, 0.0) * INV_PI
+                        if has_glossy:
+                            p_bsdf_l = jnp.where(
+                                is_glossy,
+                                ggx_vndf_pdf(woz, hh[2], alpha_g),
+                                p_bsdf_l,
+                            )
+                        g_w = g_w * (
+                            pdf_sa / jnp.maximum(pdf_sa + p_bsdf_l, 1e-30)
+                        )
+                    vis = shadow_q & (occ_f < 0.5)
+                    tr = tr + jnp.where(
+                        vis, wr * brdf_l[0] * env_le[0] * g_w, 0.0
+                    )
+                    tg = tg + jnp.where(
+                        vis, wg * brdf_l[1] * env_le[1] * g_w, 0.0
+                    )
+                    tb = tb + jnp.where(
+                        vis, wb * brdf_l[2] * env_le[2] * g_w, 0.0
                     )
 
                 # ---- next direction (ref raygen.rgen:77-80) ----
@@ -1134,7 +1272,7 @@ def make_bvh_regen_render_step(
                 finished = active & jnp.logical_not(cont)
                 s = s + finished.astype(jnp.int32)
                 bounce = jnp.where(cont, bounce + 1, 0)
-                if use_nee:
+                if use_nee or use_env_nee:
                     count_emit = is_spec.astype(jnp.int32)
                 if use_mis:
                     pdf_prev = jnp.where(cont, new_pdf, pdf_prev)
@@ -1184,6 +1322,9 @@ def make_bvh_regen_render_step(
         if use_env:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(env_table)
+        if use_env_nee:
+            in_specs.extend([pl.BlockSpec(memory_space=pltpu.VMEM)] * 2)
+            args.extend([env_nee_cdfpdf, env_nee_rowend])
         if use_tex:
             in_specs.append(pl.BlockSpec(
                 memory_space=pl.ANY if stream_tris else pltpu.VMEM))

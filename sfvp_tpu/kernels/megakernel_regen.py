@@ -16,8 +16,10 @@ of per-sample contributions differs (direct accumulation instead of
 per-sample subtotals), so images match to ~1e-6 rather than bitwise.
 
 Extensions that run in-kernel (all config-gated off in parity mode): NEE
-with an unrolled <=256-light table, balance-heuristic MIS (pdf carry, same
-math as the wavefront integrator), Russian roulette, thin-lens DOF
+with an unrolled <=256-light table (or importance-sampled env NEE on
+env-only scenes, kernels/imgfetch.py CDF inversion), balance-heuristic
+MIS (pdf carry, same math as the wavefront integrator), Russian roulette,
+thin-lens DOF
 (two extra draws in the regen block, camera.apply_thin_lens_soa
 semantics), GGX glossy (VNDF sample + Smith height-correlated eval) and
 smooth dielectric (Snell + exact Fresnel) — the same material set as the
@@ -108,15 +110,10 @@ def make_regen_render_step(
                 rows.extend(np.asarray(c) for c in t3)
             rows.append(np.asarray(lt.cdf))
             light_table = jnp.asarray(np.stack(rows, axis=0))
-    # AFTER the empty-table fallback: a lightless scene must not compile
-    # dead MIS pdf math into the kernel
-    use_mis = cfg.use_mis and use_nee
-
     # ---- in-kernel environment sky (extension over the constant sky,
     # ref miss.rmiss:10): equirect image packed (3W, H) in VMEM, fetched
     # per miss lane via the separable one-hot MXU gather
-    # (kernels/imgfetch.py). Env NEE (env-only scenes under use_nee)
-    # keeps the wavefront path — dispatch routes it there.
+    # (kernels/imgfetch.py).
     env = getattr(scene_buffers, "env", None)
     use_env = env is not None
     env_table = None
@@ -132,6 +129,25 @@ def make_regen_render_step(
                 f"{et_np.nbytes}); use the wavefront integrator"
             )
         env_table = jnp.asarray(et_np)
+
+    # ---- in-kernel env NEE (importance-sampled environment; wavefront
+    # integrate/wavefront.py:168-183 semantics): engages when NEE is
+    # requested and the scene's only light IS the environment. The flat
+    # texel-CDF inversion runs as the separable exact-searchsorted of
+    # kernels/imgfetch.py (row-end compare + one-hot MXU row select).
+    use_env_nee = cfg.use_nee and light_table is None and use_env
+    env_nee_cdfpdf = env_nee_rowend = None
+    if use_env_nee:
+        from ..integrate.lights import build_env_distribution
+        from .imgfetch import pack_env_dist_transposed
+
+        cp_np, re_np = pack_env_dist_transposed(
+            build_env_distribution(env))
+        env_nee_cdfpdf = jnp.asarray(cp_np)
+        env_nee_rowend = jnp.asarray(re_np)
+    # AFTER the empty-table fallback: a lightless scene must not compile
+    # dead MIS pdf math into the kernel
+    use_mis = cfg.use_mis and (use_nee or use_env_nee)
 
     # ---- in-kernel map_Kd textures (extension; same atlas machinery as
     # megakernel_bvh.py): scene_table rows 20-26 carry per-corner vt +
@@ -200,6 +216,10 @@ def make_regen_render_step(
             if use_env:
                 env_ref = refs[0]
                 refs = refs[1:]
+            if use_env_nee:
+                encdf_ref = refs[0]
+                enrow_ref = refs[1]
+                refs = refs[2:]
             if use_tex:
                 atlas_ref = refs[0]
                 refs = refs[1:]
@@ -453,7 +473,28 @@ def make_regen_render_step(
                 # everywhere else with the balance-heuristic weight
                 # p_bsdf / (p_bsdf + p_nee) — same math as the wavefront
                 # integrator and megakernel_bvh.py.
-                if not use_nee:
+                if use_env_nee:
+                    # the sky itself is light-sampled: gate (or MIS-weight)
+                    # BSDF-path SKY emission; surface hits keep full weight
+                    # (an env-only scene has no emissive triangles) —
+                    # integrate/wavefront.py:408-423
+                    if not use_mis:
+                        emit_w = (
+                            active
+                            & ((count_emit > 0) | jnp.logical_not(miss))
+                        ).astype(jnp.float32)
+                    else:
+                        from .imgfetch import env_pdf_sa_rows
+
+                        p_env_d = env_pdf_sa_rows(
+                            encdf_ref[...], (dx, dy, dz), env_h, env_w)
+                        w_env = pdf_prev / jnp.maximum(
+                            pdf_prev + p_env_d, 1e-30)
+                        emit_w = jnp.where(
+                            (count_emit > 0) | jnp.logical_not(miss),
+                            1.0, w_env,
+                        ) * active.astype(jnp.float32)
+                elif not use_nee:
                     emit_w = active.astype(jnp.float32)
                 elif not use_mis:
                     emit_w = (
@@ -609,6 +650,117 @@ def make_regen_render_step(
                         vis, wb * brdf_l[2] * le[2] * g_pdf, 0.0
                     )
 
+                if use_env_nee:
+                    # importance-sample the environment (wavefront
+                    # integrate/wavefront.py:484-520 semantics, same draw
+                    # order): exact flat-CDF inversion, texel-jittered
+                    # direction, shadow ray to t_max, radiance via the
+                    # same separable fetch as miss shading
+                    from .imgfetch import env_cdf_sample_rows
+
+                    r_sel, seed = _rand_vec(seed)
+                    rl1, seed = _rand_vec(seed)
+                    rl2, seed = _rand_vec(seed)
+                    rowp, colp, pdfflat = env_cdf_sample_rows(
+                        encdf_ref[...], enrow_ref[...], r_sel,
+                        env_h, env_w,
+                    )
+                    theta_l = (rowp + rl1) * np.float32(np.pi / env_h)
+                    phi_l = (
+                        (colp + rl2) * np.float32(2.0 * np.pi / env_w)
+                        - np.float32(np.pi)
+                    )
+                    st_l = jnp.sin(theta_l)
+                    wlx = st_l * jnp.cos(phi_l)
+                    wly = jnp.cos(theta_l)
+                    wlz = st_l * jnp.sin(phi_l)
+                    inv_patch = np.float32(
+                        env_w * env_h / (2.0 * np.pi * np.pi))
+                    pdf_sa = (pdfflat * inv_patch
+                              / jnp.maximum(st_l, np.float32(1e-6)))
+                    cos_s = (wlx * normal[0] + wly * normal[1]
+                             + wlz * normal[2])
+                    brdf_l = tuple(a * INV_PI for a in diffuse)
+                    if has_glossy:
+                        wl3 = (wlx, wly, wlz)
+                        wl_l = (vec.dot(wl3, tng), vec.dot(wl3, btg),
+                                vec.dot(wl3, n_g))
+                        cos_i_g = wl_l[2]
+                        hh = vec.add(wo_l, wl_l)
+                        inv_hh = jax.lax.rsqrt(
+                            jnp.maximum(vec.dot(hh, hh), 1e-20))
+                        hh = vec.scale(hh, inv_hh)
+                        dgg = ggx_d(hh[2], alpha_g)
+                        g2_l = 1.0 / (
+                            1.0 + lam_o + ggx_lambda(cos_i_g, alpha_g))
+                        coh_l = jnp.maximum(vec.dot(wo_l, hh), 1e-6)
+                        fr_l = ggx_f_k(coh_l)
+                        den_l = jnp.maximum(
+                            4.0 * woz * jnp.maximum(cos_i_g, 1e-6), 1e-6)
+                        f_g = tuple(fc * dgg * g2_l / den_l for fc in fr_l)
+                        cos_s = jnp.where(is_glossy, cos_i_g, cos_s)
+                        brdf_l = tuple(
+                            jnp.where(is_glossy, fg, bl)
+                            for fg, bl in zip(f_g, brdf_l)
+                        )
+                    shadow_q = (
+                        active & jnp.logical_not(miss | is_spec)
+                        & (cos_s > 0)
+                    )
+                    smax = t_max * np.float32(1.0 - 1e-3)
+                    occ = jnp.zeros((r, lanes), bool)
+                    for (p0t, p1t, p2t, e1, e2, _mat, _aux) in tris:
+                        pvx = wly * e2[2] - wlz * e2[1]
+                        pvy = wlz * e2[0] - wlx * e2[2]
+                        pvz = wlx * e2[1] - wly * e2[0]
+                        det = e1[0] * pvx + e1[1] * pvy + e1[2] * pvz
+                        inv_det = jnp.where(
+                            jnp.abs(det) > 1e-12, 1.0 / det, 0.0
+                        )
+                        tvx = position[0] - p0t[0]
+                        tvy = position[1] - p0t[1]
+                        tvz = position[2] - p0t[2]
+                        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                        qvx = tvy * e1[2] - tvz * e1[1]
+                        qvy = tvz * e1[0] - tvx * e1[2]
+                        qvz = tvx * e1[1] - tvy * e1[0]
+                        v = (wlx * qvx + wly * qvy + wlz * qvz) * inv_det
+                        t = (e2[0] * qvx + e2[1] * qvy + e2[2] * qvz) * inv_det
+                        occ = occ | (
+                            (jnp.abs(det) > 1e-12)
+                            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                            & (t > t_min) & (t < smax)
+                        )
+                    from .imgfetch import env_fetch_rows as _env_fetch
+
+                    env_le = _env_fetch(
+                        env_ref[...], (wlx, wly, wlz), env_h, env_w)
+                    g_w = cos_s / jnp.maximum(pdf_sa, np.float32(1e-12))
+                    if use_mis:
+                        if uniform:
+                            p_bsdf_l = jnp.full_like(cos_s, 1.0 / TWO_PI)
+                        else:
+                            p_bsdf_l = jnp.maximum(cos_s, 0.0) * INV_PI
+                        if has_glossy:
+                            p_bsdf_l = jnp.where(
+                                is_glossy,
+                                ggx_vndf_pdf(woz, hh[2], alpha_g),
+                                p_bsdf_l,
+                            )
+                        g_w = g_w * (
+                            pdf_sa / jnp.maximum(pdf_sa + p_bsdf_l, 1e-30)
+                        )
+                    vis = shadow_q & jnp.logical_not(occ)
+                    tr = tr + jnp.where(
+                        vis, wr * brdf_l[0] * env_le[0] * g_w, 0.0
+                    )
+                    tg = tg + jnp.where(
+                        vis, wg * brdf_l[1] * env_le[1] * g_w, 0.0
+                    )
+                    tb = tb + jnp.where(
+                        vis, wb * brdf_l[2] * env_le[2] * g_w, 0.0
+                    )
+
                 # ---- next direction ----
                 r1, seed = _rand_vec(seed)
                 r2, seed = _rand_vec(seed)
@@ -749,7 +901,7 @@ def make_regen_render_step(
                 finished = active & jnp.logical_not(cont)
                 s = s + finished.astype(jnp.int32)
                 bounce = jnp.where(cont, bounce + 1, 0)
-                if use_nee:
+                if use_nee or use_env_nee:
                     count_emit = is_spec.astype(jnp.int32)
                 if use_mis:
                     pdf_prev = jnp.where(cont, new_pdf, pdf_prev)
@@ -794,6 +946,9 @@ def make_regen_render_step(
         if use_env:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(env_table)
+        if use_env_nee:
+            in_specs.extend([pl.BlockSpec(memory_space=pltpu.VMEM)] * 2)
+            args.extend([env_nee_cdfpdf, env_nee_rowend])
         if use_tex:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(atlas_table)

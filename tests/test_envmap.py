@@ -103,8 +103,9 @@ def test_dispatch_small_env_fuses_on_megakernel(tmp_path):
 
 
 def test_dispatch_env_fallbacks(tmp_path):
-    """Oversized env maps and env NEE (env-only scene under use_nee)
-    still route to the wavefront integrator."""
+    """Env NEE (env-only scene under use_nee) fuses on the regen
+    megakernel since round 3 (in-kernel CDF inversion); only oversized
+    env maps still route to the wavefront integrator."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -118,10 +119,12 @@ def test_dispatch_env_fallbacks(tmp_path):
                        backend="pallas")
 
     # env NEE: the scene has no emissive tris, so use_nee importance-
-    # samples the environment — a wavefront-only estimator
+    # samples the environment — fused in-kernel since round 3
     step = select_render_step(dataclasses.replace(cfg, use_nee=True),
                               buffers)
-    assert step.__module__ == "sfvp_tpu.integrate.wavefront"
+    assert step.__module__ == "sfvp_tpu.kernels.megakernel_regen"
+    out = jax.jit(lambda s: step(s, 0))(init_state(8, 8))
+    assert np.isfinite(np.asarray(out.accum)).all()
 
     # oversized map (1024x512 packs to 6MB > ENV_VMEM_MAX_BYTES)
     big_h, big_w = 512, 1024
@@ -135,6 +138,9 @@ def test_dispatch_env_fallbacks(tmp_path):
     )
     big_buffers = buffers._replace(env=big_env)
     step = select_render_step(cfg, big_buffers)
+    assert step.__module__ == "sfvp_tpu.integrate.wavefront"
+    step = select_render_step(dataclasses.replace(cfg, use_nee=True),
+                              big_buffers)
     assert step.__module__ == "sfvp_tpu.integrate.wavefront"
 
 
@@ -155,7 +161,8 @@ def _env_equiv_case(tmp_path, make_kernel_step, n_tris, **cfg_kw):
             + g.normal(0, 0.5, (n_tris, 3, 3))).astype(np.float32)
     kd = g.uniform(0.2, 0.9, (n_tris, 3)).astype(np.float32)
     ke = np.zeros((n_tris, 3), np.float32)
-    ke[0] = 5.0
+    if not cfg_kw.pop("env_only", False):
+        ke[0] = 5.0
     buffers = from_arrays(tris, kd, ke, env=env)
 
     from sfvp_tpu.integrate.wavefront import make_render_step as mk_wave
@@ -187,6 +194,80 @@ def test_bvh_megakernel_env_equivalence(tmp_path):
 
     _env_equiv_case(tmp_path, make_bvh_regen_render_step, 40,
                     use_nee=True, use_mis=True, sampling="cosine")
+
+
+def test_regen_megakernel_env_nee_equivalence(tmp_path):
+    """In-kernel env NEE (env-only scene): the separable exact-
+    searchsorted CDF inversion + in-kernel shadow rays match the
+    wavefront estimator, with and without MIS."""
+    from sfvp_tpu.kernels.megakernel_regen import make_regen_render_step
+
+    _env_equiv_case(tmp_path, make_regen_render_step, 6,
+                    env_only=True, use_nee=True)
+    _env_equiv_case(tmp_path, make_regen_render_step, 6,
+                    env_only=True, use_nee=True, use_mis=True,
+                    sampling="cosine")
+
+
+def test_bvh_megakernel_env_nee_equivalence(tmp_path):
+    from sfvp_tpu.kernels.megakernel_bvh import make_bvh_regen_render_step
+
+    _env_equiv_case(tmp_path, make_bvh_regen_render_step, 40,
+                    env_only=True, use_nee=True, use_mis=True,
+                    sampling="cosine")
+
+
+def test_env_cdf_inversion_exact():
+    """The separable in-kernel CDF inversion (row-end count + one-hot MXU
+    row select, kernels/imgfetch.py) picks bitwise the same texel as the
+    wavefront's jnp.searchsorted, and returns its exact pdf."""
+    import jax.numpy as jnp
+
+    from sfvp_tpu.integrate.lights import build_env_distribution, env_pdf
+    from sfvp_tpu.kernels.imgfetch import (
+        env_cdf_sample_rows, env_pdf_sa_rows, pack_env_dist_transposed,
+    )
+    from sfvp_tpu.scene.textures import TextureTable
+
+    g = np.random.default_rng(0)
+    H, W = 16, 32
+    img = (g.random((H, W, 3)).astype(np.float32) * 5)
+    img[3, 7] = 500.0  # a sun
+    table = TextureTable(
+        tr=jnp.asarray(img[..., 0].reshape(-1)),
+        tg=jnp.asarray(img[..., 1].reshape(-1)),
+        tb=jnp.asarray(img[..., 2].reshape(-1)),
+        off=jnp.asarray([0], jnp.int32),
+        width=jnp.asarray([W], jnp.int32),
+        height=jnp.asarray([H], jnp.int32),
+    )
+    dist = build_env_distribution(table)
+    cp, re = pack_env_dist_transposed(dist)
+
+    r_sel = g.random((8, 128)).astype(np.float32)
+    # boundary cases: 0, 1, and an exact CDF entry (tie -> side="right")
+    r_sel[0, 0] = 0.0
+    r_sel[0, 1] = 1.0
+    r_sel[0, 2] = float(np.asarray(dist.cdf)[37])
+    rowp, colp, pdfp = env_cdf_sample_rows(
+        jnp.asarray(cp), jnp.asarray(re), jnp.asarray(r_sel), H, W)
+    ti_ref = np.asarray(jnp.minimum(
+        jnp.searchsorted(dist.cdf, r_sel.reshape(-1), side="right"),
+        H * W - 1,
+    ))
+    ti = (np.asarray(rowp) * W + np.asarray(colp)).reshape(-1)
+    np.testing.assert_array_equal(ti.astype(np.int64), ti_ref)
+    np.testing.assert_array_equal(
+        np.asarray(pdfp).reshape(-1), np.asarray(dist.pdf_flat)[ti_ref])
+
+    # env_pdf_sa_rows matches env_pdf to polynomial-trig accuracy
+    d = g.standard_normal((3, 8, 128)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    mine = np.asarray(env_pdf_sa_rows(
+        jnp.asarray(cp), tuple(jnp.asarray(c) for c in d), H, W))
+    ref = np.asarray(env_pdf(dist, tuple(jnp.asarray(c) for c in d)))
+    rel = np.abs(mine - ref) / np.maximum(ref, 1e-12)
+    assert rel.max() < 1e-4, rel.max()
 
 
 def _floor_scene(env_path):
