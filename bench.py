@@ -186,6 +186,32 @@ def bench_textured_100k(results):
     return _emit(results, "tex_100k_512_mrays_per_sec_per_chip", v)
 
 
+def bench_env_nee_100k(results):
+    """IBL with a small bright sun: importance-sampled env NEE + MIS,
+    fused in-kernel since round 3 (exact CDF inversion + any-hit shadow
+    packets, kernels/imgfetch.py)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from sfvp_tpu import upload
+    from sfvp_tpu.render.png import encode_png
+
+    img = np.full((32, 64, 3), 6, np.uint8)
+    img[6:9, 40:44] = 255  # sun
+    path = os.path.join(tempfile.gettempdir(), "sfvp_bench_sun.png")
+    with open(path, "wb") as f:
+        f.write(encode_png(img))
+    scene = _sphere(224)
+    scene.env_map = path
+    buffers = upload(scene)
+    cfg = _gi_cfg(width=512, height=512, use_nee=True, use_mis=True,
+                  use_rr=True)
+    v = _bench_step(cfg, buffers, steps=3, warmup=1)
+    return _emit(results, "env_nee_100k_512_mrays_per_sec_per_chip", v)
+
+
 def main() -> int:
     from sfvp_tpu.utils.cache import enable_compilation_cache
 
@@ -195,7 +221,7 @@ def main() -> int:
     headline = bench_cornell(results)
 
     for fn in (bench_cornell_wallclock, bench_gi_100k, bench_streamed_500k,
-               bench_city_sorted, bench_textured_100k):
+               bench_city_sorted, bench_textured_100k, bench_env_nee_100k):
         try:
             fn(results)
         except Exception as e:  # a broken sub-bench must not kill the suite
