@@ -84,7 +84,8 @@ def select_render_step(
     # (megakernel_regen.py) runs diffuse + mirror + GGX + smooth
     # dielectric shading, NEE (<= 256 lights), balance-heuristic MIS,
     # thin-lens DOF, equirect env-map skies, env NEE (importance-sampled
-    # environment on env-only scenes, exact in-kernel CDF inversion) and
+    # environment, exact in-kernel CDF inversion; combined with area-light
+    # NEE when both sources exist) and
     # map_Kd textures (all via the separable one-hot MXU machinery,
     # kernels/imgfetch.py; maps up to ~512x256 / atlases up to ~2MB)
     # in-kernel; the chunked megakernel (megakernel.py) is the bitwise-
@@ -100,9 +101,9 @@ def select_render_step(
     if has_env:
         from .kernels.imgfetch import env_fits_in_kernel
 
-        # env miss shading AND env NEE (importance-sampled environment on
-        # a scene whose only light IS the env) both fuse when the packed
-        # map fits VMEM — the texel-CDF inversion runs in-kernel as the
+        # env miss shading AND env NEE (importance-sampled environment,
+        # combined with area-light NEE when both exist) both fuse when the
+        # packed map fits VMEM — the texel-CDF inversion runs in-kernel as the
         # separable exact-searchsorted (kernels/imgfetch.py); only
         # oversized maps route to the wavefront loop
         env_blocks_fused = not env_fits_in_kernel(env)

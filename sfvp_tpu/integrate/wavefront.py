@@ -165,12 +165,13 @@ def make_render_step(
     t_min = np.float32(cfg.t_min)
     t_max = np.float32(cfg.t_max)
     use_nee = cfg.use_nee and lights is not None
-    # environment importance sampling: engages when NEE is requested on a
-    # scene whose only light IS the environment (area lights take priority
-    # when both exist; env light then still arrives via BSDF paths)
+    # environment importance sampling: engages when NEE is requested and
+    # the scene has an env map. When area lights exist too, BOTH
+    # strategies run per bounce (one light sample + one env sample) —
+    # sky radiance and triangle radiance are disjoint sources, so each
+    # keeps its own 2-way MIS weight against BSDF sampling
     use_env_nee = (
-        cfg.use_nee and lights is None
-        and getattr(scene, "env", None) is not None
+        cfg.use_nee and getattr(scene, "env", None) is not None
     )
     env_dist = None
     if use_env_nee:
@@ -405,7 +406,34 @@ def make_render_step(
         # under MIS, everywhere else with the balance-heuristic weight
         # p_bsdf / (p_bsdf + p_nee), which removes the variance cliff of
         # hard-gating without double counting.
-        if use_env_nee:
+        if use_env_nee and use_nee:
+            # both strategies light-sample every bounce: sky misses carry
+            # the 2-way MIS weight against the env pdf, emissive surface
+            # hits against the area-light pdf (disjoint sources — each
+            # pairing is its own balance heuristic vs BSDF sampling)
+            if not use_mis:
+                emit_w = (active & count_emit).astype(jnp.float32)
+            else:
+                from .lights import env_pdf
+
+                p_env_d = env_pdf(env_dist, d)
+                w_env = pdf_prev / jnp.maximum(pdf_prev + p_env_d, 1e-30)
+                cos_l_hit = jnp.abs(vec.dot(d, normal))
+                t_safe = jnp.where(miss, 0.0, hit_t)
+                p_nee_hit = (t_safe * t_safe) * inv_light_area / jnp.maximum(
+                    cos_l_hit, np.float32(1e-6)
+                )
+                w_bsdf = pdf_prev / jnp.maximum(pdf_prev + p_nee_hit, 1e-30)
+                is_emissive = (
+                    jnp.maximum(jnp.maximum(emission[0], emission[1]),
+                                emission[2]) > 0
+                ) & jnp.logical_not(miss)
+                emit_w = jnp.where(
+                    count_emit, 1.0,
+                    jnp.where(miss, w_env,
+                              jnp.where(is_emissive, w_bsdf, 0.0)),
+                ) * active.astype(jnp.float32)
+        elif use_env_nee:
             # the sky itself is light-sampled now: gate (or MIS-weight)
             # BSDF-path sky emission; surface hits keep full weight (an
             # env-only scene has no emissive triangles)

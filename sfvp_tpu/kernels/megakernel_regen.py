@@ -132,10 +132,12 @@ def make_regen_render_step(
 
     # ---- in-kernel env NEE (importance-sampled environment; wavefront
     # integrate/wavefront.py:168-183 semantics): engages when NEE is
-    # requested and the scene's only light IS the environment. The flat
+    # requested and the scene has an env map. When area lights exist too
+    # BOTH strategies run per bounce (one light sample + one env sample;
+    # disjoint sources, each with its own 2-way MIS pairing). The flat
     # texel-CDF inversion runs as the separable exact-searchsorted of
     # kernels/imgfetch.py (row-end compare + one-hot MXU row select).
-    use_env_nee = cfg.use_nee and light_table is None and use_env
+    use_env_nee = cfg.use_nee and use_env
     env_nee_cdfpdf = env_nee_rowend = None
     if use_env_nee:
         from ..integrate.lights import build_env_distribution
@@ -473,7 +475,44 @@ def make_regen_render_step(
                 # everywhere else with the balance-heuristic weight
                 # p_bsdf / (p_bsdf + p_nee) — same math as the wavefront
                 # integrator and megakernel_bvh.py.
-                if use_env_nee:
+                if use_env_nee and use_nee:
+                    # both strategies light-sample every bounce: sky
+                    # misses MIS against the env pdf, emissive hits
+                    # against the area-light pdf (wavefront combined
+                    # branch semantics)
+                    if not use_mis:
+                        emit_w = (
+                            active & (count_emit > 0)
+                        ).astype(jnp.float32)
+                    else:
+                        from .imgfetch import env_pdf_sa_rows
+
+                        p_env_d = env_pdf_sa_rows(
+                            encdf_ref[...], (dx, dy, dz), env_h, env_w)
+                        w_env = pdf_prev / jnp.maximum(
+                            pdf_prev + p_env_d, 1e-30)
+                        cos_l_hit = jnp.abs(
+                            dx * normal[0] + dy * normal[1] + dz * normal[2]
+                        )
+                        t_safe = jnp.where(miss, 0.0, bt)
+                        p_nee_hit = (
+                            (t_safe * t_safe) * np.float32(1.0 / total_area)
+                            / jnp.maximum(cos_l_hit, np.float32(1e-6))
+                        )
+                        w_bsdf = pdf_prev / jnp.maximum(
+                            pdf_prev + p_nee_hit, 1e-30
+                        )
+                        is_emissive = (
+                            jnp.maximum(
+                                jnp.maximum(emission[0], emission[1]),
+                                emission[2]) > 0
+                        ) & jnp.logical_not(miss)
+                        emit_w = jnp.where(
+                            count_emit > 0, 1.0,
+                            jnp.where(miss, w_env,
+                                      jnp.where(is_emissive, w_bsdf, 0.0)),
+                        ) * active.astype(jnp.float32)
+                elif use_env_nee:
                     # the sky itself is light-sampled: gate (or MIS-weight)
                     # BSDF-path SKY emission; surface hits keep full weight
                     # (an env-only scene has no emissive triangles) —

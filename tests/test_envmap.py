@@ -196,6 +196,23 @@ def test_bvh_megakernel_env_equivalence(tmp_path):
                     use_nee=True, use_mis=True, sampling="cosine")
 
 
+def test_regen_megakernel_combined_nee_equivalence(tmp_path):
+    """A scene with BOTH an area light and an env map under NEE runs both
+    strategies per bounce, in-kernel, matching the wavefront (the MIS
+    variant is covered by test_regen_megakernel_env_equivalence)."""
+    from sfvp_tpu.kernels.megakernel_regen import make_regen_render_step
+
+    _env_equiv_case(tmp_path, make_regen_render_step, 6,
+                    use_nee=True, sampling="cosine")
+
+
+def test_bvh_megakernel_combined_nee_equivalence(tmp_path):
+    from sfvp_tpu.kernels.megakernel_bvh import make_bvh_regen_render_step
+
+    _env_equiv_case(tmp_path, make_bvh_regen_render_step, 40,
+                    use_nee=True, sampling="cosine")
+
+
 def test_regen_megakernel_env_nee_equivalence(tmp_path):
     """In-kernel env NEE (env-only scene): the separable exact-
     searchsorted CDF inversion + in-kernel shadow rays match the
@@ -334,6 +351,81 @@ def test_env_nee_unbiased_and_lower_variance(tmp_path):
 
     assert rel_std(img_nee) < 0.5 * rel_std(img_bsdf), (
         rel_std(img_nee), rel_std(img_bsdf))
+    assert np.isfinite(img_nee).all() and np.isfinite(img_mis).all()
+
+
+def _floor_lamp_scene(env_path):
+    """Floor + a small bright emissive quad above it: area light AND env
+    sky in one scene — the combined-NEE case."""
+    big, s, h = 50.0, 0.6, 1.5
+    tris = [
+        [[-big, 0, -big], [big, 0, -big], [big, 0, big]],
+        [[-big, 0, -big], [big, 0, big], [-big, 0, big]],
+        [[-s, h, -s], [s, h, -s], [s, h, s]],
+        [[-s, h, -s], [s, h, s], [-s, h, s]],
+    ]
+    diffuse = np.full((4, 3), 0.7, np.float32)
+    diffuse[2:] = 0.0
+    emission = np.zeros((4, 3), np.float32)
+    emission[2:] = 6.0
+    return Scene(
+        vertices=np.asarray(tris, np.float32).reshape(-1, 3),
+        indices=np.arange(12, dtype=np.uint32),
+        face_diffuse=diffuse,
+        face_emission=emission,
+        face_specular=np.zeros((4, 3), np.float32),
+        face_mat_type=np.zeros((4,), np.int32),
+        env_map=env_path,
+    )
+
+
+def test_combined_area_and_env_nee(tmp_path):
+    """A scene with BOTH area lights and an env map light-samples both
+    per bounce: means agree with BSDF-only, variance drops, with and
+    without MIS (each source pairs its own balance heuristic)."""
+    import dataclasses
+
+    from sfvp_tpu.config import CameraConfig
+
+    scene = _floor_lamp_scene(_sun_env(tmp_path))
+    buffers = upload(scene)
+    cam = CameraConfig.look_at(origin=(0, 2.0, 4.0), target=(0, 0, 0),
+                               fov_y_deg=45)
+    base = RenderConfig(width=12, height=12, spp_per_step=512, max_depth=2,
+                        camera=cam, sampling="cosine")
+
+    floor = slice(7, 12)
+
+    def render(cfg):
+        """Two independent frames: (running mean, per-pixel frame noise).
+
+        The floor has real spatial structure (the lamp gradient), so
+        frame-to-frame deviation — not spatial scatter — is the noise
+        proxy here."""
+        step = jax.jit(make_render_step(cfg, buffers))
+        s0 = step(init_state(12, 12))
+        f0 = np.asarray(s0.accum)
+        s1 = step(s0)
+        mean2 = np.asarray(s1.accum)
+        f1 = 2.0 * mean2 - f0
+        noise = float(np.abs(f0 - f1)[floor].mean())
+        return mean2, noise
+
+    img_bsdf, noise_bsdf = render(base)
+    img_nee, noise_nee = render(dataclasses.replace(base, use_nee=True))
+    img_mis, noise_mis = render(
+        dataclasses.replace(base, use_nee=True, use_mis=True))
+
+    mb = img_bsdf[floor].mean()
+    mn = img_nee[floor].mean()
+    mm = img_mis[floor].mean()
+    assert mb > 0
+    assert abs(mn - mb) / mb < 0.25, (mn, mb)
+    assert abs(mm - mb) / mb < 0.25, (mm, mb)
+
+    # both the sun and the lamp are light-sampled: frame noise collapses
+    assert noise_nee < 0.5 * noise_bsdf, (noise_nee, noise_bsdf)
+    assert noise_mis < 0.5 * noise_bsdf, (noise_mis, noise_bsdf)
     assert np.isfinite(img_nee).all() and np.isfinite(img_mis).all()
 
 

@@ -147,6 +147,35 @@ def main():
                      use_mis=True),
         ibl)
 
+    # 7b. combined area+env NEE: emissive lamp AND the sunset sky both
+    # light-sampled per bounce (late round 3)
+    lamp = sphere_mesh(n_lat=96, n_lon=96, bump=0.25)
+    lv = np.asarray([
+        [[-0.5, 1.7, -0.5], [0.5, 1.7, -0.5], [0.5, 1.7, 0.5]],
+        [[-0.5, 1.7, -0.5], [0.5, 1.7, 0.5], [-0.5, 1.7, 0.5]],
+    ], np.float32).reshape(-1, 3)
+    n0 = len(lamp.vertices)
+    lamp.vertices = np.concatenate([lamp.vertices, lv])
+    lamp.indices = np.concatenate(
+        [lamp.indices, (n0 + np.arange(6)).astype(np.uint32)])
+    lamp.face_diffuse = np.concatenate(
+        [lamp.face_diffuse, np.zeros((2, 3), np.float32)])
+    lamp.face_emission = np.concatenate(
+        [lamp.face_emission, np.full((2, 3), 14.0, np.float32)])
+    lamp.face_specular = np.concatenate(
+        [lamp.face_specular, np.zeros((2, 3), np.float32)])
+    lamp.face_mat_type = np.concatenate(
+        [lamp.face_mat_type, np.zeros((2,), np.int32)])
+    lamp.face_material_id = None
+    lamp.env_map = env_path
+    cam = CameraConfig.look_at(origin=(0, 0.9, 3.8), target=(0, 0.2, 0),
+                               fov_y_deg=50)
+    run("sphere_lamp_env_nee",
+        RenderConfig(width=s, height=s, spp_per_step=16, max_depth=4,
+                     camera=cam, sampling="cosine", use_nee=True,
+                     use_mis=True),
+        lamp)
+
     # 8. map_Kd texture at scale: 100k tris through the packet kernels'
     # uv/texid payload planes (round 3)
     tex_path = os.path.join(a.out, "_checker_tex.png")
