@@ -75,14 +75,19 @@ def select_render_step(
     t = buffers.num_tris
     many_lights = False
     if cfg.use_nee:
-        # in-kernel NEE unrolls the light CDF select; past 256 lights the
-        # wavefront integrator's searchsorted light sampling scales better
+        # in-kernel NEE selects lights via a one-hot MXU matmul past a
+        # few dozen (imgfetch.light_select_rows); past MAX_KERNEL_LIGHTS
+        # the (Lp, 128) operands outgrow VMEM and the wavefront
+        # integrator's searchsorted light sampling takes over
+        from .kernels.imgfetch import MAX_KERNEL_LIGHTS
+
         em = (np.asarray(buffers.er)[:t] > 0) | (
             np.asarray(buffers.eg)[:t] > 0) | (np.asarray(buffers.eb)[:t] > 0)
-        many_lights = int(em.sum()) > 256
+        many_lights = int(em.sum()) > MAX_KERNEL_LIGHTS
     # Capability map of the BRUTE-force megakernels: the regen megakernel
     # (megakernel_regen.py) runs diffuse + mirror + GGX + smooth
-    # dielectric shading, NEE (<= 256 lights), balance-heuristic MIS,
+    # dielectric shading, NEE (<= 1024 lights; one-hot MXU CDF select
+    # past a few dozen), balance-heuristic MIS,
     # thin-lens DOF, equirect env-map skies, env NEE (importance-sampled
     # environment, exact in-kernel CDF inversion; combined with area-light
     # NEE when both sources exist) and
@@ -171,7 +176,7 @@ def select_render_step(
             # in-lane sample regeneration and in-kernel packet traversal —
             # no per-bounce relaunch, no dead lanes, no bounce sort
             # (1.2-1.8x over the wavefront loop on 100k-tri GI); NEE runs
-            # in-kernel up to 256 lights. Beyond the VMEM budget the
+            # in-kernel up to 1024 lights (MXU select). Beyond the VMEM budget the
             # triangle rows stream from HBM (blocking per-leaf DMA — still
             # 1.27x over the prefetching wavefront kernel at 500k tris);
             # node rows stay VMEM-resident either way.

@@ -309,6 +309,78 @@ def env_pdf_sa_rows(cdfpdf, d, H, W):
             / jnp.maximum(jnp.sin(theta), np.float32(1e-6)))
 
 
+# ---- area-light CDF select (many-light NEE in the fused kernels) ----
+#
+# The small-table path unrolls 15 jnp.where selects per light per bounce
+# — linear in L and painful past a few dozen lights (the old 256 cap).
+# The MXU form below is the light-table analog of env_cdf_sample_rows:
+#   li = #{i: cdf[i] < r}            (sublane count over an (Lp, 128)
+#                                     lane-broadcast cdf compare)
+#   fields = LT (16, Lp) @ onehot(li) (Lp, 128) -> (16, 128)
+# One matmul lands ALL 15 light fields for a whole lane row at once; 0/1
+# weights at HIGHEST precision make it an exact copy, so the result is
+# bitwise what the unrolled select chain produces.
+
+# (Lp, 128) cdf broadcast + (Lp, 128) one-hot transient: 512KB each at
+# 1024 lights — the VMEM ceiling for the fused path; more lights route
+# to the wavefront integrator's searchsorted sampling.
+MAX_KERNEL_LIGHTS = 1024
+
+# below this the unrolled scalar-select chain stays cheaper than the
+# fixed (Lp>=128)-wide compare + matmul
+LIGHT_UNROLL_MAX = 32
+
+
+def pack_light_table_mxu(lt):
+    """LightTable -> ((16, Lp) field/cdf operand, (Lp, 128) lane-broadcast
+    cdf, Lp). Lane-pads L to a multiple of 128; pad cdf entries are 2.0 so
+    the strict compare never counts them."""
+    L = lt.num
+    rows = []
+    for t3 in (lt.v0, lt.v1, lt.v2, lt.n, lt.le):
+        rows.extend(np.asarray(c, np.float32) for c in t3)
+    Lp = max(128, -(-L // 128) * 128)
+    tab = np.zeros((16, Lp), np.float32)
+    tab[:15, :L] = np.stack(rows)
+    tab[15, :L] = np.asarray(lt.cdf, np.float32)
+    tab[15, L:] = 2.0
+    cdfb = np.broadcast_to(tab[15][:, None], (Lp, 128))
+    return (np.ascontiguousarray(tab),
+            np.ascontiguousarray(cdfb.astype(np.float32)), Lp)
+
+
+def light_select_rows(ltab, cdfb, r_sel, L):
+    """Area-proportional light select for a (r, 128) selection-random
+    block inside a Pallas kernel.
+
+    ltab: (16, Lp) pack_light_table_mxu operand, loaded.
+    cdfb: (Lp, 128) lane-broadcast cdf, loaded.
+    Returns 15 (r, 128) field planes [v0 v1 v2 n Le] — bitwise the light
+    the unrolled ``li = sum(r_sel > cdf[i])`` select chain picks (the
+    min(li, L-1) clamp equals truncating the count at L-1 entries, by
+    cdf monotonicity)."""
+    r = r_sel.shape[0]
+    Lp = cdfb.shape[0]
+    iota_l = jax.lax.broadcasted_iota(
+        jnp.int32, (Lp, 128), 0).astype(jnp.float32)
+    outs = [[] for _ in range(15)]
+    for j in range(r):
+        rs = r_sel[j:j + 1, :]                                  # (1,128)
+        cnt = jnp.sum(
+            jnp.where(cdfb < rs, 1.0, 0.0), axis=0, keepdims=True
+        )
+        li = jnp.minimum(cnt, np.float32(L - 1))
+        o = jnp.where(iota_l == li, 1.0, 0.0)                   # (Lp,128)
+        slab = jax.lax.dot_general(
+            ltab, o, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                                       # (16,128)
+        for k in range(15):
+            outs[k].append(slab[k:k + 1, :])
+    return [jnp.concatenate(planes, axis=0) for planes in outs]
+
+
 # ---- texture atlases (map_Kd in the fused megakernels) ----
 
 # the packed (3*Wmax, Htot) atlas must fit VMEM next to the scene/BVH

@@ -16,7 +16,8 @@ of per-sample contributions differs (direct accumulation instead of
 per-sample subtotals), so images match to ~1e-6 rather than bitwise.
 
 Extensions that run in-kernel (all config-gated off in parity mode): NEE
-with an unrolled <=256-light table (or importance-sampled env NEE on
+with a <=1024-light table (unrolled select below LIGHT_UNROLL_MAX,
+one one-hot MXU matmul per block row above; or importance-sampled env NEE on
 env-only scenes, kernels/imgfetch.py CDF inversion), balance-heuristic
 MIS (pdf carry, same math as the wavefront integrator), Russian roulette,
 thin-lens DOF
@@ -88,6 +89,8 @@ def make_regen_render_step(
     num_lights = 0
     total_area = 1.0
     light_table = None
+    light_cdfb = None
+    mxu_lights = False
     if use_nee:
         from ..integrate.lights import build_light_table_from_buffers
 
@@ -95,21 +98,33 @@ def make_regen_render_step(
         if lt is None:
             use_nee = False
         else:
+            from .imgfetch import (
+                LIGHT_UNROLL_MAX, MAX_KERNEL_LIGHTS, pack_light_table_mxu,
+            )
+
             num_lights = lt.num
-            if num_lights > 256:
-                # the unrolled CDF select is linear in L (15 selects per
-                # light per bounce); past 256 the wavefront integrator's
-                # searchsorted scales better — dispatch routes there
+            if num_lights > MAX_KERNEL_LIGHTS:
+                # (Lp, 128) cdf-broadcast + one-hot transients outgrow
+                # VMEM — dispatch routes to the wavefront searchsorted
                 raise ValueError(
-                    "in-kernel NEE supports <= 256 lights; use the "
-                    "wavefront integrator for more"
+                    f"in-kernel NEE supports <= {MAX_KERNEL_LIGHTS} "
+                    "lights; use the wavefront integrator for more"
                 )
             total_area = lt.total_area
-            rows = []
-            for t3 in (lt.v0, lt.v1, lt.v2, lt.n, lt.le):
-                rows.extend(np.asarray(c) for c in t3)
-            rows.append(np.asarray(lt.cdf))
-            light_table = jnp.asarray(np.stack(rows, axis=0))
+            # small tables unroll 15 scalar selects per light; bigger
+            # ones select all 15 fields with ONE one-hot MXU matmul per
+            # block row (imgfetch.light_select_rows, bitwise identical)
+            mxu_lights = num_lights > LIGHT_UNROLL_MAX
+            if mxu_lights:
+                tab_np, cdfb_np, _ = pack_light_table_mxu(lt)
+                light_table = jnp.asarray(tab_np)
+                light_cdfb = jnp.asarray(cdfb_np)
+            else:
+                rows = []
+                for t3 in (lt.v0, lt.v1, lt.v2, lt.n, lt.le):
+                    rows.extend(np.asarray(c) for c in t3)
+                rows.append(np.asarray(lt.cdf))
+                light_table = jnp.asarray(np.stack(rows, axis=0))
     # ---- in-kernel environment sky (extension over the constant sky,
     # ref miss.rmiss:10): equirect image packed (3W, H) in VMEM, fetched
     # per miss lane via the separable one-hot MXU gather
@@ -215,6 +230,9 @@ def make_regen_render_step(
             if use_nee:
                 light_ref = refs[0]
                 refs = refs[1:]
+                if mxu_lights:
+                    lcdf_ref = refs[0]
+                    refs = refs[1:]
             if use_env:
                 env_ref = refs[0]
                 refs = refs[1:]
@@ -231,8 +249,10 @@ def make_regen_render_step(
             row0 = scal_ref[1]
 
             # hoisted light scalars: [v0(3) v1(3) v2(3) n(3) Le(3) cdf]
+            # (unrolled small-table path only; the MXU path loads the
+            # whole (16, Lp) operand at select time)
             lights = []
-            if use_nee:
+            if use_nee and not mxu_lights:
                 for i in range(num_lights):
                     lights.append(
                         tuple(light_ref[k, i] for k in range(16))
@@ -567,18 +587,30 @@ def make_regen_render_step(
                     r_sel, seed = _rand_vec(seed)
                     rl1, seed = _rand_vec(seed)
                     rl2, seed = _rand_vec(seed)
-                    # CDF select (unrolled; L is small and static)
-                    li = jnp.zeros((r, lanes), jnp.int32)
-                    for i in range(num_lights - 1):
-                        li = li + (r_sel > lights[i][15]).astype(jnp.int32)
-                    fld = list(lights[0][:15])
-                    fld = [f + zero for f in fld]
-                    for i in range(1, num_lights):
-                        pick = li == i
-                        fld = [
-                            jnp.where(pick, lights[i][k], f)
-                            for k, f in enumerate(fld)
-                        ]
+                    if mxu_lights:
+                        # one one-hot MXU matmul per block row lands all
+                        # 15 fields (imgfetch.light_select_rows; bitwise
+                        # the unrolled chain's pick)
+                        from .imgfetch import light_select_rows
+
+                        fld = light_select_rows(
+                            light_ref[...], lcdf_ref[...], r_sel,
+                            num_lights,
+                        )
+                    else:
+                        # CDF select (unrolled; L is small and static)
+                        li = jnp.zeros((r, lanes), jnp.int32)
+                        for i in range(num_lights - 1):
+                            li = li + (
+                                r_sel > lights[i][15]).astype(jnp.int32)
+                        fld = list(lights[0][:15])
+                        fld = [f + zero for f in fld]
+                        for i in range(1, num_lights):
+                            pick = li == i
+                            fld = [
+                                jnp.where(pick, lights[i][k], f)
+                                for k, f in enumerate(fld)
+                            ]
                     lv0 = fld[0:3]
                     lv1 = fld[3:6]
                     lv2 = fld[6:9]
@@ -982,6 +1014,9 @@ def make_regen_render_step(
         if use_nee:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(light_table)
+            if mxu_lights:
+                in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+                args.append(light_cdfb)
         if use_env:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(env_table)

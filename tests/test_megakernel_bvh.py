@@ -208,8 +208,9 @@ def test_bvh_regen_mis_equivalence(buffers):
 
 
 def test_bvh_regen_many_lights_equivalence():
-    """More lights than the old 64 cap through the in-kernel unrolled CDF
-    select (now capped at 256) == the wavefront searchsorted NEE path."""
+    """80 lights — past LIGHT_UNROLL_MAX, so this exercises the one-hot
+    MXU light select (imgfetch.light_select_rows) == the wavefront
+    searchsorted NEE path."""
     from sfvp_tpu.scene.objload import Scene
     from sfvp_tpu.config import CameraConfig
     from sfvp_tpu import upload as _upload
