@@ -99,3 +99,31 @@ def test_glossy_and_dielectric_stay_on_regen_megakernel():
         cfg = RenderConfig(backend="pallas", traversal="brute")
         step = select_render_step(cfg, bufs)
         assert step.__module__ == "sfvp_tpu.kernels.megakernel_regen"
+
+
+def test_nee_light_count_routing():
+    """NEE scenes route by emissive-triangle count: <=MAX_KERNEL_LIGHTS
+    stays on the fused regen megakernel (one-hot MXU CDF select past
+    LIGHT_UNROLL_MAX), beyond it dispatch falls back to the wavefront
+    searchsorted path."""
+    from sfvp_tpu.kernels.imgfetch import MAX_KERNEL_LIGHTS
+
+    g = np.random.default_rng(3)
+
+    def bufs_with_lights(n, n_lit):
+        tris = (g.uniform(-5, 5, (n, 1, 3))
+                + g.normal(0, 0.5, (n, 3, 3))).astype(np.float32)
+        z = np.zeros((n, 3), np.float32)
+        ke = np.zeros((n, 3), np.float32)
+        ke[:n_lit] = 2.0
+        return from_arrays(tris, z, ke)
+
+    cfg = RenderConfig(backend="pallas", traversal="brute", use_nee=True,
+                       sampling="cosine")
+    # past LIGHT_UNROLL_MAX but under the kernel cap: fused, MXU select
+    step = select_render_step(cfg, bufs_with_lights(64, 40))
+    assert step.__module__ == "sfvp_tpu.kernels.megakernel_regen"
+    # past the kernel cap: wavefront searchsorted
+    step = select_render_step(
+        cfg, bufs_with_lights(MAX_KERNEL_LIGHTS + 8, MAX_KERNEL_LIGHTS + 4))
+    assert step.__module__ == "sfvp_tpu.integrate.wavefront"
