@@ -74,6 +74,7 @@ def select_render_step(
 
     t = buffers.num_tris
     many_lights = False
+    n_lights = 0
     if cfg.use_nee:
         # in-kernel NEE selects lights via a one-hot MXU matmul past a
         # few dozen (imgfetch.light_select_rows); past MAX_KERNEL_LIGHTS
@@ -83,7 +84,8 @@ def select_render_step(
 
         em = (np.asarray(buffers.er)[:t] > 0) | (
             np.asarray(buffers.eg)[:t] > 0) | (np.asarray(buffers.eb)[:t] > 0)
-        many_lights = int(em.sum()) > MAX_KERNEL_LIGHTS
+        n_lights = int(em.sum())
+        many_lights = n_lights > MAX_KERNEL_LIGHTS
     # Capability map of the BRUTE-force megakernels: the regen megakernel
     # (megakernel_regen.py) runs diffuse + mirror + GGX + smooth
     # dielectric shading, NEE (<= 1024 lights; one-hot MXU CDF select
@@ -159,12 +161,31 @@ def select_render_step(
         )
         stream = (cfg.stream_tris if cfg.stream_tris is not None
                   else scene_bytes > cfg.vmem_scene_budget)
+        # combined-budget check for the fused kernel: env map, texture
+        # atlas and light-select operands each fit their own cap, but
+        # stacked next to a near-budget scene they must not compile the
+        # kernel over VMEM — stream triangles when scene+extras overflow,
+        # and if nodes+extras STILL overflow, take the wavefront loop
+        # (whose packet kernels hold only the scene in VMEM; env/tex/
+        # lights run at the XLA level between bounces there)
+        from .kernels.imgfetch import fused_extra_vmem_bytes
+
+        extra_vmem = fused_extra_vmem_bytes(
+            n_lights if not many_lights else 0, env,
+            buffers.textures if has_tex else None, cfg.use_nee)
+        fused_stream = (cfg.stream_tris if cfg.stream_tris is not None
+                        else scene_bytes + extra_vmem
+                        > cfg.vmem_scene_budget)
+        fused_over_budget = (
+            wide.nodes.nbytes + extra_vmem > cfg.vmem_scene_budget)
         # NEE with folded sample waves (spp_chunk > 1) measures FASTER in
         # the sorted wavefront loop than in the fused kernel (0.20 vs
         # 0.28 s/step on the 100k MIS bench): big coherent shadow batches
         # amortize better than per-iteration shadow traversals. The fused
         # kernel wins at the default chunk=1 and for all NEE-less configs.
-        prefer_wavefront = cfg.use_nee and (many_lights or cfg.spp_chunk > 1)
+        prefer_wavefront = (
+            cfg.use_nee and (many_lights or cfg.spp_chunk > 1)
+        ) or fused_over_budget
         if (cfg.megakernel_regen and not prefer_wavefront
                 and not env_blocks_fused and not tex_blocks_fused):
             # env skies, env NEE and map_Kd textures fuse via the
@@ -184,7 +205,7 @@ def select_render_step(
 
             return make_bvh_regen_render_step(
                 cfg, buffers, wide=wide, global_shape=global_shape,
-                block_rows=cfg.packet_block_rows, stream_tris=stream,
+                block_rows=cfg.packet_block_rows, stream_tris=fused_stream,
             )
         return make_render_step(
             cfg, buffers, global_shape=global_shape,

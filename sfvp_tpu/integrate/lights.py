@@ -89,8 +89,9 @@ def sample_light(lights: LightTable, r_sel, r1, r2):
             r_sel[..., None] > lights.cdf[(None,) * r_sel.ndim], axis=-1
         ).astype(jnp.int32)
     else:
-        # large light counts (the megakernels' unrolled table caps at 256
-        # lights): O(log L) vectorized CDF search
+        # large light counts (the megakernels cap at MAX_KERNEL_LIGHTS
+        # = 1024 via the one-hot MXU select; beyond that dispatch routes
+        # here): O(log L) vectorized CDF search
         li = jnp.searchsorted(lights.cdf, r_sel, side="right").astype(
             jnp.int32)
     li = jnp.minimum(li, lights.num - 1)

@@ -228,6 +228,29 @@ def pack_env_dist_transposed(dist):
             np.ascontiguousarray(rowend.astype(np.float32)))
 
 
+def _cdf_count(keys, rs, n, strict):
+    """Clamped sublane count #{i: keys[i] (<|<=) rs} for a (1, 128) rs —
+    the in-kernel searchsorted: strict=True reproduces ``sum(rs > k)``
+    (area-light select), strict=False ``searchsorted(side="right")``
+    (env texel CDF). The min(cnt, n-1) clamp equals truncating the count
+    at n-1 entries, by CDF monotonicity."""
+    cmp = keys < rs if strict else keys <= rs
+    cnt = jnp.sum(jnp.where(cmp, 1.0, 0.0), axis=0, keepdims=True)
+    return jnp.minimum(cnt, np.float32(n - 1))
+
+
+def _onehot_row_dot(operand, iota, idx):
+    """operand (K, N) @ onehot(idx) (N, 128) -> (K, 128): copy column
+    ``idx`` of the operand into lanes. 0/1 weights at HIGHEST precision
+    make the MXU matmul an exact copy."""
+    o = jnp.where(iota == idx, 1.0, 0.0)
+    return jax.lax.dot_general(
+        operand, o, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def env_cdf_sample_rows(cdfpdf, rowend, r_sel, H, W):
     """Invert the flat texel CDF for a (r, 128) selection-random block.
 
@@ -242,22 +265,11 @@ def env_cdf_sample_rows(cdfpdf, rowend, r_sel, H, W):
     rows_o, cols_o, pdfs_o = [], [], []
     for j in range(r):
         rs = r_sel[j:j + 1, :]                                  # (1,128)
-        cnt = jnp.sum(
-            jnp.where(rowend <= rs, 1.0, 0.0), axis=0, keepdims=True
-        )
-        rowj = jnp.minimum(cnt, np.float32(H - 1))
-        o = jnp.where(iota_h == rowj, 1.0, 0.0)                 # (H,128)
-        slab = jax.lax.dot_general(
-            cdfpdf, o, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )                                                       # (2W,128)
+        rowj = _cdf_count(rowend, rs, H, strict=False)
+        slab = _onehot_row_dot(cdfpdf, iota_h, rowj)            # (2W,128)
         cdf_slab = slab[:W, :]
         pdf_slab = slab[W:, :]
-        ccnt = jnp.sum(
-            jnp.where(cdf_slab <= rs, 1.0, 0.0), axis=0, keepdims=True
-        )
-        colj = jnp.minimum(ccnt, np.float32(W - 1))
+        colj = _cdf_count(cdf_slab, rs, W, strict=False)
         pdfj = jnp.sum(
             jnp.where(iota_w == colj, pdf_slab, 0.0),
             axis=0, keepdims=True,
@@ -293,12 +305,8 @@ def env_pdf_sa_rows(cdfpdf, d, H, W):
     r = rowp.shape[0]
     pdfs_o = []
     for j in range(r):
-        o = jnp.where(iota_h == rowp[j:j + 1, :], 1.0, 0.0)     # (H,128)
-        pdf_slab = jax.lax.dot_general(
-            pdf_part, o, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )                                                       # (W,128)
+        pdf_slab = _onehot_row_dot(
+            pdf_part, iota_h, rowp[j:j + 1, :])                 # (W,128)
         pdfs_o.append(jnp.sum(
             jnp.where(iota_w == colp[j:j + 1, :], pdf_slab, 0.0),
             axis=0, keepdims=True,
@@ -349,6 +357,33 @@ def pack_light_table_mxu(lt):
             np.ascontiguousarray(cdfb.astype(np.float32)), Lp)
 
 
+def fused_extra_vmem_bytes(n_lights, env, textures, use_nee) -> int:
+    """Resident VMEM the fused megakernels add BEYOND the scene/BVH rows,
+    for dispatch's combined-budget check: the packed env map (+ its CDF
+    operands when env NEE runs), the packed texture atlas, and the
+    light-select operands. Each capability fits its own cap, but a scene
+    near vmem_scene_budget stacked with all of them must not compile the
+    fused kernel over VMEM — dispatch compares nodes+tris+this against
+    the budget and routes to the wavefront loop when it doesn't fit."""
+    total = 0
+    if n_lights > LIGHT_UNROLL_MAX:
+        Lp = max(128, -(-n_lights // 128) * 128)
+        # (16,Lp) table + (Lp,128) cdf broadcast + ~2 (Lp,128) transients
+        # (compare mask + one-hot) live per select
+        total += (16 * Lp + 3 * Lp * 128) * 4
+    if env is not None:
+        H = int(np.asarray(env.height)[0])
+        W = int(np.asarray(env.width)[0])
+        total += 3 * W * H * 4                      # packed (3W, H) image
+        if use_nee:
+            total += 2 * W * H * 4 + H * 128 * 4    # cdf/pdf + row-end cdf
+    if textures is not None:
+        ws = np.asarray(textures.width)
+        hs = np.asarray(textures.height)
+        total += 3 * int(ws.max()) * int(hs.sum()) * 4  # packed atlas
+    return total
+
+
 def light_select_rows(ltab, cdfb, r_sel, L):
     """Area-proportional light select for a (r, 128) selection-random
     block inside a Pallas kernel.
@@ -366,16 +401,8 @@ def light_select_rows(ltab, cdfb, r_sel, L):
     outs = [[] for _ in range(15)]
     for j in range(r):
         rs = r_sel[j:j + 1, :]                                  # (1,128)
-        cnt = jnp.sum(
-            jnp.where(cdfb < rs, 1.0, 0.0), axis=0, keepdims=True
-        )
-        li = jnp.minimum(cnt, np.float32(L - 1))
-        o = jnp.where(iota_l == li, 1.0, 0.0)                   # (Lp,128)
-        slab = jax.lax.dot_general(
-            ltab, o, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )                                                       # (16,128)
+        li = _cdf_count(cdfb, rs, L, strict=True)
+        slab = _onehot_row_dot(ltab, iota_l, li)                # (16,128)
         for k in range(15):
             outs[k].append(slab[k:k + 1, :])
     return [jnp.concatenate(planes, axis=0) for planes in outs]

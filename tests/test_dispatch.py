@@ -127,3 +127,30 @@ def test_nee_light_count_routing():
     step = select_render_step(
         cfg, bufs_with_lights(MAX_KERNEL_LIGHTS + 8, MAX_KERNEL_LIGHTS + 4))
     assert step.__module__ == "sfvp_tpu.integrate.wavefront"
+
+
+def test_fused_combined_vmem_budget_routes_wavefront():
+    """Env/atlas/light operands each fit their own cap, but stacked next
+    to a near-budget scene the fused BVH kernel must not compile over
+    VMEM: when nodes+extras exceed vmem_scene_budget dispatch takes the
+    wavefront loop (scene-only VMEM); when they fit, the fused kernel."""
+    g = np.random.default_rng(7)
+    n = 2000
+    tris = (g.uniform(-5, 5, (n, 1, 3))
+            + g.normal(0, 0.5, (n, 3, 3))).astype(np.float32)
+    z = np.zeros((n, 3), np.float32)
+    ke = np.zeros((n, 3), np.float32)
+    ke[:40] = 2.0   # 40 lights: past LIGHT_UNROLL_MAX, ~200KB operands
+    bufs = from_arrays(tris, z, ke)
+
+    from sfvp_tpu.accel.wide import build_wide_from_buffers
+    nodes_bytes = build_wide_from_buffers(bufs).nodes.nbytes
+
+    kw = dict(backend="pallas", traversal="bvh", use_nee=True,
+              sampling="cosine")
+    step = select_render_step(
+        RenderConfig(vmem_scene_budget=nodes_bytes + 4 * 2**20, **kw), bufs)
+    assert step.__module__ == "sfvp_tpu.kernels.megakernel_bvh"
+    step = select_render_step(
+        RenderConfig(vmem_scene_budget=nodes_bytes + 64 * 1024, **kw), bufs)
+    assert step.__module__ == "sfvp_tpu.integrate.wavefront"
