@@ -150,6 +150,28 @@ def bench_city_sorted(results):
     return _emit(results, "city_sorted_2048_mrays_per_sec_per_chip", v)
 
 
+def bench_city_fused_lights(results):
+    """Many-light NEE in the FUSED BVH regen kernel: 648 emissive rooftop
+    tris (past the old 256 unroll cap) selected per bounce by the one-hot
+    MXU CDF select (imgfetch.light_select_rows). Same city geometry as
+    bench_city_sorted with a lower emissive fraction so the light count
+    lands inside MAX_KERNEL_LIGHTS=1024; spp_chunk=1 keeps dispatch on
+    the fused kernel."""
+    from sfvp_tpu import upload
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.scene.procedural import city_mesh
+
+    buffers = upload(city_mesh(n_buildings=96, subdiv=9, glossy_ground=True,
+                               emissive_frac=0.03))
+    cam = CameraConfig.look_at(origin=(13.0, 9.0, 13.0),
+                               target=(0.0, 0.8, 0.0), fov_y_deg=55.0)
+    cfg = _gi_cfg(width=1024, height=1024, spp_per_step=4, camera=cam,
+                  use_nee=True, use_rr=True)
+    v = _bench_step(cfg, buffers, steps=3, warmup=1)
+    return _emit(results, "city_648lights_fused_1024_mrays_per_sec_per_chip",
+                 v)
+
+
 def bench_textured_100k(results):
     """map_Kd at scale: 100k tris + checker texture. Routes through the
     fused BVH regen megakernel's in-kernel atlas fetch since round 3
@@ -221,7 +243,8 @@ def main() -> int:
     headline = bench_cornell(results)
 
     for fn in (bench_cornell_wallclock, bench_gi_100k, bench_streamed_500k,
-               bench_city_sorted, bench_textured_100k, bench_env_nee_100k):
+               bench_city_sorted, bench_city_fused_lights,
+               bench_textured_100k, bench_env_nee_100k):
         try:
             fn(results)
         except Exception as e:  # a broken sub-bench must not kill the suite
