@@ -176,8 +176,9 @@ def select_render_step(
         fused_stream = (cfg.stream_tris if cfg.stream_tris is not None
                         else scene_bytes + extra_vmem
                         > cfg.vmem_scene_budget)
-        fused_over_budget = (
-            wide.nodes.nbytes + extra_vmem > cfg.vmem_scene_budget)
+        fused_resident = (wide.nodes.nbytes if fused_stream
+                          else scene_bytes) + extra_vmem
+        fused_over_budget = fused_resident > cfg.vmem_scene_budget
         # NEE with folded sample waves (spp_chunk > 1) measures FASTER in
         # the sorted wavefront loop than in the fused kernel (0.20 vs
         # 0.28 s/step on the 100k MIS bench): big coherent shadow batches
