@@ -50,6 +50,12 @@ class WideBVH(NamedTuple):
     tris_aux: "np.ndarray | None" = None  # (Ml, 128) f32
 
     @property
+    def codes_nbytes(self) -> int:
+        """Size .codes would occupy (Mi * WIDTH i32) — lets the kernel
+        builders gate smem_codes by size without running the decode."""
+        return self.nodes.shape[0] * WIDTH * 4
+
+    @property
     def codes(self) -> np.ndarray:
         """(Mi, WIDTH) i32 pre-decoded child stack codes: 0 invalid,
         ref+1 internal, -(ref+1) leaf. Lets the traversal kernels read

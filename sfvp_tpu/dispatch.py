@@ -122,7 +122,23 @@ def select_render_step(
         tex_blocks_fused = not atlas_fits_in_kernel(buffers.textures)
     else:
         tex_blocks_fused = False
-    if ((many_lights or tex_blocks_fused or env_blocks_fused)
+    # same combined-budget discipline as the bvh branch below: each
+    # capability fits its own cap, but the brute regen kernel's scene
+    # table + env/atlas/light operands must fit VMEM TOGETHER (the scene
+    # table is tiny at brute_force_max_tris, so only a maxed-out stack
+    # of all three capabilities can trip this)
+    if backend == "pallas" and traversal == "brute":
+        from .kernels.imgfetch import fused_extra_vmem_bytes
+
+        brute_extra = fused_extra_vmem_bytes(
+            n_lights if not many_lights else 0, env,
+            buffers.textures if has_tex else None, cfg.use_nee)
+        brute_over_budget = (
+            brute_extra + 26 * buffers.v0x.nbytes > cfg.vmem_scene_budget)
+    else:
+        brute_over_budget = False
+    if ((many_lights or tex_blocks_fused or env_blocks_fused
+         or brute_over_budget)
             and backend == "pallas" and traversal == "brute"):
         return make_render_step(
             cfg, buffers, trace_fn=select_trace_fn(cfg, buffers),

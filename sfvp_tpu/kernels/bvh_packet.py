@@ -87,10 +87,9 @@ def make_packet_trace(
     t_min = np.float32(t_min)
     lanes = 128
     r = block_rows
-    codes_np = wide.codes
     if smem_codes is None:
-        smem_codes = codes_np.nbytes <= SMEM_CODES_MAX_BYTES
-    codes = (jnp.asarray(codes_np.reshape(-1))
+        smem_codes = wide.codes_nbytes <= SMEM_CODES_MAX_BYTES
+    codes = (jnp.asarray(wide.codes.reshape(-1))
              if smem_codes else None)  # 1-D: SMEM pads 2-D rows to 128 lanes
 
     if interpret is None:
@@ -412,10 +411,9 @@ def make_packet_occlusion(
     t_min = np.float32(t_min)
     lanes = 128
     r = block_rows
-    codes_np = wide.codes
     if smem_codes is None:
-        smem_codes = codes_np.nbytes <= SMEM_CODES_MAX_BYTES
-    codes = (jnp.asarray(codes_np.reshape(-1))
+        smem_codes = wide.codes_nbytes <= SMEM_CODES_MAX_BYTES
+    codes = (jnp.asarray(wide.codes.reshape(-1))
              if smem_codes else None)  # 1-D: SMEM pads 2-D rows to 128 lanes
 
     if interpret is None:

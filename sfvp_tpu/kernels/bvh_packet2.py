@@ -71,10 +71,9 @@ def make_packet_trace2(
     tris = jnp.asarray(wide.tris)
     from .bvh_packet import SMEM_CODES_MAX_BYTES
 
-    codes_np = wide.codes
     if smem_codes is None:
-        smem_codes = codes_np.nbytes <= SMEM_CODES_MAX_BYTES
-    codes_tbl = (jnp.asarray(codes_np.reshape(-1))
+        smem_codes = wide.codes_nbytes <= SMEM_CODES_MAX_BYTES
+    codes_tbl = (jnp.asarray(wide.codes.reshape(-1))
                  if smem_codes else None)  # 1-D: SMEM pads 2-D rows
     with_tex = wide.tris_aux is not None
     aux = jnp.asarray(wide.tris_aux) if with_tex else None

@@ -36,6 +36,7 @@ from ..accel.wide import WideBVH
 from ..config import RenderConfig
 from ..utils import vec
 from ..sampling import (
+    dielectric_reflect_refract_soa,
     ggx_d,
     ggx_lambda,
     ggx_sample_vndf_local,
@@ -74,10 +75,9 @@ def make_bvh_regen_render_step(
     tris = jnp.asarray(wide.tris)
     from .bvh_packet import SMEM_CODES_MAX_BYTES
 
-    codes_np = wide.codes
     if smem_codes is None:
-        smem_codes = codes_np.nbytes <= SMEM_CODES_MAX_BYTES
-    codes = (jnp.asarray(codes_np.reshape(-1))
+        smem_codes = wide.codes_nbytes <= SMEM_CODES_MAX_BYTES
+    codes = (jnp.asarray(wide.codes.reshape(-1))
              if smem_codes else None)  # 1-D: SMEM pads 2-D rows to 128 lanes
     stack_n = int(wide.max_stack)
 
@@ -698,8 +698,12 @@ def make_bvh_regen_render_step(
                     )
                 else:
                     is_mirror = jnp.zeros((r, lanes), bool)
+                # class boundaries in the packed lane: glossy occupies
+                # [2.0, 2.96] (rough clipped to 0.96, accel/wide.py) and
+                # dielectric [3.0, 3.96] (encoded IOR) — split at 2.98,
+                # NOT 2.5 (a rough>0.5 glossy face is still glossy)
                 if has_diel:
-                    is_diel = (mt > 2.5) & jnp.logical_not(miss)
+                    is_diel = (mt > 2.98) & jnp.logical_not(miss)
                     is_spec = is_mirror | is_diel
                 else:
                     is_diel = jnp.zeros((r, lanes), bool)
@@ -710,7 +714,9 @@ def make_bvh_regen_render_step(
                     # integrator: view-oriented normal, branch-exact
                     # tangent basis); used by both NEE eval and the
                     # VNDF bounce below
-                    is_glossy = (mt > 1.5) & (mt < 2.5) & jnp.logical_not(miss)
+                    is_glossy = (
+                        (mt > 1.5) & (mt < 2.98) & jnp.logical_not(miss)
+                    )
                     rough_g = jnp.where(is_glossy, mt - 2.0, 0.0)
                     alpha_g = jnp.maximum(rough_g * rough_g, 1e-4)
                     d3v = (dx, dy, dz)
@@ -1281,34 +1287,17 @@ def make_bvh_regen_render_step(
                     scale3 = vec.where(is_mirror, albedo, scale3)
 
                 if has_diel:
-                    # smooth dielectric (mtype 3): same Snell + exact
-                    # Fresnel math as sampling.dielectric_reflect_refract_
-                    # soa, inlined elementwise (Mosaic-safe — no gathers).
-                    # The packed lane fraction is the encoded IOR (Ni-1)/4;
-                    # the reflect/refract choice reuses the r1 draw exactly
-                    # like the wavefront integrator.
+                    # smooth dielectric (mtype 3): shared Snell + exact
+                    # Fresnel helper (pure elementwise jnp/vec ops,
+                    # Mosaic-safe — no gathers). The packed lane fraction
+                    # is the encoded IOR (Ni-1)/4; the reflect/refract
+                    # choice reuses the r1 draw exactly like the
+                    # wavefront integrator.
                     ior = 1.0 + 4.0 * jnp.where(is_diel, mt - 3.0, 0.0)
-                    d3w = (dx, dy, dz)
-                    nd_d = vec.dot(d3w, normal)
-                    n_dl = vec.where(nd_d < 0, normal,
-                                     vec.scale(normal, -1.0))
-                    eta = jnp.where(nd_d < 0, 1.0 / ior, ior)
-                    cos_i = jnp.clip(-vec.dot(d3w, n_dl), 0.0, 1.0)
-                    sin2_t = eta * eta * jnp.maximum(
-                        1.0 - cos_i * cos_i, 0.0)
-                    tir = sin2_t > 1.0
-                    cos_tt = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
-                    rs_f = (eta * cos_i - cos_tt) / jnp.maximum(
-                        eta * cos_i + cos_tt, 1e-12)
-                    rp_f = (eta * cos_tt - cos_i) / jnp.maximum(
-                        eta * cos_tt + cos_i, 1e-12)
-                    fres = jnp.where(
-                        tir, 1.0, 0.5 * (rs_f * rs_f + rp_f * rp_f))
-                    refl_dd = vec.sub(
-                        d3w, vec.scale(n_dl, 2.0 * vec.dot(d3w, n_dl)))
-                    refr_dd = vec.add(
-                        vec.scale(d3w, eta),
-                        vec.scale(n_dl, eta * cos_i - cos_tt))
+                    refl_dd, refr_dd, fres, tir = (
+                        dielectric_reflect_refract_soa(
+                            (dx, dy, dz), normal, ior)
+                    )
                     choose_refl = tir | (r1 < fres)
                     diel_dir = vec.where(choose_refl, refl_dd, refr_dd)
                     new_dir = vec.where(is_diel, diel_dir, new_dir)

@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
 from ..sampling import (
+    dielectric_reflect_refract_soa,
     ggx_d,
     ggx_lambda,
     ggx_sample_vndf_local,
@@ -912,33 +913,16 @@ def make_regen_render_step(
                                        (bmat[6], bmat[7], bmat[8]), scale3)
 
                 if has_diel:
-                    # smooth dielectric (mtype 3): same Snell + exact
-                    # Fresnel math as sampling.dielectric_reflect_refract_
-                    # soa, inlined elementwise. IOR travels in the table's
-                    # roughness slot encoded (Ni-1)/4; the reflect/refract
-                    # choice reuses the r1 draw exactly like the wavefront
+                    # smooth dielectric (mtype 3): shared Snell + exact
+                    # Fresnel helper (pure elementwise jnp/vec ops,
+                    # Mosaic-safe). IOR travels in the table's roughness
+                    # slot encoded (Ni-1)/4; the reflect/refract choice
+                    # reuses the r1 draw exactly like the wavefront
                     # integrator.
                     ior = 1.0 + 4.0 * jnp.where(is_diel, bmat[10], 0.0)
-                    nd_d = vec.dot(d, normal)
-                    n_dl = vec.where(nd_d < 0, normal,
-                                     vec.scale(normal, -1.0))
-                    eta = jnp.where(nd_d < 0, 1.0 / ior, ior)
-                    cos_i = jnp.clip(-vec.dot(d, n_dl), 0.0, 1.0)
-                    sin2_t = eta * eta * jnp.maximum(
-                        1.0 - cos_i * cos_i, 0.0)
-                    tir = sin2_t > 1.0
-                    cos_tt = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
-                    rs_f = (eta * cos_i - cos_tt) / jnp.maximum(
-                        eta * cos_i + cos_tt, 1e-12)
-                    rp_f = (eta * cos_tt - cos_i) / jnp.maximum(
-                        eta * cos_tt + cos_i, 1e-12)
-                    fres = jnp.where(
-                        tir, 1.0, 0.5 * (rs_f * rs_f + rp_f * rp_f))
-                    refl_dd = vec.sub(
-                        d, vec.scale(n_dl, 2.0 * vec.dot(d, n_dl)))
-                    refr_dd = vec.add(
-                        vec.scale(d, eta),
-                        vec.scale(n_dl, eta * cos_i - cos_tt))
+                    refl_dd, refr_dd, fres, tir = (
+                        dielectric_reflect_refract_soa(d, normal, ior)
+                    )
                     choose_refl = tir | (r1 < fres)
                     diel_dir = vec.where(choose_refl, refl_dd, refr_dd)
                     new_dir = vec.where(is_diel, diel_dir, new_dir)

@@ -94,7 +94,7 @@ class PreviewServer:
                 try:
                     while True:
                         with outer._cond:
-                            outer._cond.wait_for(
+                            fresh = outer._cond.wait_for(
                                 lambda: outer._closing
                                 or (outer._png is not None
                                     and outer._seq != seen),
@@ -102,6 +102,9 @@ class PreviewServer:
                             )
                             if outer._closing:
                                 return
+                            if not fresh:
+                                continue  # timeout: no new frame, don't
+                                # resend the previous one
                             data, seen = outer._png, outer._seq
                         if data is None:
                             continue  # timeout before the first frame

@@ -207,10 +207,10 @@ def test_glass_payload_path_matches_jnp():
     np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6)
 
 
-def test_dispatch_routes_dielectric_to_wavefront():
-    """select_render_step on a dielectric scene must not pick a
-    megakernel (no mtype-3 support in-kernel yet) and must render
-    finite."""
+def test_dispatch_dielectric_renders_finite():
+    """select_render_step on a dielectric scene routes to the fused
+    regen megakernel (mtype 3 runs in-kernel since round 3,
+    test_dispatch.py pins the module) and must render finite."""
     from sfvp_tpu.dispatch import select_render_step
 
     scene = _scene(_GLASS_PANE, [0, 0, 0], [0, 0, 0], [1, 1, 1], [3, 3],

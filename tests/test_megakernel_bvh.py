@@ -176,6 +176,55 @@ def test_bvh_regen_dielectric_equivalence():
         )
 
 
+def test_bvh_regen_rough_glossy_with_dielectric_equivalence():
+    """Packed-lane class boundaries: a glossy face with roughness 0.6
+    packs to 2.6 — it must stay GGX, NOT flip to dielectric (the class
+    split is at 3.0, not 2.5; regression for the mt>2.5 misclassification
+    that decoded it as IOR 1+4*(2.6-3.0) = -0.6)."""
+    from sfvp_tpu.scene.objload import Scene
+
+    big = 4.0
+    tris = [
+        # rough glossy floor (rough 0.6 -> packed 2.6)
+        [[-big, 0, -big], [big, 0, -big], [big, 0, big]],
+        [[-big, 0, -big], [big, 0, big], [-big, 0, big]],
+        # tilted glass pane
+        [[-1.5, 1.0, -1.5], [1.5, 1.2, -1.5], [1.5, 1.2, 1.5]],
+        [[-1.5, 1.0, -1.5], [1.5, 1.2, 1.5], [-1.5, 1.0, 1.5]],
+        # area light
+        [[-0.4, 2.5, -0.4], [0.4, 2.5, -0.4], [0.4, 2.5, 0.4]],
+        [[-0.4, 2.5, -0.4], [0.4, 2.5, 0.4], [-0.4, 2.5, 0.4]],
+    ]
+    enc = (1.5 - 1.0) / 4.0
+    scene = Scene(
+        vertices=np.asarray(tris, np.float32).reshape(-1, 3),
+        indices=np.arange(18, dtype=np.uint32),
+        face_diffuse=np.zeros((6, 3), np.float32),
+        face_emission=np.asarray(
+            [[0, 0, 0]] * 4 + [[6, 5, 4]] * 2, np.float32),
+        face_specular=np.asarray(
+            [[0.9, 0.8, 0.7]] * 2 + [[0.95, 0.97, 1.0]] * 2 + [[0, 0, 0]] * 2,
+            np.float32),
+        face_mat_type=np.asarray([2, 2, 3, 3, 0, 0], np.int32),
+        face_rough=np.asarray([0.6, 0.6, enc, enc, 0, 0], np.float32),
+    )
+    from sfvp_tpu.config import CameraConfig
+
+    cam = CameraConfig.look_at(origin=(0.0, 1.8, 3.2), target=(0, 0.5, 0),
+                               fov_y_deg=45)
+    buffers_ = upload(scene)
+    cfg = RenderConfig(width=16, height=8, spp_per_step=2, max_depth=4,
+                       camera=cam, sampling="cosine", use_nee=True,
+                       sky_emission=(0.1, 0.1, 0.1))
+    a = jax.jit(make_render_step(cfg, buffers_))(init_state(8, 16))
+    b = jax.jit(make_bvh_regen_render_step(cfg, buffers_, interpret=True))(
+        init_state(8, 16)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-4, atol=1e-6
+    )
+
+
 def test_bvh_regen_streamed_equivalence(buffers):
     """stream_tris=True (HBM tri rows, blocking per-leaf DMA) must match
     the VMEM-resident kernel and the jnp wavefront exactly."""
