@@ -76,6 +76,18 @@ def main():
                      use_mis=True, sky_emission=(0.25, 0.3, 0.42)),
         city_mesh(n_buildings=96, subdiv=9))
 
+    # 4b. night city, 648 emissive rooftops through the fused BVH regen
+    # kernel's one-hot MXU light select (late round 3; spp_chunk=1 keeps
+    # dispatch on the fused kernel)
+    cam = CameraConfig.look_at(origin=(13, 9, 13), target=(0, 0.8, 0),
+                               fov_y_deg=55)
+    run("city_night_648lights",
+        RenderConfig(width=s, height=s, spp_per_step=16, max_depth=4,
+                     camera=cam, sampling="cosine", use_nee=True,
+                     use_rr=True, sky_emission=(0.02, 0.03, 0.06)),
+        city_mesh(n_buildings=96, subdiv=9, glossy_ground=True,
+                  emissive_frac=0.03))
+
     # 5. GGX glossy floor under an area light (MIS)
     big = 6.0
     tris = [
