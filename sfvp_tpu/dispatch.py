@@ -133,8 +133,10 @@ def select_render_step(
         brute_extra = fused_extra_vmem_bytes(
             n_lights if not many_lights else 0, env,
             buffers.textures if has_tex else None, cfg.use_nee)
+        # scene_table is up to 27 (Tp,) f32 rows (20 base + 7 texture,
+        # kernels/megakernel.py scene_table)
         brute_over_budget = (
-            brute_extra + 26 * buffers.v0x.nbytes > cfg.vmem_scene_budget)
+            brute_extra + 27 * buffers.v0x.nbytes > cfg.vmem_scene_budget)
     else:
         brute_over_budget = False
     if ((many_lights or tex_blocks_fused or env_blocks_fused
