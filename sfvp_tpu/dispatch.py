@@ -29,6 +29,19 @@ def _on_tpu() -> bool:
         return False
 
 
+def _dbg(choice: str, **why) -> None:
+    """SFVP_DISPATCH_DEBUG=1 prints which integrator a config routed to
+    and the gates that decided it (stderr, one line per selection)."""
+    import os
+
+    if os.environ.get("SFVP_DISPATCH_DEBUG", "") not in ("", "0"):
+        import sys
+
+        detail = " ".join(f"{k}={v}" for k, v in why.items())
+        print(f"[sfvp dispatch] {choice} {detail}".rstrip(),
+              file=sys.stderr, flush=True)
+
+
 def _resolve(cfg: RenderConfig, buffers):
     backend = cfg.backend
     if backend == "auto":
@@ -142,6 +155,10 @@ def select_render_step(
     if ((many_lights or tex_blocks_fused or env_blocks_fused
          or brute_over_budget)
             and backend == "pallas" and traversal == "brute"):
+        _dbg("wavefront(jnp-brute)", many_lights=many_lights,
+             tex_blocks_fused=tex_blocks_fused,
+             env_blocks_fused=env_blocks_fused,
+             brute_over_budget=brute_over_budget)
         return make_render_step(
             cfg, buffers, trace_fn=select_trace_fn(cfg, buffers),
             global_shape=global_shape,
@@ -150,6 +167,7 @@ def select_render_step(
         if cfg.megakernel_regen:
             from .kernels.megakernel_regen import make_regen_render_step
 
+            _dbg("megakernel_regen(brute)", tris=t, lights=n_lights)
             return make_regen_render_step(
                 cfg, buffers, global_shape=global_shape,
                 block_rows=cfg.pallas_block_rows,
@@ -159,6 +177,7 @@ def select_render_step(
                 and not has_tex and not has_env):
             from .kernels.megakernel import make_render_step_pallas
 
+            _dbg("megakernel(chunked parity)", tris=t)
             return make_render_step_pallas(
                 cfg, buffers, global_shape=global_shape,
                 block_rows=cfg.pallas_block_rows,
@@ -222,15 +241,23 @@ def select_render_step(
             # node rows stay VMEM-resident either way.
             from .kernels.megakernel_bvh import make_bvh_regen_render_step
 
+            _dbg("megakernel_bvh(fused regen)", tris=t, lights=n_lights,
+                 stream=fused_stream, extra_vmem=extra_vmem)
             return make_bvh_regen_render_step(
                 cfg, buffers, wide=wide, global_shape=global_shape,
                 block_rows=cfg.packet_block_rows, stream_tris=fused_stream,
             )
+        _dbg("wavefront(packet kernels)", tris=t, lights=n_lights,
+             stream=stream, prefer_wavefront=prefer_wavefront,
+             fused_over_budget=fused_over_budget,
+             env_blocks_fused=env_blocks_fused,
+             tex_blocks_fused=tex_blocks_fused)
         return make_render_step(
             cfg, buffers, global_shape=global_shape,
             **packet_trace_kwargs(cfg, wide, stream=stream),
         )
     # jnp traversal is the BVH fallback on CPU (correctness oracle)
+    _dbg("wavefront(jnp)", backend=backend, traversal=traversal, tris=t)
     return make_render_step(
         cfg, buffers, trace_fn=select_trace_fn(cfg, buffers),
         global_shape=global_shape,
