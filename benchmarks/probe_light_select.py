@@ -14,7 +14,15 @@ Two scenes (same 78k-tri geometry, different emissive rooftop count):
 
 All legs 512^2 x 4spp, NEE+RR+cosine, spp_chunk=1.
 
+The 648-light scene also runs the TWO-LEVEL bucketed select
+(fused_bucket leg, LIGHT_FLAT_MAX forced down) next to the flat MXU
+select, to decide which form should own the 33..1024 tier; --big adds
+an emissive_frac=0.10 scene (past LIGHT_FLAT_MAX=1024) where the fused
+kernel's only option IS the bucketed select, vs the wavefront loop
+dispatch used to take there.
+
 python -u benchmarks/probe_light_select.py [--skip-unroll] [--skip-162]
+                                           [--big]
 """
 
 import sys
@@ -75,6 +83,18 @@ def run_scene(emissive_frac, legs):
             lambda: make_bvh_regen_render_step(cfg, buffers), cfg)
         print(f"fused_mxu    {dt * 1e3:8.1f} ms/step  {rate:6.2f} Mrays/s",
               flush=True)
+    if "bucketed" in legs:
+        # force the two-level bucketed select at a light count the flat
+        # select also handles, to compare the two forms directly
+        saved = IF.LIGHT_FLAT_MAX
+        IF.LIGHT_FLAT_MAX = IF.LIGHT_UNROLL_MAX
+        try:
+            dt, rate = time_step(
+                lambda: make_bvh_regen_render_step(cfg, buffers), cfg)
+        finally:
+            IF.LIGHT_FLAT_MAX = saved
+        print(f"fused_bucket {dt * 1e3:8.1f} ms/step  {rate:6.2f} Mrays/s",
+              flush=True)
     if "unroll" in legs:
         saved = IF.LIGHT_UNROLL_MAX
         IF.LIGHT_UNROLL_MAX = 10_000
@@ -96,7 +116,11 @@ def run_scene(emissive_frac, legs):
 
 def main():
     enable_compilation_cache()
-    run_scene(0.03, ("mxu", "wavefront"))
+    run_scene(0.03, ("mxu", "bucketed", "wavefront"))
+    if "--big" in sys.argv:
+        # past LIGHT_FLAT_MAX: dispatch's only fused option is the
+        # bucketed select (vs the wavefront loop it used to take)
+        run_scene(0.10, ("mxu", "wavefront"))
     if "--skip-162" not in sys.argv:
         legs = ("mxu", "wavefront") if "--skip-unroll" in sys.argv else (
             "mxu", "unroll", "wavefront")

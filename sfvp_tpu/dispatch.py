@@ -101,8 +101,8 @@ def select_render_step(
         many_lights = n_lights > MAX_KERNEL_LIGHTS
     # Capability map of the BRUTE-force megakernels: the regen megakernel
     # (megakernel_regen.py) runs diffuse + mirror + GGX + smooth
-    # dielectric shading, NEE (<= 1024 lights; one-hot MXU CDF select
-    # past a few dozen), balance-heuristic MIS,
+    # dielectric shading, NEE (<= 16384 lights; one-hot MXU CDF select
+    # past a few dozen, two-level bucketed past 1024), balance-heuristic MIS,
     # thin-lens DOF, equirect env-map skies, env NEE (importance-sampled
     # environment, exact in-kernel CDF inversion; combined with area-light
     # NEE when both sources exist) and
@@ -235,7 +235,8 @@ def select_render_step(
             # in-lane sample regeneration and in-kernel packet traversal —
             # no per-bounce relaunch, no dead lanes, no bounce sort
             # (1.2-1.8x over the wavefront loop on 100k-tri GI); NEE runs
-            # in-kernel up to 1024 lights (MXU select). Beyond the VMEM budget the
+            # in-kernel up to 16384 lights (MXU select; two-level
+            # bucketed past 1024). Beyond the VMEM budget the
             # triangle rows stream from HBM (blocking per-leaf DMA — still
             # 1.27x over the prefetching wavefront kernel at 500k tris);
             # node rows stay VMEM-resident either way.

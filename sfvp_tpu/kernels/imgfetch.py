@@ -329,10 +329,18 @@ def env_pdf_sa_rows(cdfpdf, d, H, W):
 # weights at HIGHEST precision make it an exact copy, so the result is
 # bitwise what the unrolled select chain produces.
 
-# (Lp, 128) cdf broadcast + (Lp, 128) one-hot transient: 512KB each at
-# 1024 lights — the VMEM ceiling for the fused path; more lights route
-# to the wavefront integrator's searchsorted sampling.
-MAX_KERNEL_LIGHTS = 1024
+# flat-select ceiling: the (Lp, 128) cdf broadcast + one-hot transient
+# are 512KB each at 1024 lights. Bigger tables switch to the BUCKETED
+# two-level select below (same decomposition as the env texel CDF),
+# whose operands/transients stay O(L/128 + 128) planes.
+LIGHT_FLAT_MAX = 1024
+
+# bucketed-select ceiling: 16384 lights = 128 buckets -> a (2048, 128)
+# packed table (1MB) + a (128, 128) bucket-end cdf + a (2048, 128) slab
+# transient per select row. Beyond this the light table stops being a
+# VMEM-resident object and the wavefront integrator's searchsorted
+# sampling takes over.
+MAX_KERNEL_LIGHTS = 16384
 
 # below this the unrolled scalar-select chain stays cheaper than the
 # fixed (Lp>=128)-wide compare + matmul
@@ -366,7 +374,14 @@ def fused_extra_vmem_bytes(n_lights, env, textures, use_nee) -> int:
     fused kernel over VMEM — dispatch compares nodes+tris+this against
     the budget and routes to the wavefront loop when it doesn't fit."""
     total = 0
-    if n_lights > LIGHT_UNROLL_MAX:
+    if n_lights > LIGHT_FLAT_MAX:
+        # bucketed two-level select: (2048, Bp) packed table (lane dim
+        # tile-padded to >=128) + (Bp, 128) bucket-end cdf + a
+        # (2048, 128) slab transient + ~2 (128, 128) masks per select
+        Bp = max(8, -(-n_lights // 128))
+        total += (2048 * max(Bp, 128) + Bp * 128
+                  + 2048 * 128 + 2 * 128 * 128) * 4
+    elif n_lights > LIGHT_UNROLL_MAX:
         Lp = max(128, -(-n_lights // 128) * 128)
         # (16,Lp) table + (Lp,128) cdf broadcast + ~2 (Lp,128) transients
         # (compare mask + one-hot) live per select
@@ -382,6 +397,87 @@ def fused_extra_vmem_bytes(n_lights, env, textures, use_nee) -> int:
         hs = np.asarray(textures.height)
         total += 3 * int(ws.max()) * int(hs.sum()) * 4  # packed atlas
     return total
+
+
+def pack_light_table_bucketed(lt):
+    """LightTable -> ((2048, Bp) packed operand, (Bp, 128) lane-broadcast
+    bucket-end cdf) for the two-level select (light_select_rows_bucketed).
+
+    Lights live on a (bucket b, slot s) grid of 128-light buckets:
+      mtab[k*128 + s, b] = field k of light b*128+s   (k in 0..14)
+      mtab[15*128 + s, b] = cdf[b*128+s]              (pads 2.0)
+      bend[b, :] = cdf of bucket b's LAST real light  (pad buckets 2.0)
+    Pad cdf entries are 2.0 so a strict compare against r in [0, 1)
+    never counts them. Bp pads the bucket count to >= 8 sublanes."""
+    L = lt.num
+    B = -(-L // 128)
+    Bp = max(8, B)
+    fields = []
+    for t3 in (lt.v0, lt.v1, lt.v2, lt.n, lt.le):
+        fields.extend(np.asarray(c, np.float32) for c in t3)
+    cdf = np.asarray(lt.cdf, np.float32)
+    mtab = np.zeros((16 * 128, Bp), np.float32)
+    mtab[15 * 128:, :] = 2.0
+    for b in range(B):
+        lo, hi = b * 128, min((b + 1) * 128, L)
+        n = hi - lo
+        for k in range(15):
+            mtab[k * 128:k * 128 + n, b] = fields[k][lo:hi]
+        mtab[15 * 128:15 * 128 + n, b] = cdf[lo:hi]
+    bend = np.full((Bp, 128), 2.0, np.float32)
+    for b in range(B):
+        bend[b, :] = cdf[min((b + 1) * 128, L) - 1]
+    return np.ascontiguousarray(mtab), np.ascontiguousarray(bend)
+
+
+def light_select_rows_bucketed(mtab, bend, r_sel, L):
+    """Two-level area-light select for a (r, 128) selection-random block —
+    the light-table analog of env_cdf_sample_rows, for tables past
+    LIGHT_FLAT_MAX (up to MAX_KERNEL_LIGHTS).
+
+    The unrolled chain's strict count decomposes over 128-light buckets
+    exactly (cdf monotonicity: a bucket whose END is < r contributes all
+    128 entries; buckets past the selected one contribute none):
+      li = 128 * #{b: bend[b] < r}  +  #{s in that bucket: cdf[b,s] < r}
+    The bucket count is a sublane reduction over the (Bp, 128) bend
+    compare; ONE one-hot MXU matmul (exact copy: 0/1 weights at HIGHEST)
+    lands the whole bucket — 15 field slots AND its cdf column — as a
+    (2048, 128) slab; the within-bucket count and the 15 field picks are
+    (128, 128) sublane reductions on that slab. Bitwise the pick of the
+    unrolled ``li = min(sum(r > cdf[i]), L-1)`` chain (the final clamp
+    maps to clamping the within-count at the last real slot of the
+    terminal bucket)."""
+    r = r_sel.shape[0]
+    Bp = bend.shape[0]
+    B = -(-L // 128)
+    n_last = L - (B - 1) * 128   # real slots in the terminal bucket
+    iota_b = jax.lax.broadcasted_iota(
+        jnp.int32, (Bp, 128), 0).astype(jnp.float32)
+    iota_s = jax.lax.broadcasted_iota(
+        jnp.int32, (128, 128), 0).astype(jnp.float32)
+    outs = [[] for _ in range(15)]
+    for j in range(r):
+        rs = r_sel[j:j + 1, :]                                  # (1,128)
+        bj = _cdf_count(bend, rs, B, strict=True)
+        slab = _onehot_row_dot(mtab, iota_b, bj)                # (2048,128)
+        cdf_slab = slab[15 * 128:, :]                           # (128,128)
+        wj = jnp.sum(
+            jnp.where(cdf_slab < rs, 1.0, 0.0), axis=0, keepdims=True
+        )
+        # r beyond the last cdf entry lands in the terminal bucket with
+        # wj == its real-slot count: clamp to the last real slot (pads
+        # are 2.0 so only this one overflow case exists)
+        wj = jnp.where(
+            bj >= np.float32(B - 1),
+            jnp.minimum(wj, np.float32(n_last - 1)), wj,
+        )
+        mask = iota_s == wj                                     # (128,128)
+        for k in range(15):
+            outs[k].append(jnp.sum(
+                jnp.where(mask, slab[k * 128:(k + 1) * 128, :], 0.0),
+                axis=0, keepdims=True,
+            ))
+    return [jnp.concatenate(planes, axis=0) for planes in outs]
 
 
 def light_select_rows(ltab, cdfb, r_sel, L):

@@ -114,6 +114,7 @@ def make_bvh_regen_render_step(
     light_table = None
     light_cdfb = None
     mxu_lights = False
+    bucketed_lights = False
     if use_nee:
         from ..integrate.lights import build_light_table_from_buffers
 
@@ -122,23 +123,32 @@ def make_bvh_regen_render_step(
             use_nee = False
         else:
             from .imgfetch import (
-                LIGHT_UNROLL_MAX, MAX_KERNEL_LIGHTS, pack_light_table_mxu,
+                LIGHT_FLAT_MAX, LIGHT_UNROLL_MAX, MAX_KERNEL_LIGHTS,
+                pack_light_table_bucketed, pack_light_table_mxu,
             )
 
             num_lights = lt.num
             if num_lights > MAX_KERNEL_LIGHTS:
-                # (Lp, 128) cdf-broadcast + one-hot transients outgrow
-                # VMEM — dispatch routes to the wavefront searchsorted
+                # the packed table stops being a sane VMEM-resident
+                # object — dispatch routes to the wavefront searchsorted
                 raise ValueError(
                     f"in-kernel NEE supports <= {MAX_KERNEL_LIGHTS} "
                     "lights; use the wavefront integrator for more"
                 )
             total_area = lt.total_area
-            # small tables unroll 15 scalar selects per light; bigger
+            # small tables unroll 15 scalar selects per light; mid-size
             # ones select all 15 fields with ONE one-hot MXU matmul per
-            # block row (imgfetch.light_select_rows, bitwise identical)
+            # block row (imgfetch.light_select_rows); past LIGHT_FLAT_MAX
+            # the two-level bucketed select keeps the operands O(L/128)
+            # planes (light_select_rows_bucketed). All three are bitwise
+            # identical picks.
             mxu_lights = num_lights > LIGHT_UNROLL_MAX
-            if mxu_lights:
+            bucketed_lights = num_lights > LIGHT_FLAT_MAX
+            if bucketed_lights:
+                tab_np, cdfb_np = pack_light_table_bucketed(lt)
+                light_table = jnp.asarray(tab_np)
+                light_cdfb = jnp.asarray(cdfb_np)
+            elif mxu_lights:
                 tab_np, cdfb_np, _ = pack_light_table_mxu(lt)
                 light_table = jnp.asarray(tab_np)
                 light_cdfb = jnp.asarray(cdfb_np)
@@ -1005,7 +1015,17 @@ def make_bvh_regen_render_step(
                     r_sel, seed = _rand_vec(seed)
                     rl1, seed = _rand_vec(seed)
                     rl2, seed = _rand_vec(seed)
-                    if mxu_lights:
+                    if bucketed_lights:
+                        # two-level bucketed select for big tables
+                        # (imgfetch.light_select_rows_bucketed; bitwise
+                        # the unrolled chain's pick)
+                        from .imgfetch import light_select_rows_bucketed
+
+                        fld = light_select_rows_bucketed(
+                            light_ref[...], lcdf_ref[...], r_sel,
+                            num_lights,
+                        )
+                    elif mxu_lights:
                         # one one-hot MXU matmul per block row lands all
                         # 15 fields (imgfetch.light_select_rows; bitwise
                         # the unrolled chain's pick)

@@ -148,6 +148,109 @@ def test_light_select_rows_bitwise():
         np.testing.assert_array_equal(np.asarray(fld[k]), exp)
 
 
+def test_light_select_rows_bucketed_bitwise():
+    """imgfetch.light_select_rows_bucketed (two-level MXU select) picks
+    bitwise the light the unrolled chain picks — across 128-light bucket
+    boundaries, on full and partial terminal buckets, and for r past the
+    last CDF entry (the L-1 clamp)."""
+    import jax.numpy as jnp
+
+    from sfvp_tpu.integrate.lights import LightTable
+    from sfvp_tpu.kernels.imgfetch import (
+        light_select_rows_bucketed, pack_light_table_bucketed,
+    )
+
+    g = np.random.default_rng(17)
+    for L in (200, 1280, 1337):
+        cols = [jnp.asarray(g.uniform(-3, 3, L).astype(np.float32))
+                for _ in range(15)]
+        area = g.uniform(0.1, 2.0, L)
+        # scale so cdf[-1] < 1: r = 1.0 then exercises the terminal clamp
+        cdf = (np.cumsum(area) / area.sum() * 0.999).astype(np.float32)
+        lt = LightTable(
+            v0=tuple(cols[0:3]), v1=tuple(cols[3:6]), v2=tuple(cols[6:9]),
+            n=tuple(cols[9:12]), le=tuple(cols[12:15]),
+            cdf=jnp.asarray(cdf), total_area=float(area.sum()), num=L,
+        )
+        mtab_np, bend_np = pack_light_table_bucketed(lt)
+        r_sel = g.uniform(0, 1, (4, 128)).astype(np.float32)
+        # boundary cases: exact CDF values spanning the bucket-0/1 edge,
+        # 0, and 1.0 (> cdf[-1] = 0.999 -> the L-1 clamp)
+        r_sel[0, :10] = cdf[123:133]
+        r_sel[0, 10] = 0.0
+        r_sel[0, 11] = np.float32(1.0)
+        fld = light_select_rows_bucketed(
+            jnp.asarray(mtab_np), jnp.asarray(bend_np),
+            jnp.asarray(r_sel), L)
+
+        li = np.zeros((4, 128), np.int64)
+        for i in range(L - 1):
+            li += (r_sel > cdf[i]).astype(np.int64)
+        for k in range(15):
+            exp = np.asarray(cols[k])[li]
+            np.testing.assert_array_equal(
+                np.asarray(fld[k]), exp, err_msg=f"L={L} field {k}")
+
+
+def test_regen_kernel_bucketed_lights_equivalence():
+    """The BUCKETED two-level select plumbed through the brute regen
+    megakernel (LIGHT_FLAT_MAX patched below the 80-light table so the
+    small scene takes the big-table path) == the wavefront searchsorted
+    NEE path. Kept at the 80-light scene size: brute-kernel XLA CPU
+    compile time explodes past ~100 tris, and the multi-bucket math is
+    already pinned bitwise at L=200/1280/1337 by
+    test_light_select_rows_bucketed_bitwise and through a real kernel by
+    test_megakernel_bvh.py::test_bvh_regen_bucketed_lights_equivalence
+    (140 lights, 2 buckets)."""
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.kernels import imgfetch as IF
+    from sfvp_tpu.kernels.megakernel_regen import make_regen_render_step
+    from sfvp_tpu.scene.objload import Scene
+    from sfvp_tpu import upload as _upload
+
+    rng_ = np.random.default_rng(9)
+    big = 6.0
+    tris = [
+        [[-big, 0, -big], [big, 0, -big], [big, 0, big]],
+        [[-big, 0, -big], [big, 0, big], [-big, 0, big]],
+    ]
+    emission = [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]]
+    for i in range(80):
+        cx = -5.0 + (i % 10) * 1.0
+        cz = -5.0 + (i // 10) * 1.2
+        s = 0.15 + 0.1 * rng_.random()
+        tris.append([[cx - s, 3.0, cz - s], [cx + s, 3.0, cz - s],
+                     [cx, 3.0, cz + s]])
+        emission.append(list(2.0 + 4.0 * rng_.random(3)))
+    t = len(tris)
+    scene = Scene(
+        vertices=np.asarray(tris, np.float32).reshape(-1, 3),
+        indices=np.arange(3 * t, dtype=np.uint32),
+        face_diffuse=np.tile(
+            np.asarray([[0.6, 0.5, 0.4]], np.float32), (t, 1)),
+        face_emission=np.asarray(emission, np.float32),
+    )
+    bufs = _upload(scene)
+    cam = CameraConfig.look_at(origin=(0.0, 1.8, 5.5), target=(0, 0.5, 0),
+                               fov_y_deg=50)
+    cfg = RenderConfig(width=16, height=8, spp_per_step=1, max_depth=2,
+                       camera=cam, sampling="cosine", use_nee=True,
+                       use_mis=True, sky_emission=(0.05, 0.05, 0.05))
+    a = jax.jit(make_render_step(cfg, bufs))(init_state(8, 16))
+    saved = IF.LIGHT_FLAT_MAX
+    IF.LIGHT_FLAT_MAX = 64
+    try:
+        b = jax.jit(make_regen_render_step(cfg, bufs, interpret=True))(
+            init_state(8, 16)
+        )
+    finally:
+        IF.LIGHT_FLAT_MAX = saved
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-4, atol=1e-6
+    )
+    assert float(a.mrays) == float(b.mrays)
+
+
 def test_regen_kernel_many_lights_equivalence():
     """80 lights on the brute path — past LIGHT_UNROLL_MAX, exercising
     the one-hot MXU light select in megakernel_regen == the wavefront

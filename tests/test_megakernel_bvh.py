@@ -303,6 +303,61 @@ def test_bvh_regen_many_lights_equivalence():
     assert float(a.mrays) == float(b.mrays)
 
 
+def test_bvh_regen_bucketed_lights_equivalence():
+    """140 lights through the BUCKETED two-level select in the fused BVH
+    regen kernel (LIGHT_FLAT_MAX patched down so the table spans 2
+    buckets with a partial terminal bucket) == the wavefront searchsorted
+    NEE path. Multi-bucket math is pinned bitwise at real sizes by
+    test_megakernel.py::test_light_select_rows_bucketed_bitwise; this
+    validates the in-kernel operand plumbing across a bucket boundary."""
+    from sfvp_tpu.scene.objload import Scene
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.kernels import imgfetch as IF
+    from sfvp_tpu import upload as _upload
+
+    rng_ = np.random.default_rng(9)
+    big = 6.0
+    tris = [
+        [[-big, 0, -big], [big, 0, -big], [big, 0, big]],
+        [[-big, 0, -big], [big, 0, big], [-big, 0, big]],
+    ]
+    emission = [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]]
+    for i in range(140):
+        cx = -5.0 + (i % 12) * 0.85
+        cz = -5.0 + (i // 12) * 0.85
+        s = 0.1 + 0.08 * rng_.random()
+        tris.append([[cx - s, 3.0, cz - s], [cx + s, 3.0, cz - s],
+                     [cx, 3.0, cz + s]])
+        emission.append(list(2.0 + 4.0 * rng_.random(3)))
+    t = len(tris)
+    scene = Scene(
+        vertices=np.asarray(tris, np.float32).reshape(-1, 3),
+        indices=np.arange(3 * t, dtype=np.uint32),
+        face_diffuse=np.tile(
+            np.asarray([[0.6, 0.5, 0.4]], np.float32), (t, 1)),
+        face_emission=np.asarray(emission, np.float32),
+    )
+    bufs = _upload(scene)
+    cam = CameraConfig.look_at(origin=(0.0, 1.8, 5.5), target=(0, 0.5, 0),
+                               fov_y_deg=50)
+    cfg = RenderConfig(width=16, height=8, spp_per_step=1, max_depth=2,
+                       camera=cam, sampling="cosine", use_nee=True,
+                       use_mis=True, sky_emission=(0.05, 0.05, 0.05))
+    a = jax.jit(make_render_step(cfg, bufs))(init_state(8, 16))
+    saved = IF.LIGHT_FLAT_MAX
+    IF.LIGHT_FLAT_MAX = 64
+    try:
+        b = jax.jit(make_bvh_regen_render_step(cfg, bufs, interpret=True))(
+            init_state(8, 16)
+        )
+    finally:
+        IF.LIGHT_FLAT_MAX = saved
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-4, atol=1e-6
+    )
+    assert float(a.mrays) == float(b.mrays)
+
+
 def test_bvh_regen_dof_equivalence(buffers):
     """In-kernel thin-lens DOF == the wavefront apply_thin_lens_soa path
     (same draw order: jitter draws, then the two lens draws)."""
