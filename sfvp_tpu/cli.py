@@ -19,9 +19,13 @@ from .scene import cornell_box_path, load_obj
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="sfvp", description=__doc__)
     p.add_argument("--obj", default=None, help="OBJ scene path (default: bundled Cornell Box)")
-    p.add_argument("--scene", choices=["cornell", "sphere", "terrain", "city"],
+    p.add_argument("--scene",
+                   choices=["cornell", "sphere", "terrain", "city",
+                            "instanced"],
                    default="cornell",
-                   help="procedural test scene when --obj is not given")
+                   help="procedural test scene when --obj is not given "
+                        "(instanced = shared-BLAS spheres through the "
+                        "two-level TLAS kernel)")
     p.add_argument("--scene-tris", type=int, default=100_000,
                    help="approximate triangle count for procedural scenes")
     p.add_argument("--width", type=int, default=1024)
@@ -100,6 +104,10 @@ def main(argv=None) -> int:
         if args.scene == "sphere":
             n = max(16, int(math.sqrt(args.scene_tris / 2)))
             scene = sphere_mesh(n_lat=n, n_lon=n, bump=0.3)
+        elif args.scene == "instanced":
+            from .scene.procedural import instanced_field
+
+            scene = instanced_field(n_tris=args.scene_tris)
         elif args.scene == "city":
             # ~12 subdivided faces per building; solve for the count
             sub = 9
@@ -116,6 +124,11 @@ def main(argv=None) -> int:
                     origin=(13.0, 9.0, 13.0), target=(0.0, 0.8, 0.0),
                     fov_y_deg=55.0,
                 )
+            elif args.scene == "instanced":
+                cam = CameraConfig.look_at(
+                    origin=(10.5, 7.5, 10.5), target=(0.0, 0.6, 0.0),
+                    fov_y_deg=50.0,
+                )
             else:
                 cam = CameraConfig.look_at(
                     origin=(0.0, 2.2, 5.0), target=(0.0, 0.0, 0.0),
@@ -124,6 +137,12 @@ def main(argv=None) -> int:
             cfg = dataclasses.replace(
                 cfg, camera=cam, sky_emission=(0.8, 0.85, 1.0),
             )
+    instanced = isinstance(scene, list)
+    if instanced and (args.env_map or args.dist or args.adaptive is not None):
+        raise ValueError(
+            "--scene instanced is not combinable with --env-map/--dist/"
+            "--adaptive (flatten the instances for those paths)"
+        )
     if args.env_map:
         scene.env_map = args.env_map
     if args.lens_radius > 0:

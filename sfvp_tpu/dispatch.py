@@ -265,6 +265,50 @@ def select_render_step(
     )
 
 
+def select_instanced_render_step(
+    cfg: RenderConfig,
+    instances,
+    global_shape: Optional[tuple] = None,
+):
+    """Instanced-scene dispatch (shared BLASes + per-instance object-to-
+    world transforms — the general form of the reference's TLAS-over-one-
+    BLAS, ref main.cpp:521-538). Returns (render_step, flat_buffers).
+
+    On pallas the in-kernel two-level traversal (kernels/bvh_tlas.py)
+    slots into the wavefront loop as the payload trace (shadow rays for
+    NEE trace through the same payload kernel); materials/lights/shading
+    come from the flattened world-space buffers, which the jnp backend
+    also uses as the single-level correctness oracle."""
+    from .accel.instances import flatten_instances
+    from .integrate.wavefront import make_render_step
+    from .scene import upload
+
+    flat_buffers = upload(flatten_instances(instances))
+    backend, _ = _resolve(cfg, flat_buffers)
+    if backend == "pallas":
+        from .accel.tlas import build_two_level
+        from .kernels.bvh_tlas import make_two_level_trace
+
+        tl = build_two_level(instances)
+        trace = make_two_level_trace(
+            tl, t_min=cfg.t_min, block_rows=cfg.packet_block_rows
+        )
+        _dbg("wavefront(tlas packet)", instances=len(instances),
+             tris=flat_buffers.num_tris)
+        step = make_render_step(
+            cfg, flat_buffers, trace_payload_fn=trace,
+            global_shape=global_shape,
+        )
+        return step, flat_buffers
+    _dbg("wavefront(jnp flattened)", instances=len(instances),
+         tris=flat_buffers.num_tris)
+    step = make_render_step(
+        cfg, flat_buffers, trace_fn=select_trace_fn(cfg, flat_buffers),
+        global_shape=global_shape,
+    )
+    return step, flat_buffers
+
+
 def packet_trace_kwargs(cfg: RenderConfig, wide, stream: bool) -> dict:
     """Packet-kernel trace functions for the wavefront loop, as
     make_render_step kwargs ({trace_payload_fn, occlusion_fn})."""

@@ -38,28 +38,38 @@ class Renderer:
     Usage:
         r = Renderer(cfg, scene)
         r.run(steps=32, out="out.png")
-    """
+
+    ``scene`` may also be a list of ``accel.instances.Instance`` —
+    instanced scenes trace through the in-kernel two-level TLAS on
+    pallas backends (dispatch.select_instanced_render_step)."""
 
     def __init__(
         self,
         cfg: RenderConfig,
-        scene: Scene,
+        scene,
         trace_fn: Optional[Callable] = None,
         donate: bool = True,
     ):
-        from ..dispatch import select_render_step
+        from ..dispatch import select_instanced_render_step, select_render_step
         from ..utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
         self.cfg = cfg
         self.scene = scene
-        self.buffers = upload(scene)
+        if isinstance(scene, (list, tuple)):
+            if trace_fn is not None:
+                raise ValueError(
+                    "trace_fn cannot be combined with an instanced scene"
+                )
+            step, self.buffers = select_instanced_render_step(cfg, scene)
+        else:
+            self.buffers = upload(scene)
+            step = select_render_step(cfg, self.buffers, trace_fn=trace_fn)
         if cfg.debug_nan:
             # debug sanitizer (SURVEY §5): trap NaN-producing ops at their
             # source; the run() loop additionally asserts a finite
             # accumulator at every observed boundary
             jax.config.update("jax_debug_nans", True)
-        step = select_render_step(cfg, self.buffers, trace_fn=trace_fn)
         self._step = jax.jit(
             lambda s: step(s), donate_argnums=(0,) if donate else ()
         )

@@ -96,6 +96,37 @@ def test_two_level_packet_matches_flattened(n_inst):
                                flat_kd[hit], rtol=1e-5, atol=1e-5)
 
 
+def test_instanced_renderer_first_class():
+    """A list of Instances is a first-class Renderer scene: on a pallas
+    backend dispatch routes it through the two-level TLAS packet trace
+    (dispatch.select_instanced_render_step), pixel-matching the flattened
+    single-level scene on the jnp oracle backend."""
+    import dataclasses
+
+    from sfvp_tpu import RenderConfig
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.render.driver import Renderer
+    from sfvp_tpu.scene.procedural import instanced_field
+
+    insts = instanced_field(n_tris=300, n_inst=4)
+    cam = CameraConfig.look_at(origin=(6.0, 5.0, 6.0), target=(0, 0.6, 0),
+                               fov_y_deg=50)
+    cfg = RenderConfig(width=16, height=16, spp_per_step=2, max_depth=2,
+                       camera=cam, sampling="cosine",
+                       sky_emission=(0.8, 0.85, 1.0), backend="pallas",
+                       packet_tile_size=8)
+    r_tl = Renderer(cfg, insts)
+    a = np.asarray(r_tl.step(1).accum)
+
+    flat = flatten_instances(insts)
+    r_flat = Renderer(dataclasses.replace(cfg, backend="jnp"), flat)
+    b = np.asarray(r_flat.step(1).accum)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        Renderer(cfg, insts, trace_fn=lambda *a: None)
+
+
 def test_two_level_render_step():
     """The TLAS trace slots into the wavefront integrator as the payload
     trace and matches the flattened brute render pixel-exactly."""

@@ -232,69 +232,18 @@ def main():
     # 9. instanced TLAS: 50 instances sharing two displaced-sphere BLASes
     # over a ground slab, traced by the in-kernel two-level traversal
     # (accel/tlas.py + kernels/bvh_tlas.py; ref TLAS-over-1-BLAS,
-    # main.cpp:521-538, generalized to real instancing). Custom trace fn,
-    # so this entry drives the wavefront loop directly instead of run().
-    import jax
+    # main.cpp:521-538, generalized to real instancing). An instance list
+    # is a first-class Renderer scene (dispatch.select_instanced_render_
+    # step), so this rides the normal run() helper.
+    from sfvp_tpu.scene.procedural import instanced_field
 
-    from sfvp_tpu import init_state
-    from sfvp_tpu.accel.instances import Instance, flatten_instances
-    from sfvp_tpu.accel.tlas import build_two_level
-    from sfvp_tpu.integrate.wavefront import make_render_step
-    from sfvp_tpu.kernels.bvh_tlas import make_two_level_trace
-    from sfvp_tpu.render.driver import write_image
-
-    t0 = time.perf_counter()
-    g = np.random.default_rng(12)
-    ball_a = sphere_mesh(n_lat=48, n_lon=48, bump=0.25)
-    ball_a.face_diffuse[:] = (0.75, 0.35, 0.25)
-    ball_b = sphere_mesh(n_lat=48, n_lon=48, bump=0.1)
-    ball_b.face_diffuse[:] = (0.3, 0.45, 0.8)
-    big = 40.0
-    ground = Scene(
-        vertices=np.asarray([
-            [-big, 0, -big], [big, 0, -big], [big, 0, big],
-            [-big, 0, -big], [big, 0, big], [-big, 0, big],
-        ], np.float32),
-        indices=np.arange(6, dtype=np.uint32),
-        face_diffuse=np.full((2, 3), 0.55, np.float32),
-        face_emission=np.zeros((2, 3), np.float32),
-    )
-    insts = [Instance(scene=ground,
-                      transform=np.hstack([np.eye(3, dtype=np.float32),
-                                           np.zeros((3, 1), np.float32)]))]
-    for i in range(49):
-        ang = g.uniform(0, 2 * np.pi)
-        c, sn = np.cos(ang), np.sin(ang)
-        rot = np.asarray([[c, 0, sn], [0, 1, 0], [-sn, 0, c]], np.float32)
-        sc = float(g.uniform(0.5, 1.1))
-        tr = np.asarray([-6.0 + (i % 7) * 2.0, sc,
-                         -6.0 + (i // 7) * 2.0], np.float32)
-        insts.append(Instance(
-            scene=ball_a if i % 2 == 0 else ball_b,
-            transform=np.hstack([(rot * sc), tr[:, None]]).astype(
-                np.float32)))
-    from sfvp_tpu import upload as _upload
-
-    tlas_cfg = RenderConfig(
-        width=s, height=s, spp_per_step=16, max_depth=4,
-        camera=CameraConfig.look_at(origin=(10.5, 7.5, 10.5),
-                                    target=(0, 0.6, 0), fov_y_deg=50),
-        sampling="cosine", sky_emission=(0.8, 0.85, 1.0))
-    tl = build_two_level(insts)
-    trace = make_two_level_trace(tl, t_min=tlas_cfg.t_min)
-    flat = _upload(flatten_instances(insts))
-    step = jax.jit(make_render_step(tlas_cfg, flat,
-                                    trace_payload_fn=trace))
-    state = init_state(s, s)
-    for _ in range(a.steps):
-        state = step(state)
-    jax.block_until_ready(state.accum)
-    path = os.path.join(a.out, "instanced_tlas.png")
-    write_image(path, np.asarray(state.accum), srgb=True)
-    print(json.dumps({
-        "image": path, "wall_s": round(time.perf_counter() - t0, 1),
-        "spp": a.steps * tlas_cfg.spp_per_step,
-    }), flush=True)
+    run("instanced_tlas",
+        RenderConfig(width=s, height=s, spp_per_step=16, max_depth=4,
+                     camera=CameraConfig.look_at(origin=(10.5, 7.5, 10.5),
+                                                 target=(0, 0.6, 0),
+                                                 fov_y_deg=50),
+                     sampling="cosine", sky_emission=(0.8, 0.85, 1.0)),
+        instanced_field(n_tris=220_000, n_inst=49))
 
 
 if __name__ == "__main__":
