@@ -126,6 +126,29 @@ def test_instanced_renderer_first_class():
     with pytest.raises(ValueError):
         Renderer(cfg, insts, trace_fn=lambda *a: None)
 
+    # NEE on an instanced scene: shadow rays trace through the same
+    # two-level payload kernel (wavefront _shadow_occluded fallback)
+    lamp = Scene(
+        vertices=np.asarray([
+            [-1.2, 4.0, -1.2], [1.2, 4.0, -1.2], [1.2, 4.0, 1.2],
+            [-1.2, 4.0, -1.2], [1.2, 4.0, 1.2], [-1.2, 4.0, 1.2],
+        ], np.float32),
+        indices=np.arange(6, dtype=np.uint32),
+        face_diffuse=np.zeros((2, 3), np.float32),
+        face_emission=np.full((2, 3), 9.0, np.float32),
+    )
+    lit = insts + [Instance(
+        scene=lamp,
+        transform=np.hstack([np.eye(3, dtype=np.float32),
+                             np.zeros((3, 1), np.float32)]))]
+    cfg_nee = dataclasses.replace(cfg, use_nee=True, use_mis=True,
+                                  sky_emission=(0.05, 0.05, 0.05))
+    a = np.asarray(Renderer(cfg_nee, lit).step(1).accum)
+    b = np.asarray(Renderer(
+        dataclasses.replace(cfg_nee, backend="jnp"),
+        flatten_instances(lit)).step(1).accum)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
 
 def test_two_level_render_step():
     """The TLAS trace slots into the wavefront integrator as the payload
