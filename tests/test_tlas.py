@@ -150,6 +150,33 @@ def test_instanced_renderer_first_class():
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_instanced_textures_refused_on_tlas_kernel(tmp_path):
+    """The TLAS payload carries no uv/texid planes: a textured instanced
+    scene must refuse the two-level kernel (clean ValueError pointing at
+    flatten_instances) instead of silently dropping the map_Kd
+    modulation the jnp oracle path would apply."""
+    from sfvp_tpu import RenderConfig
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.render.driver import Renderer
+    from sfvp_tpu.scene.procedural import instanced_field
+
+    tex = tmp_path / "t.ppm"
+    tex.write_bytes(b"P6 2 2 255\n" + bytes([255, 0, 0] * 4))
+    insts = instanced_field(n_tris=300, n_inst=2)
+    s0 = insts[1].scene
+    n = s0.num_triangles
+    s0.face_uv = np.zeros((n, 3, 2), np.float32)
+    s0.face_tex = np.zeros((n,), np.int32)
+    s0.texture_paths = [str(tex)]
+    cfg = RenderConfig(width=16, height=16, spp_per_step=1, max_depth=2,
+                       camera=CameraConfig.look_at(
+                           origin=(6.0, 5.0, 6.0), target=(0, 0.6, 0),
+                           fov_y_deg=50),
+                       sampling="cosine", backend="pallas")
+    with pytest.raises(ValueError, match="flatten the instances"):
+        Renderer(cfg, insts)
+
+
 def test_two_level_render_step():
     """The TLAS trace slots into the wavefront integrator as the payload
     trace and matches the flattened brute render pixel-exactly."""
