@@ -138,9 +138,9 @@ def main(argv=None) -> int:
                 cfg, camera=cam, sky_emission=(0.8, 0.85, 1.0),
             )
     instanced = isinstance(scene, list)
-    if instanced and (args.env_map or args.dist or args.adaptive is not None):
+    if instanced and (args.env_map or args.adaptive is not None):
         raise ValueError(
-            "--scene instanced is not combinable with --env-map/--dist/"
+            "--scene instanced is not combinable with --env-map/"
             "--adaptive (flatten the instances for those paths)"
         )
     if args.env_map:

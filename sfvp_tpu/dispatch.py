@@ -265,14 +265,11 @@ def select_render_step(
     )
 
 
-def select_instanced_render_step(
-    cfg: RenderConfig,
-    instances,
-    global_shape: Optional[tuple] = None,
-):
+def instanced_wavefront_kwargs(cfg: RenderConfig, instances):
     """Instanced-scene dispatch (shared BLASes + per-instance object-to-
     world transforms — the general form of the reference's TLAS-over-one-
-    BLAS, ref main.cpp:521-538). Returns (render_step, flat_buffers).
+    BLAS, ref main.cpp:521-538). Returns (make_render_step kwargs,
+    flat_buffers), shared by the single-chip and row-sharded drivers.
 
     On pallas the in-kernel two-level traversal (kernels/bvh_tlas.py)
     slots into the wavefront loop as the payload trace (shadow rays for
@@ -280,7 +277,6 @@ def select_instanced_render_step(
     come from the flattened world-space buffers, which the jnp backend
     also uses as the single-level correctness oracle."""
     from .accel.instances import flatten_instances
-    from .integrate.wavefront import make_render_step
     from .scene import upload
 
     flat_buffers = upload(flatten_instances(instances))
@@ -305,16 +301,26 @@ def select_instanced_render_step(
         )
         _dbg("wavefront(tlas packet)", instances=len(instances),
              tris=flat_buffers.num_tris)
-        step = make_render_step(
-            cfg, flat_buffers, trace_payload_fn=trace,
-            global_shape=global_shape,
-        )
-        return step, flat_buffers
+        return {"trace_payload_fn": trace}, flat_buffers
     _dbg("wavefront(jnp flattened)", instances=len(instances),
          tris=flat_buffers.num_tris)
+    return (
+        {"trace_fn": select_trace_fn(cfg, flat_buffers)}, flat_buffers
+    )
+
+
+def select_instanced_render_step(
+    cfg: RenderConfig,
+    instances,
+    global_shape: Optional[tuple] = None,
+):
+    """Single-chip form of instanced_wavefront_kwargs: returns
+    (render_step, flat_buffers)."""
+    from .integrate.wavefront import make_render_step
+
+    kwargs, flat_buffers = instanced_wavefront_kwargs(cfg, instances)
     step = make_render_step(
-        cfg, flat_buffers, trace_fn=select_trace_fn(cfg, flat_buffers),
-        global_shape=global_shape,
+        cfg, flat_buffers, global_shape=global_shape, **kwargs
     )
     return step, flat_buffers
 

@@ -162,7 +162,21 @@ class DistRenderer:
         self.cfg = cfg
         self.scene = scene
         self.mesh = mesh if mesh is not None else default_mesh()
-        self.buffers = upload(scene)
+        if isinstance(scene, (list, tuple)):
+            # instanced scene: same dispatch as the single-chip Renderer —
+            # TLAS payload trace on pallas, flattened oracle on jnp
+            from ..dispatch import instanced_wavefront_kwargs
+
+            if trace_fn is not None or trace_payload_fn is not None:
+                raise ValueError(
+                    "explicit trace fns cannot be combined with an "
+                    "instanced scene"
+                )
+            kwargs, self.buffers = instanced_wavefront_kwargs(cfg, scene)
+            trace_fn = kwargs.get("trace_fn")
+            trace_payload_fn = kwargs.get("trace_payload_fn")
+        else:
+            self.buffers = upload(scene)
         self._step, init = make_sharded_render_step(
             cfg,
             self.buffers,

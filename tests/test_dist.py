@@ -40,6 +40,32 @@ def test_sharded_equals_single(cfg, cornell_buffers):
     np.testing.assert_allclose(float(st.mrays), float(ref.mrays), rtol=1e-5)
 
 
+def test_sharded_instanced_equals_single():
+    """Instanced scenes row-shard like any other: DistRenderer routes a
+    list of Instances through instanced_wavefront_kwargs (TLAS payload
+    trace on pallas backends) and matches the single-chip Renderer
+    pixel-identically."""
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.dist import DistRenderer
+    from sfvp_tpu.render.driver import Renderer
+    from sfvp_tpu.scene.procedural import instanced_field
+
+    insts = instanced_field(n_tris=300, n_inst=4)
+    cam = CameraConfig.look_at(origin=(6.0, 5.0, 6.0), target=(0, 0.6, 0),
+                               fov_y_deg=50)
+    icfg = RenderConfig(width=16, height=16, spp_per_step=1, max_depth=2,
+                        camera=cam, sampling="cosine",
+                        sky_emission=(0.8, 0.85, 1.0), backend="pallas",
+                        packet_tile_size=8)
+    d = DistRenderer(icfg, insts)
+    d.step(2)
+    r = Renderer(icfg, insts, donate=False)
+    r.step(2)
+    np.testing.assert_allclose(
+        d.image(), np.asarray(r.state.accum), rtol=1e-6, atol=1e-7
+    )
+
+
 def test_sharded_state_is_actually_sharded(cfg, cornell_buffers):
     mesh = default_mesh()
     sharded_step, sharded_init = make_sharded_render_step(
