@@ -13,6 +13,7 @@ for in-kernel two-level traversal (kernels/bvh_tlas.py):
       lanes [ 0:12)  inverse transform (iR row-major 9, it 3)
       lanes [12:24)  forward transform (R row-major 9, t 3)
       lane   24      BLAS root node row (f32)
+      lane   25      texture base into the flattened merged pool (f32)
 
 World-measure hit distances survive the object-space transform because the
 transformed ray direction is NOT renormalized (t parameters are then
@@ -28,7 +29,9 @@ import numpy as np
 from ..scene.buffers import upload
 from .instances import Instance
 from .lbvh import bvh_from_arrays
-from .wide import TAG_INTERNAL, TAG_LEAF, WideBVH, build_wide, materials_array
+from .wide import (
+    TAG_INTERNAL, TAG_LEAF, WideBVH, build_wide, materials_array, uv_array,
+)
 
 TAG_INSTANCE = 3.0
 
@@ -39,6 +42,11 @@ class TwoLevelBVH(NamedTuple):
     inst: np.ndarray    # (I, 128) f32 instance rows (see module docstring)
     max_stack: int
     num_instances: int
+    # parallel uv/texid leaf rows (same indices as tris) when any mesh has
+    # map_Kd textures; texids are MESH-LOCAL (+1) — the kernel adds the
+    # instance row's texture base (lane 25) to land in the flattened
+    # merged texture pool (accel/instances.py flatten_instances order)
+    tris_aux: "np.ndarray | None" = None
 
 
 def _wide_tlas_rows(inst_bmin: np.ndarray, inst_bmax: np.ndarray):
@@ -118,7 +126,7 @@ def _wide_tlas_rows(inst_bmin: np.ndarray, inst_bmax: np.ndarray):
 def build_two_level(instances: Sequence[Instance],
                     leaf_size: int = 8) -> TwoLevelBVH:
     """Pack shared BLASes + TLAS + instance table for the packet kernel."""
-    # one wide BLAS per unique mesh
+    # one wide BLAS per unique mesh (aux uv/texid rows when textured)
     blas_cache: dict = {}
     for inst in instances:
         key = id(inst.scene)
@@ -127,7 +135,10 @@ def build_two_level(instances: Sequence[Instance],
             binary = bvh_from_arrays(
                 inst.scene.triangles(), leaf_size=leaf_size
             )
-            blas_cache[key] = build_wide(binary, materials_array(buffers))
+            blas_cache[key] = build_wide(
+                binary, materials_array(buffers), aux=uv_array(buffers)
+            )
+    has_aux = any(w.tris_aux is not None for w in blas_cache.values())
 
     # instance world AABBs from each BLAS root's 8 child boxes
     inst_bmin = np.zeros((len(instances), 3), np.float32)
@@ -158,6 +169,7 @@ def build_two_level(instances: Sequence[Instance],
     # concatenate BLAS tables with ref rewriting
     node_parts = [tlas_rows]
     tri_parts = []
+    aux_parts = []
     node_base: dict = {}
     tri_base: dict = {}
     nb, tb = mt, 0
@@ -174,12 +186,22 @@ def build_two_level(instances: Sequence[Instance],
             )
         node_parts.append(rows)
         tri_parts.append(w.tris)
+        if has_aux:
+            # untextured meshes contribute zero rows (texid+1 = 0 decodes
+            # to -1/untextured in the payload, like zero-padded leaf slots)
+            aux_parts.append(
+                w.tris_aux if w.tris_aux is not None
+                else np.zeros_like(w.tris)
+            )
         nb += rows.shape[0]
         tb += w.tris.shape[0]
         max_blas_stack = max(max_blas_stack, int(w.max_stack))
 
-    # instance rows
+    # instance rows; lane 25 = this instance's base into the flattened
+    # merged texture pool (EXACTLY flatten_instances' running order,
+    # duplicates for shared meshes included)
     inst_rows = np.zeros((len(instances), 128), np.float32)
+    tex_base = 0
     for i, inst in enumerate(instances):
         rot = inst.transform[:, :3].astype(np.float64)
         tr = inst.transform[:, 3].astype(np.float64)
@@ -190,6 +212,8 @@ def build_two_level(instances: Sequence[Instance],
         inst_rows[i, 12:21] = rot.reshape(-1).astype(np.float32)
         inst_rows[i, 21:24] = tr.astype(np.float32)
         inst_rows[i, 24] = float(node_base[id(inst.scene)])
+        inst_rows[i, 25] = float(tex_base)
+        tex_base += len(getattr(inst.scene, "texture_paths", None) or [])
 
     max_stack = (tlas_depth + 1) * 8 + max_blas_stack + 16
     return TwoLevelBVH(
@@ -199,4 +223,6 @@ def build_two_level(instances: Sequence[Instance],
         inst=inst_rows,
         max_stack=int(max_stack),
         num_instances=len(instances),
+        tris_aux=(np.concatenate(aux_parts).astype(np.float32)
+                  if has_aux and aux_parts else None),
     )

@@ -282,16 +282,6 @@ def instanced_wavefront_kwargs(cfg: RenderConfig, instances):
     flat_buffers = upload(flatten_instances(instances))
     backend, _ = _resolve(cfg, flat_buffers)
     if backend == "pallas":
-        if flat_buffers.has_textures:
-            # the TLAS payload carries no uv/texid planes (unlike
-            # bvh_packet.py): refuse rather than silently render the
-            # textures un-modulated; the flattened single-level path
-            # handles textured scenes at full capability
-            raise ValueError(
-                "instanced scenes with map_Kd textures are not supported "
-                "by the two-level kernel; flatten the instances "
-                "(accel.instances.flatten_instances) for textured scenes"
-            )
         from .accel.tlas import build_two_level
         from .kernels.bvh_tlas import make_two_level_trace
 

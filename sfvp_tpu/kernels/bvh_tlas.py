@@ -48,6 +48,9 @@ def make_two_level_trace(
     nodes = jnp.asarray(tl.nodes)
     tris = jnp.asarray(tl.tris)
     inst = jnp.asarray(tl.inst)
+    with_tex = tl.tris_aux is not None
+    aux = jnp.asarray(tl.tris_aux) if with_tex else None
+    n_pay = 19 if with_tex else 16
     stack_n = int(tl.max_stack)
     t_min = np.float32(t_min)
     lanes = 128
@@ -56,8 +59,13 @@ def make_two_level_trace(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def kernel(nodes_ref, tris_ref, inst_ref, ox_ref, oy_ref, oz_ref,
-               dx_ref, dy_ref, dz_ref, tmax_ref, *out_refs):
+    def kernel(nodes_ref, tris_ref, inst_ref, *rest):
+        if with_tex:
+            aux_ref = rest[0]
+            rest = rest[1:]
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         tmax_ref) = rest[:7]
+        out_refs = rest[7:]
         stack_ref = out_refs[-2]
         istack_ref = out_refs[-1]
         outs = out_refs[:-2]
@@ -78,7 +86,7 @@ def make_two_level_trace(
             jnp.int32(1),
             jnp.full((r, lanes), INF),
             zero, zero,
-        ) + (zero,) * 16
+        ) + (zero,) * n_pay
 
         def cond(c):
             return c[0] > 0
@@ -194,6 +202,13 @@ def make_two_level_trace(
                 pay = list(pay)
                 trow = tris_ref[pl.ds(jnp.maximum(neg, 0), 1), :]
                 tsc = [trow[0, cc] for cc in range(128)]
+                if with_tex:
+                    arow = aux_ref[pl.ds(jnp.maximum(neg, 0), 1), :]
+                    asc = [arow[0, cc] for cc in range(128)]
+                    # instance base into the flattened merged texture pool
+                    # (tri leaves only pop under a BLAS context, so the
+                    # world-context select is belt-and-braces)
+                    texb = jnp.where(in_world, jnp.float32(0.0), irow[0, 25])
                 # forward transform of the CURRENT instance (identity-like
                 # select for world context)
                 fw = [jnp.where(in_world,
@@ -240,6 +255,19 @@ def make_two_level_trace(
                         tsc[base + 12], tsc[base + 13], tsc[base + 14],
                         tsc[base + 15],
                     )
+                    if with_tex:
+                        # interpolate the per-corner vt with the SAME
+                        # barycentrics as the hit (bvh_packet.py leaf_fn);
+                        # texid+1 shifts by the instance's texture base
+                        # (0 stays 0 = untextured)
+                        wb = 1.0 - u - v
+                        tu = (asc[base + 0] * wb + asc[base + 2] * u
+                              + asc[base + 4] * v)
+                        tw = (asc[base + 1] * wb + asc[base + 3] * u
+                              + asc[base + 5] * v)
+                        a6 = asc[base + 6]
+                        a6w = jnp.where(a6 > 0, a6 + texb, jnp.float32(0.0))
+                        vals = vals + (tu, tw, a6w)
                     pay = [
                         jnp.where(ok, sv + zero, pv)
                         for sv, pv in zip(vals, pay)
@@ -258,10 +286,10 @@ def make_two_level_trace(
         outs[0][:] = bt
         outs[1][:] = bu
         outs[2][:] = bv
-        for i in range(16):
+        for i in range(n_pay):
             outs[3 + i][:] = pay[i]
 
-    n_out = 19
+    n_out = 3 + n_pay
 
     def trace(o, d, t_max, active=None) -> Payload:
         from .intersect import _as_v3
@@ -290,10 +318,14 @@ def make_two_level_trace(
 
         blk = pl.BlockSpec((r, lanes), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
+        scene_args = [nodes, tris, inst]
+        if with_tex:
+            scene_args.append(aux)
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3 + [blk] * 7,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+            * len(scene_args) + [blk] * 7,
             out_specs=[blk] * n_out,
             out_shape=[
                 jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32)
@@ -303,7 +335,7 @@ def make_two_level_trace(
                 pltpu.SMEM((stack_n,), jnp.int32),
             ],
             interpret=interpret,
-        )(nodes, tris, inst, *args)
+        )(*scene_args, *args)
 
         flat = lambda a: a.reshape(-1)[:n]  # noqa: E731
         o19 = [flat(a) for a in outs]
@@ -318,6 +350,13 @@ def make_two_level_trace(
             albedo=(o19[12], o19[13], o19[14]),
             emission=(o19[15], o19[16], o19[17]),
             mtype=o19[18],
+            **(
+                {
+                    "texu": o19[19], "texv": o19[20],
+                    "texid": o19[21].astype(jnp.int32) - 1,
+                }
+                if with_tex else {}
+            ),
         )
 
     return trace

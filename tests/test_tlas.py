@@ -150,31 +150,49 @@ def test_instanced_renderer_first_class():
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
-def test_instanced_textures_refused_on_tlas_kernel(tmp_path):
-    """The TLAS payload carries no uv/texid planes: a textured instanced
-    scene must refuse the two-level kernel (clean ValueError pointing at
-    flatten_instances) instead of silently dropping the map_Kd
-    modulation the jnp oracle path would apply."""
+def test_instanced_textures_through_tlas_kernel(tmp_path):
+    """map_Kd on instanced scenes: the TLAS kernel interpolates the
+    per-corner vt at the hit and shifts the mesh-local texid by the
+    instance's texture base (instance row lane 25), landing in the
+    flattened MERGED texture pool — including the duplicate entries
+    flatten_instances creates for instances sharing one textured mesh.
+    Pixel-matches the flattened jnp oracle."""
+    import dataclasses
+
     from sfvp_tpu import RenderConfig
     from sfvp_tpu.config import CameraConfig
     from sfvp_tpu.render.driver import Renderer
     from sfvp_tpu.scene.procedural import instanced_field
 
-    tex = tmp_path / "t.ppm"
-    tex.write_bytes(b"P6 2 2 255\n" + bytes([255, 0, 0] * 4))
-    insts = instanced_field(n_tris=300, n_inst=2)
-    s0 = insts[1].scene
-    n = s0.num_triangles
-    s0.face_uv = np.zeros((n, 3, 2), np.float32)
-    s0.face_tex = np.zeros((n,), np.int32)
-    s0.texture_paths = [str(tex)]
-    cfg = RenderConfig(width=16, height=16, spp_per_step=1, max_depth=2,
-                       camera=CameraConfig.look_at(
-                           origin=(6.0, 5.0, 6.0), target=(0, 0.6, 0),
-                           fov_y_deg=50),
-                       sampling="cosine", backend="pallas")
-    with pytest.raises(ValueError, match="flatten the instances"):
-        Renderer(cfg, insts)
+    # two textures with distinct colors so a texid/base mix-up shows
+    tex_r = tmp_path / "r.ppm"
+    tex_r.write_bytes(b"P6 2 2 255\n" + bytes([255, 40, 40] * 4))
+    tex_g = tmp_path / "g.ppm"
+    tex_g.write_bytes(b"P6 2 2 255\n" + bytes([40, 255, 40] * 4))
+    insts = instanced_field(n_tris=400, n_inst=4)
+    # instances 1 and 3 SHARE ball_a; 2 and 4 share ball_b — texture both
+    # meshes so the shared-mesh duplicate-pool-entry path is exercised
+    for mesh, tex in ((insts[1].scene, tex_r), (insts[2].scene, tex_g)):
+        n = mesh.num_triangles
+        tri = mesh.vertices[mesh.indices.reshape(-1)].reshape(n, 3, 3)
+        mesh.face_uv = np.stack(
+            [tri[..., 0] * 0.5 + 0.5, tri[..., 2] * 0.5 + 0.5], axis=-1
+        ).astype(np.float32)
+        mesh.face_tex = np.zeros((n,), np.int32)
+        mesh.texture_paths = [str(tex)]
+    cam = CameraConfig.look_at(origin=(6.0, 5.0, 6.0), target=(0, 0.6, 0),
+                               fov_y_deg=50)
+    cfg = RenderConfig(width=16, height=16, spp_per_step=2, max_depth=2,
+                       camera=cam, sampling="cosine",
+                       sky_emission=(0.8, 0.85, 1.0), backend="pallas",
+                       packet_tile_size=8)
+    a = np.asarray(Renderer(cfg, insts).step(1).accum)
+    b = np.asarray(Renderer(
+        dataclasses.replace(cfg, backend="jnp"),
+        flatten_instances(insts)).step(1).accum)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    # the textures must actually have fired: the two ball colors differ
+    assert a.max() > 0.05
 
 
 def test_two_level_render_step():
