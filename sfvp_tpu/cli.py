@@ -138,10 +138,10 @@ def main(argv=None) -> int:
                 cfg, camera=cam, sky_emission=(0.8, 0.85, 1.0),
             )
     instanced = isinstance(scene, list)
-    if instanced and (args.env_map or args.adaptive is not None):
+    if instanced and args.env_map:
         raise ValueError(
-            "--scene instanced is not combinable with --env-map/"
-            "--adaptive (flatten the instances for those paths)"
+            "--scene instanced is not combinable with --env-map (set "
+            "env_map on a member Scene or flatten the instances)"
         )
     if args.env_map:
         scene.env_map = args.env_map

@@ -57,6 +57,7 @@ def make_adaptive_steps(
     frac: float = 0.25,
     tile: int = 16,
     trace_fn=None,
+    trace_kwargs=None,
 ):
     """Returns (uniform_step, adaptive_step), both
     AdaptiveState -> AdaptiveState and jittable:
@@ -74,10 +75,12 @@ def make_adaptive_steps(
 
     if trace_fn is not None:
         trace_kwargs = {"trace_fn": trace_fn}
-    else:
+    elif trace_kwargs is None:
         # same trace selection as the full-frame loop: on pallas+bvh
         # scenes this is the packet payload kernel — the adaptive tile
-        # decode already produces packet-coherent waves
+        # decode already produces packet-coherent waves (explicit
+        # trace_kwargs carry the instanced TLAS trace from
+        # dispatch.instanced_wavefront_kwargs)
         trace_kwargs = select_wavefront_kwargs(cfg, buffers)
     from .wavefront import make_render_step
 
@@ -149,9 +152,17 @@ class AdaptiveRenderer:
         self.frac = frac
         self.tile = tile
         self.warmup = warmup
-        self.buffers = upload(scene)
+        trace_kwargs = None
+        if isinstance(scene, (list, tuple)):
+            # instanced scene: same dispatch as Renderer/DistRenderer
+            from ..dispatch import instanced_wavefront_kwargs
+
+            trace_kwargs, self.buffers = instanced_wavefront_kwargs(
+                cfg, scene)
+        else:
+            self.buffers = upload(scene)
         uni, ada = make_adaptive_steps(cfg, self.buffers, frac=frac,
-                                       tile=tile)
+                                       tile=tile, trace_kwargs=trace_kwargs)
         self._uniform = jax.jit(uni, donate_argnums=(0,))
         self._adaptive = jax.jit(ada, donate_argnums=(0,))
         self.state = init_adaptive_state(cfg.height, cfg.width)

@@ -195,6 +195,32 @@ def test_instanced_textures_through_tlas_kernel(tmp_path):
     assert a.max() > 0.05
 
 
+def test_adaptive_instanced_warmup_matches_flattened():
+    """AdaptiveRenderer accepts instance lists (instanced_wavefront_kwargs
+    carries the TLAS payload trace into make_adaptive_steps); a uniform
+    warmup step matches the flattened jnp-backend estimator exactly."""
+    import dataclasses
+
+    from sfvp_tpu import RenderConfig
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.integrate.adaptive import AdaptiveRenderer
+    from sfvp_tpu.scene.procedural import instanced_field
+
+    insts = instanced_field(n_tris=300, n_inst=4)
+    cam = CameraConfig.look_at(origin=(6.0, 5.0, 6.0), target=(0, 0.6, 0),
+                               fov_y_deg=50)
+    cfg = RenderConfig(width=16, height=16, spp_per_step=1, max_depth=2,
+                       camera=cam, sampling="cosine",
+                       sky_emission=(0.8, 0.85, 1.0), backend="pallas",
+                       packet_tile_size=8)
+    a = AdaptiveRenderer(cfg, insts, tile=8, warmup=1)
+    a.step(1)
+    b = AdaptiveRenderer(dataclasses.replace(cfg, backend="jnp"),
+                         flatten_instances(insts), tile=8, warmup=1)
+    b.step(1)
+    np.testing.assert_allclose(a.image(), b.image(), rtol=1e-4, atol=1e-5)
+
+
 def test_two_level_render_step():
     """The TLAS trace slots into the wavefront integrator as the payload
     trace and matches the flattened brute render pixel-exactly."""
