@@ -234,6 +234,38 @@ def bench_env_nee_100k(results):
     return _emit(results, "env_nee_100k_512_mrays_per_sec_per_chip", v)
 
 
+def bench_instanced_tlas(results):
+    """Instanced scenes through the in-kernel two-level TLAS traversal
+    (50 instances sharing two displaced-sphere BLASes, ~220k flattened
+    tris; first-class Renderer path since round 3)."""
+    import jax
+
+    from sfvp_tpu import RenderConfig, init_state
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.dispatch import select_instanced_render_step
+    from sfvp_tpu.scene.procedural import instanced_field
+
+    insts = instanced_field(n_tris=220_000, n_inst=49)
+    cfg = _gi_cfg(width=512, height=512,
+                  camera=CameraConfig.look_at(origin=(10.5, 7.5, 10.5),
+                                              target=(0, 0.6, 0),
+                                              fov_y_deg=50))
+    step_fn, _ = select_instanced_render_step(cfg, insts)
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    state = init_state(cfg.height, cfg.width)
+    for _ in range(1):
+        state = step(state)
+        jax.block_until_ready(state.accum)
+    m0 = float(state.mrays)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        state = step(state)
+    jax.block_until_ready(state.accum)
+    dt = time.perf_counter() - t0
+    v = (float(state.mrays) - m0) / dt
+    return _emit(results, "instanced_tlas_50x_512_mrays_per_sec_per_chip", v)
+
+
 def main() -> int:
     from sfvp_tpu.utils.cache import enable_compilation_cache
 
@@ -244,7 +276,8 @@ def main() -> int:
 
     for fn in (bench_cornell_wallclock, bench_gi_100k, bench_streamed_500k,
                bench_city_sorted, bench_city_fused_lights,
-               bench_textured_100k, bench_env_nee_100k):
+               bench_textured_100k, bench_env_nee_100k,
+               bench_instanced_tlas):
         try:
             fn(results)
         except Exception as e:  # a broken sub-bench must not kill the suite
