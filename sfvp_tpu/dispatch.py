@@ -283,15 +283,24 @@ def instanced_wavefront_kwargs(cfg: RenderConfig, instances):
     backend, _ = _resolve(cfg, flat_buffers)
     if backend == "pallas":
         from .accel.tlas import build_two_level
-        from .kernels.bvh_tlas import make_two_level_trace
+        from .kernels.bvh_tlas import (
+            make_two_level_occlusion, make_two_level_trace,
+        )
 
         tl = build_two_level(instances)
         trace = make_two_level_trace(
             tl, t_min=cfg.t_min, block_rows=cfg.packet_block_rows
         )
+        kwargs = {"trace_payload_fn": trace}
+        if cfg.use_nee:
+            # dedicated any-hit kernel for shadow rays (lanes retire on
+            # first hit) instead of the full-payload fallback
+            kwargs["occlusion_fn"] = make_two_level_occlusion(
+                tl, t_min=cfg.t_min, block_rows=cfg.packet_block_rows
+            )
         _dbg("wavefront(tlas packet)", instances=len(instances),
-             tris=flat_buffers.num_tris)
-        return {"trace_payload_fn": trace}, flat_buffers
+             tris=flat_buffers.num_tris, nee=cfg.use_nee)
+        return kwargs, flat_buffers
     _dbg("wavefront(jnp flattened)", instances=len(instances),
          tris=flat_buffers.num_tris)
     return (

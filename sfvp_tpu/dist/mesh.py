@@ -162,9 +162,11 @@ class DistRenderer:
         self.cfg = cfg
         self.scene = scene
         self.mesh = mesh if mesh is not None else default_mesh()
+        occlusion_fn = None
         if isinstance(scene, (list, tuple)):
             # instanced scene: same dispatch as the single-chip Renderer —
-            # TLAS payload trace on pallas, flattened oracle on jnp
+            # TLAS payload trace (+ any-hit occlusion for NEE) on pallas,
+            # flattened oracle on jnp
             from ..dispatch import instanced_wavefront_kwargs
 
             if trace_fn is not None or trace_payload_fn is not None:
@@ -175,6 +177,7 @@ class DistRenderer:
             kwargs, self.buffers = instanced_wavefront_kwargs(cfg, scene)
             trace_fn = kwargs.get("trace_fn")
             trace_payload_fn = kwargs.get("trace_payload_fn")
+            occlusion_fn = kwargs.get("occlusion_fn")
         else:
             self.buffers = upload(scene)
         self._step, init = make_sharded_render_step(
@@ -183,6 +186,7 @@ class DistRenderer:
             self.mesh,
             trace_fn=trace_fn,
             trace_payload_fn=trace_payload_fn,
+            occlusion_fn=occlusion_fn,
         )
         self.state = init()
 

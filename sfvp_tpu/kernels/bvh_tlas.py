@@ -360,3 +360,206 @@ def make_two_level_trace(
         )
 
     return trace
+
+
+def make_two_level_occlusion(
+    tl: TwoLevelBVH,
+    t_min: float,
+    block_rows: int = 8,
+    interpret: Optional[bool] = None,
+):
+    """Occlusion-only (any-hit) two-level traversal for instanced NEE
+    shadow rays: no payload carries, a lane retires on its FIRST hit
+    (empty per-lane window), same instance-context machinery as the full
+    trace (bvh_packet.py make_packet_occlusion, instanced).
+
+    Returns occluded(o, d, t_max, active) -> (N,) bool.
+    """
+    nodes = jnp.asarray(tl.nodes)
+    tris = jnp.asarray(tl.tris)
+    inst = jnp.asarray(tl.inst)
+    stack_n = int(tl.max_stack)
+    t_min = np.float32(t_min)
+    lanes = 128
+    r = block_rows
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def kernel(nodes_ref, tris_ref, inst_ref, ox_ref, oy_ref, oz_ref,
+               dx_ref, dy_ref, dz_ref, tmax_ref, occ_ref,
+               stack_ref, istack_ref):
+        wox, woy, woz = ox_ref[:], oy_ref[:], oz_ref[:]
+        wdx, wdy, wdz = dx_ref[:], dy_ref[:], dz_ref[:]
+        tmax0 = tmax_ref[:]
+
+        def safe_inv(c):
+            return jnp.where(
+                jnp.abs(c) > 1e-30, 1.0 / c, jnp.where(c >= 0, _BIG, -_BIG)
+            )
+
+        stack_ref[0] = jnp.int32(1)   # TLAS root
+        istack_ref[0] = jnp.int32(-1)  # world context
+        init = (jnp.int32(1), jnp.zeros((r, lanes), jnp.float32))
+
+        def cond(c):
+            return c[0] > 0
+
+        def body(c):
+            sp, occ = c
+            code = stack_ref[sp - 1]
+            ictx = istack_ref[sp - 1]
+            sp = sp - 1
+
+            neg = -code - 1
+            is_inst = (code < 0) & (neg >= _IB)
+            is_leaf = (code < 0) & jnp.logical_not(is_inst)
+
+            # occluded lanes retire: empty window
+            limit0 = jnp.where(occ > 0.5, jnp.float32(-np.inf), tmax0)
+
+            irow = inst_ref[pl.ds(jnp.maximum(ictx, 0), 1), :]
+            tf = [irow[0, cc] for cc in range(12)]
+            in_world = ictx < 0
+            ox = jnp.where(in_world, wox,
+                           tf[0] * wox + tf[1] * woy + tf[2] * woz + tf[9])
+            oy = jnp.where(in_world, woy,
+                           tf[3] * wox + tf[4] * woy + tf[5] * woz + tf[10])
+            oz = jnp.where(in_world, woz,
+                           tf[6] * wox + tf[7] * woy + tf[8] * woz + tf[11])
+            dx = jnp.where(in_world, wdx,
+                           tf[0] * wdx + tf[1] * wdy + tf[2] * wdz)
+            dy = jnp.where(in_world, wdy,
+                           tf[3] * wdx + tf[4] * wdy + tf[5] * wdz)
+            dz = jnp.where(in_world, wdz,
+                           tf[6] * wdx + tf[7] * wdy + tf[8] * wdz)
+            ivx, ivy, ivz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+            iid = jnp.where(is_inst, neg - _IB, 0)
+            prow = inst_ref[pl.ds(iid, 1), :]
+            blas_root = prow[0, 24].astype(jnp.int32)
+
+            def inst_fn(occ):
+                stack_ref[sp] = blas_root + 1
+                istack_ref[sp] = iid
+                return (sp + 1, occ)
+
+            def node_fn(occ):
+                nrow = nodes_ref[pl.ds(jnp.maximum(code - 1, 0), 1), :]
+                sc = [nrow[0, cc] for cc in range(64)]
+                spn = sp
+                for ci in range(8):
+                    tx0 = (sc[0 + ci] - ox) * ivx
+                    tx1 = (sc[24 + ci] - ox) * ivx
+                    ty0 = (sc[8 + ci] - oy) * ivy
+                    ty1 = (sc[32 + ci] - oy) * ivy
+                    tz0 = (sc[16 + ci] - oz) * ivz
+                    tz1 = (sc[40 + ci] - oz) * ivz
+                    tnear = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1),
+                                    jnp.minimum(ty0, ty1)),
+                        jnp.maximum(jnp.minimum(tz0, tz1), t_min),
+                    )
+                    tfar = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.minimum(jnp.maximum(tz0, tz1), limit0),
+                    )
+                    tag = sc[56 + ci]
+                    ref = sc[48 + ci].astype(jnp.int32)
+                    push = (tag > 0.5) & jnp.any(tnear <= tfar)
+                    code_c = jnp.where(
+                        tag > 2.5, -(_IB + ref + 1),
+                        jnp.where(tag > 1.5, -(ref + 1), ref + 1),
+                    )
+
+                    @pl.when(push)
+                    def _(spn=spn, code_c=code_c):
+                        stack_ref[spn] = code_c
+                        istack_ref[spn] = ictx
+
+                    spn = spn + push.astype(jnp.int32)
+                return (spn, occ)
+
+            def leaf_fn(occ):
+                trow = tris_ref[pl.ds(jnp.maximum(neg, 0), 1), :]
+                tsc = [trow[0, cc] for cc in range(128)]
+                for k in range(8):
+                    base = 16 * k
+                    t0x, t0y, t0z = tsc[base], tsc[base + 1], tsc[base + 2]
+                    t1x, t1y, t1z = (tsc[base + 3], tsc[base + 4],
+                                     tsc[base + 5])
+                    t2x, t2y, t2z = (tsc[base + 6], tsc[base + 7],
+                                     tsc[base + 8])
+                    e1x, e1y, e1z = t1x - t0x, t1y - t0y, t1z - t0z
+                    e2x, e2y, e2z = t2x - t0x, t2y - t0y, t2z - t0z
+                    pvx = dy * e2z - dz * e2y
+                    pvy = dz * e2x - dx * e2z
+                    pvz = dx * e2y - dy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                    tvx, tvy, tvz = ox - t0x, oy - t0y, oz - t0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    hit_k = (
+                        (jnp.abs(det) > 1e-12)
+                        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                        & (t > t_min) & (t < limit0)
+                    )
+                    occ = jnp.maximum(occ, hit_k.astype(jnp.float32))
+                return (sp, occ)
+
+            def not_inst(occ):
+                return jax.lax.cond(is_leaf, leaf_fn, node_fn, occ)
+
+            return jax.lax.cond(is_inst, inst_fn, not_inst, occ)
+
+        _, occ = jax.lax.while_loop(cond, body, init)
+        occ_ref[:] = occ
+
+    def occluded(o, d, t_max, active=None):
+        from .intersect import _as_v3
+
+        o = _as_v3(o)
+        d = _as_v3(d)
+        n = o[0].shape[0]
+        rows_total = -(-n // lanes)
+        rows_padded = -(-rows_total // r) * r
+        grid = rows_padded // r
+        pad = rows_padded * lanes - n
+
+        tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+        if active is not None:
+            tmax = jnp.where(active, tmax, np.float32(-np.inf))
+
+        def plane(a, fill=0.0):
+            return jnp.pad(a, (0, pad), constant_values=fill).reshape(
+                rows_padded, lanes
+            )
+
+        args = [
+            plane(o[0]), plane(o[1]), plane(o[2]),
+            plane(d[0]), plane(d[1]), plane(d[2]),
+            plane(tmax, fill=-np.inf),
+        ]
+        blk = pl.BlockSpec((r, lanes), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        occ = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3 + [blk] * 7,
+            out_specs=blk,
+            out_shape=jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32),
+            scratch_shapes=[
+                pltpu.SMEM((stack_n,), jnp.int32),
+                pltpu.SMEM((stack_n,), jnp.int32),
+            ],
+            interpret=interpret,
+        )(nodes, tris, inst, *args)
+        return occ.reshape(-1)[:n] > 0.5
+
+    return occluded
