@@ -8,6 +8,9 @@ the TPU build has several software paths with identical semantics:
   - bvh/jnp:      threaded-BVH traversal in jnp (large scenes on CPU;
                   correctness oracle for the Pallas BVH kernel)
   - bvh/pallas:   BVH packet-traversal kernel (large scenes on TPU)
+  - instanced:    two-level TLAS packet kernel for lists of Instances
+                  (instanced_wavefront_kwargs; jnp backends flatten to
+                  the single-level oracle)
 
 All are tested equivalent on identical sample streams.
 """
