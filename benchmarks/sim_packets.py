@@ -25,7 +25,10 @@ def traverse_packet(nodes, tris_rows, ox, oy, oz, dx, dy, dz, tmax,
     """Ordered wide-BVH packet traversal (mirror of kernels/bvh_packet.py);
     returns (node_pops, leaf_pops). order: "min" = packet-min tnear (the
     shipping kernel), "center" = representative middle-lane tnear (cheaper
-    on TPU: no cross-lane reduction)."""
+    on TPU: no cross-lane reduction), "none" = push hit children in child
+    order with NO sort at all (kernel saves 8 cross-lane min reductions +
+    the 19-comparator sort network per pop; this measures the pop-count
+    price of that)."""
     inv = lambda c: np.where(np.abs(c) > 1e-30, 1.0 / c,  # noqa: E731
                              np.where(c >= 0, 1e30, -1e30)).astype(np.float32)
     ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
@@ -87,11 +90,14 @@ def traverse_packet(nodes, tris_rows, ox, oy, oz, dx, dy, dz, tmax,
                     code_c = -(ref + 1) if tag > 1.5 else ref + 1
                     if order == "min":
                         key = float(tn[hit].min())
+                    elif order == "none":
+                        key = 0.0
                     else:
                         mid = tn.shape[0] // 2
                         key = float(tn[mid]) if np.isfinite(tn[mid]) else 1e30
                     cand.append((code_c, key))
-            cand.sort(key=lambda x: -x[1])  # far first; near popped first
+            if order != "none":
+                cand.sort(key=lambda x: -x[1])  # far first; near popped 1st
             stack.extend(cand)
     return n_pops, l_pops
 
@@ -103,7 +109,8 @@ def main():
                    help="number of (8x128=1024-ray) groups to sample")
     p.add_argument("--wave-kind", choices=["bounce", "primary"],
                    default="bounce")
-    p.add_argument("--order", choices=["min", "center"], default="min")
+    p.add_argument("--order", choices=["min", "center", "none"],
+                   default="min")
     p.add_argument("--ser", action="store_true",
                    help="SER analog: before splitting a 1024-ray block "
                         "into sub-packets, re-sort its lanes by "
