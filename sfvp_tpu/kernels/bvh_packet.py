@@ -59,6 +59,12 @@ class Payload(NamedTuple):
 
 
 SMEM_CODES_MAX_BYTES = 192 * 1024  # scalar memory is scarce; gate by size
+# combined budget for the full-node-table-in-SMEM mode (megakernel_bvh
+# smem_boxes): codes (32B/node) + box scalars (192B/node). 787KB
+# measured lowering fine on v5e (benchmarks/probe_smem_boxes.py, 1.19x
+# on the 100k GI step); kept just above that with headroom for the
+# traversal stack.
+SMEM_BOXES_MAX_BYTES = 800 * 1024
 
 
 def make_packet_trace(

@@ -57,6 +57,7 @@ def make_bvh_regen_render_step(
     interpret: Optional[bool] = None,
     stream_tris: bool = False,
     smem_codes: Optional[bool] = None,
+    smem_boxes: Optional[bool] = None,
     fast_node: bool = False,
 ):
     """render_step(state, row0) -> state. Whole spp per kernel call, BVH
@@ -66,19 +67,36 @@ def make_bvh_regen_render_step(
     row into a VMEM slot (blocking — the regen loop has no natural
     prefetch point, but removing relaunch/dead-lane/sort overheads still
     beats the prefetching wavefront kernel end-to-end on streamed
-    scenes); node rows stay VMEM-resident."""
+    scenes); node rows stay VMEM-resident.
+
+    smem_boxes: move the ENTIRE node table to SMEM (the 48 box scalars
+    per node, flat) so a node pop does zero VMEM traffic — no dynamic
+    row load on the pop chain, 48 scalar loads instead of 48 lane
+    extracts. Requires smem_codes (no tag/ref decode without it);
+    None = auto (on when codes+boxes fit the SMEM budget)."""
     if wide is None:
         from ..accel.wide import build_wide_from_buffers
 
         wide = build_wide_from_buffers(scene_buffers)
     nodes = jnp.asarray(wide.nodes)
     tris = jnp.asarray(wide.tris)
-    from .bvh_packet import SMEM_CODES_MAX_BYTES
+    from .bvh_packet import SMEM_BOXES_MAX_BYTES, SMEM_CODES_MAX_BYTES
 
     if smem_codes is None:
         smem_codes = wide.codes_nbytes <= SMEM_CODES_MAX_BYTES
+    boxes_nbytes = int(wide.nodes.shape[0]) * 48 * 4
+    if smem_boxes is None:
+        smem_boxes = bool(smem_codes) and (
+            wide.codes_nbytes + boxes_nbytes <= SMEM_BOXES_MAX_BYTES)
+    smem_boxes = bool(smem_boxes) and bool(smem_codes)
     codes = (jnp.asarray(wide.codes.reshape(-1))
              if smem_codes else None)  # 1-D: SMEM pads 2-D rows to 128 lanes
+    if smem_boxes:
+        # nodes[:, :48] ARE the per-child box scalars in lane order
+        # [mnx*8 mny*8 mnz*8 mxx*8 mxy*8 mxz*8]; flat so boxes[n*48+c]
+        # == nodes[n, c]. Replaces the VMEM node operand entirely.
+        nodes = jnp.asarray(
+            np.ascontiguousarray(np.asarray(wide.nodes)[:, :48]).reshape(-1))
     stack_n = int(wide.max_stack)
 
     gh, gw = global_shape if global_shape is not None else (cfg.height, cfg.width)
@@ -471,16 +489,23 @@ def make_bvh_regen_render_step(
                     def node_fn(args):
                         bt, bu, bv, pay = args
                         node_i = jnp.maximum(code - 1, 0)
-                        nrow = nodes_ref[pl.ds(node_i, 1), :]
                         limit = jnp.minimum(bt, tmax_l)
                         keys = []
                         codes = []
                         pk_counts = []
                         hit_pair = None
-                        if smem_codes:
+                        if smem_boxes:
+                            # nodes_ref IS the flat SMEM box table: a node
+                            # pop touches no VMEM at all
+                            sc = [nodes_ref[node_i * 48 + cc]
+                                  for cc in range(48)]
+                            ccodes = [codes_ref[node_i * 8 + ci] for ci in range(8)]
+                        elif smem_codes:
+                            nrow = nodes_ref[pl.ds(node_i, 1), :]
                             sc = [nrow[0, cc] for cc in range(48)]
                             ccodes = [codes_ref[node_i * 8 + ci] for ci in range(8)]
                         else:
+                            nrow = nodes_ref[pl.ds(node_i, 1), :]
                             sc = [nrow[0, cc] for cc in range(64)]
                         for ci in range(8):
                             bmnx = sc[0 + ci]
@@ -788,19 +813,27 @@ def make_bvh_regen_render_step(
 
                         def node_fn(occ):
                             node_i = jnp.maximum(code - 1, 0)
-                            nrow = nodes_ref[pl.ds(node_i, 1), :]
                             spn = sp
                             s_counts = []
                             s_code_list = []
                             s_pair = None
                             s_codes = None
-                            if smem_codes:
+                            if smem_boxes:
+                                nsc = [nodes_ref[node_i * 48 + cc]
+                                       for cc in range(48)]
+                                nccodes = [
+                                    codes_ref[node_i * 8 + ci]
+                                    for ci in range(8)
+                                ]
+                            elif smem_codes:
+                                nrow = nodes_ref[pl.ds(node_i, 1), :]
                                 nsc = [nrow[0, cc] for cc in range(48)]
                                 nccodes = [
                                     codes_ref[node_i * 8 + ci]
                                     for ci in range(8)
                                 ]
                             else:
+                                nrow = nodes_ref[pl.ds(node_i, 1), :]
                                 nsc = [nrow[0, cc] for cc in range(64)]
                             for ci in range(8):
                                 tx0 = (nsc[0 + ci] - sox) * sivx
@@ -1388,7 +1421,8 @@ def make_bvh_regen_render_step(
                            memory_space=pltpu.VMEM)
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                memory_space=pltpu.SMEM if smem_boxes else pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY if stream_tris else pltpu.VMEM),
         ]
         args = [scal, nodes, tris]

@@ -416,3 +416,19 @@ def test_bvh_regen_mis_glossy_equivalence():
     np.testing.assert_allclose(
         np.asarray(a.accum), np.asarray(b.accum), rtol=1e-4, atol=1e-6
     )
+
+
+def test_bvh_regen_smem_boxes_matches(buffers):
+    """smem_boxes on == off, bitwise: the flat SMEM box table holds the
+    exact node-row scalars (nodes[:, :48]), so traversal order, culling
+    and shading are unchanged. NEE+MIS exercises BOTH traversal sites
+    (closest-hit and any-hit shadow)."""
+    cfg = RenderConfig(width=16, height=8, spp_per_step=2, max_depth=3,
+                       sampling="cosine", use_nee=True, use_mis=True)
+    outs = []
+    for sb in (False, True):
+        st = make_bvh_regen_render_step(
+            cfg, buffers, interpret=True, smem_codes=True, smem_boxes=sb,
+        )(init_state(8, 16))
+        outs.append(np.asarray(st.accum))
+    np.testing.assert_array_equal(outs[0], outs[1])
