@@ -73,6 +73,7 @@ def make_packet_trace(
     block_rows: int = 8,
     interpret: Optional[bool] = None,
     smem_codes: Optional[bool] = None,
+    smem_boxes: Optional[bool] = None,
 ):
     """Build trace(o, d, t_max, active) -> Payload over (N,) SoA rays.
 
@@ -83,6 +84,11 @@ def make_packet_trace(
     table (one scalar load per child, off the VMEM row-load chain)
     instead of two lane extracts + a select; None = auto (on when the
     table fits the SMEM budget).
+
+    smem_boxes: the ENTIRE node table in SMEM (flat box scalars,
+    boxes[n*48+c] == nodes[n, c]) — a node pop does zero VMEM traffic.
+    Requires smem_codes; None = auto (codes+boxes fit the budget).
+    Bitwise-identical results (same scalars, same order).
     """
     nodes = jnp.asarray(wide.nodes)
     tris = jnp.asarray(wide.tris)
@@ -95,8 +101,16 @@ def make_packet_trace(
     r = block_rows
     if smem_codes is None:
         smem_codes = wide.codes_nbytes <= SMEM_CODES_MAX_BYTES
+    boxes_nbytes = int(wide.nodes.shape[0]) * 48 * 4
+    if smem_boxes is None:
+        smem_boxes = bool(smem_codes) and (
+            wide.codes_nbytes + boxes_nbytes <= SMEM_BOXES_MAX_BYTES)
+    smem_boxes = bool(smem_boxes) and bool(smem_codes)
     codes = (jnp.asarray(wide.codes.reshape(-1))
              if smem_codes else None)  # 1-D: SMEM pads 2-D rows to 128 lanes
+    if smem_boxes:
+        nodes = jnp.asarray(
+            np.ascontiguousarray(np.asarray(wide.nodes)[:, :48]).reshape(-1))
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -158,20 +172,26 @@ def make_packet_trace(
                 tightens early and prunes the rest)."""
                 bt, bu, bv, pay = args
                 node_i = jnp.maximum(code - 1, 0)
-                nrow = nodes_ref[pl.ds(node_i, 1), :]
                 limit = jnp.minimum(bt, tmax)
                 keys = []
                 codes_c = []
                 # hoist ALL scalar lane extractions before any vector math:
                 # bunched scalar loads schedule ~1.8x better than extracts
                 # interleaved with the slab tests (benchmarks/probe_carry.py)
-                if smem_codes:
+                if smem_boxes:
+                    # nodes_ref IS the flat SMEM box table: node pops do
+                    # no VMEM traffic at all
+                    sc = [nodes_ref[node_i * 48 + c] for c in range(48)]
+                    ccodes = [codes_ref[node_i * 8 + ci] for ci in range(8)]
+                elif smem_codes:
                     # child codes via scalar SMEM loads (depend only on the
                     # popped code, not the VMEM row) — 48 extracts instead
                     # of 64, no per-child tag decode
+                    nrow = nodes_ref[pl.ds(node_i, 1), :]
                     sc = [nrow[0, c] for c in range(48)]
                     ccodes = [codes_ref[node_i * 8 + ci] for ci in range(8)]
                 else:
+                    nrow = nodes_ref[pl.ds(node_i, 1), :]
                     sc = [nrow[0, c] for c in range(64)]
                 for ci in range(8):
                     bmnx = sc[0 + ci]
@@ -352,7 +372,11 @@ def make_packet_trace(
         blk = pl.BlockSpec((r, lanes), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
         scene_args = [nodes, tris]
-        scene_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        scene_specs = [
+            pl.BlockSpec(
+                memory_space=pltpu.SMEM if smem_boxes else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
         if smem_codes:
             scene_args.append(codes)
             scene_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
@@ -404,6 +428,7 @@ def make_packet_occlusion(
     block_rows: int = 8,
     interpret: Optional[bool] = None,
     smem_codes: Optional[bool] = None,
+    smem_boxes: Optional[bool] = None,
 ):
     """Occlusion-only (any-hit) packet traversal for shadow rays: no
     payload carries, and a lane retires on its FIRST hit (its per-lane
@@ -419,8 +444,16 @@ def make_packet_occlusion(
     r = block_rows
     if smem_codes is None:
         smem_codes = wide.codes_nbytes <= SMEM_CODES_MAX_BYTES
+    boxes_nbytes = int(wide.nodes.shape[0]) * 48 * 4
+    if smem_boxes is None:
+        smem_boxes = bool(smem_codes) and (
+            wide.codes_nbytes + boxes_nbytes <= SMEM_BOXES_MAX_BYTES)
+    smem_boxes = bool(smem_boxes) and bool(smem_codes)
     codes = (jnp.asarray(wide.codes.reshape(-1))
              if smem_codes else None)  # 1-D: SMEM pads 2-D rows to 128 lanes
+    if smem_boxes:
+        nodes = jnp.asarray(
+            np.ascontiguousarray(np.asarray(wide.nodes)[:, :48]).reshape(-1))
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -466,12 +499,16 @@ def make_packet_occlusion(
 
             def node_fn(occ):
                 node_i = jnp.maximum(code - 1, 0)
-                nrow = nodes_ref[pl.ds(node_i, 1), :]
                 spn = sp
-                if smem_codes:
+                if smem_boxes:
+                    sc = [nodes_ref[node_i * 48 + c] for c in range(48)]
+                    ccodes = [codes_ref[node_i * 8 + ci] for ci in range(8)]
+                elif smem_codes:
+                    nrow = nodes_ref[pl.ds(node_i, 1), :]
                     sc = [nrow[0, c] for c in range(48)]
                     ccodes = [codes_ref[node_i * 8 + ci] for ci in range(8)]
                 else:
+                    nrow = nodes_ref[pl.ds(node_i, 1), :]
                     sc = [nrow[0, c] for c in range(64)]
                 for ci in range(8):
                     bmnx = sc[0 + ci]
@@ -579,7 +616,11 @@ def make_packet_occlusion(
         blk = pl.BlockSpec((r, lanes), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
         scene_args = [nodes, tris]
-        scene_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        scene_specs = [
+            pl.BlockSpec(
+                memory_space=pltpu.SMEM if smem_boxes else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
         if smem_codes:
             scene_args.append(codes)
             scene_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))

@@ -194,3 +194,32 @@ def test_integrator_payload_path_matches_jnp(cornell, cornell_buffers):
     a = np.asarray(step_pay(init_state(8, 16)).accum)
     b = np.asarray(step_jnp(init_state(8, 16)).accum)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_packet_trace_smem_boxes_matches():
+    """smem_boxes on == off, bitwise, for BOTH the payload trace and the
+    any-hit occlusion kernel (the flat SMEM box table holds the exact
+    node-row scalars, so traversal is unchanged)."""
+    from sfvp_tpu.kernels.bvh_packet import make_packet_occlusion
+
+    tris = _soup(60, seed=3)
+    kd = np.random.default_rng(4).uniform(0, 1, (60, 3)).astype(np.float32)
+    buffers = from_arrays(tris, kd, np.zeros((60, 3), np.float32))
+    wide = build_wide(
+        bvh_from_arrays(tris, leaf_size=LEAF_TRIS), materials_array(buffers)
+    )
+    o, d = _rays(256, seed=6)
+    ts, occs = [], []
+    for sb in (False, True):
+        trace = make_packet_trace(wide, t_min=1e-3, interpret=True,
+                                  smem_codes=True, smem_boxes=sb)
+        pay = trace((o[:, 0], o[:, 1], o[:, 2]),
+                    (d[:, 0], d[:, 1], d[:, 2]), 1e4)
+        ts.append(np.asarray(pay.t))
+        occl = make_packet_occlusion(wide, t_min=1e-3, interpret=True,
+                                     smem_codes=True, smem_boxes=sb)
+        occs.append(np.asarray(occl(
+            (o[:, 0], o[:, 1], o[:, 2]),
+            (d[:, 0], d[:, 1], d[:, 2]), 1e4)))
+    np.testing.assert_array_equal(ts[0], ts[1])
+    np.testing.assert_array_equal(occs[0], occs[1])
