@@ -31,11 +31,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.tlas import TwoLevelBVH
-from .bvh_packet import Payload
+from .bvh_packet import Payload, SMEM_BOXES_MAX_BYTES
 
 INF = np.float32(np.inf)
 _BIG = np.float32(1e30)
 _IB = 1 << 27  # instance-code base: code = -(IB + inst_id + 1)
+
+
+def _smem_tables(tl: TwoLevelBVH):
+    """Flat SMEM tables for the merged two-level structure: box scalars
+    (boxes[n*48+c] == nodes[n, c]), pre-decoded child stack codes (the
+    in-kernel tag decode incl. TAG_INSTANCE -> -(IB+ref+1)), and the
+    flattened instance rows (inst[i*128+c] == tl.inst[i, c]). With all
+    three in scalar memory a two-level node pop does ZERO VMEM traffic
+    (same recipe as bvh_packet.py smem_boxes; identical scalars, so
+    results stay bitwise equal)."""
+    nd = np.asarray(tl.nodes)
+    ref = nd[:, 48:56].astype(np.int64)
+    tag = nd[:, 56:64]
+    codes = np.where(
+        tag > 2.5, -(_IB + ref + 1),
+        np.where(tag > 1.5, -(ref + 1),
+                 np.where(tag > 0.5, ref + 1, 0)),
+    ).astype(np.int32)
+    boxes = np.ascontiguousarray(nd[:, :48]).reshape(-1)
+    inst_flat = np.ascontiguousarray(np.asarray(tl.inst)).reshape(-1)
+    return boxes, codes.reshape(-1), inst_flat
+
+
+def _smem_fits(tl: TwoLevelBVH) -> bool:
+    n_nodes = int(np.asarray(tl.nodes).shape[0])
+    n_inst = int(np.asarray(tl.inst).shape[0])
+    return (n_nodes * (48 + 8) * 4 + n_inst * 128 * 4
+            <= SMEM_BOXES_MAX_BYTES)
 
 
 def make_two_level_trace(
@@ -43,11 +71,25 @@ def make_two_level_trace(
     t_min: float,
     block_rows: int = 8,
     interpret: Optional[bool] = None,
+    smem_nodes: Optional[bool] = None,
 ):
-    """Build trace(o, d, t_max, active) -> Payload over (N,) SoA rays."""
-    nodes = jnp.asarray(tl.nodes)
+    """Build trace(o, d, t_max, active) -> Payload over (N,) SoA rays.
+
+    smem_nodes: node boxes + pre-decoded child codes + instance rows in
+    SMEM (see _smem_tables); None = auto (on when they fit the budget).
+    """
+    if smem_nodes is None:
+        smem_nodes = _smem_fits(tl)
+    if smem_nodes:
+        boxes_np, codes_np, inst_np = _smem_tables(tl)
+        nodes = jnp.asarray(boxes_np)
+        codes = jnp.asarray(codes_np)
+        inst = jnp.asarray(inst_np)
+    else:
+        nodes = jnp.asarray(tl.nodes)
+        codes = None
+        inst = jnp.asarray(tl.inst)
     tris = jnp.asarray(tl.tris)
-    inst = jnp.asarray(tl.inst)
     with_tex = tl.tris_aux is not None
     aux = jnp.asarray(tl.tris_aux) if with_tex else None
     n_pay = 19 if with_tex else 16
@@ -60,6 +102,9 @@ def make_two_level_trace(
         interpret = jax.default_backend() != "tpu"
 
     def kernel(nodes_ref, tris_ref, inst_ref, *rest):
+        if smem_nodes:
+            codes_ref = rest[0]
+            rest = rest[1:]
         if with_tex:
             aux_ref = rest[0]
             rest = rest[1:]
@@ -106,8 +151,12 @@ def make_two_level_trace(
             is_leaf = (code < 0) & jnp.logical_not(is_inst)
 
             # ---- per-iteration ray context (world or instance space) ----
-            irow = inst_ref[pl.ds(jnp.maximum(ictx, 0), 1), :]
-            tf = [irow[0, cc] for cc in range(24)]
+            if smem_nodes:
+                ib = jnp.maximum(ictx, 0) * 128
+                tf = [inst_ref[ib + cc] for cc in range(24)]
+            else:
+                irow = inst_ref[pl.ds(jnp.maximum(ictx, 0), 1), :]
+                tf = [irow[0, cc] for cc in range(24)]
             in_world = ictx < 0
             ox = jnp.where(in_world, wox,
                            tf[0] * wox + tf[1] * woy + tf[2] * woz + tf[9])
@@ -125,8 +174,11 @@ def make_two_level_trace(
 
             # popped-instance row (only meaningful when is_inst)
             iid = jnp.where(is_inst, neg - _IB, 0)
-            prow = inst_ref[pl.ds(iid, 1), :]
-            blas_root = prow[0, 24].astype(jnp.int32)
+            if smem_nodes:
+                blas_root = inst_ref[iid * 128 + 24].astype(jnp.int32)
+            else:
+                prow = inst_ref[pl.ds(iid, 1), :]
+                blas_root = prow[0, 24].astype(jnp.int32)
 
             def inst_fn(args):
                 """Instance leaf: push its BLAS root under its context."""
@@ -137,9 +189,14 @@ def make_two_level_trace(
 
             def node_fn(args):
                 bt, bu, bv, pay = args
-                nrow = nodes_ref[pl.ds(jnp.maximum(code - 1, 0), 1), :]
+                node_i = jnp.maximum(code - 1, 0)
                 limit = jnp.minimum(bt, tmax)
-                sc = [nrow[0, cc] for cc in range(64)]
+                if smem_nodes:
+                    sc = [nodes_ref[node_i * 48 + cc] for cc in range(48)]
+                    ccodes = [codes_ref[node_i * 8 + ci] for ci in range(8)]
+                else:
+                    nrow = nodes_ref[pl.ds(node_i, 1), :]
+                    sc = [nrow[0, cc] for cc in range(64)]
                 keys = []
                 codes = []
                 for ci in range(8):
@@ -159,16 +216,21 @@ def make_two_level_trace(
                                     jnp.maximum(ty0, ty1)),
                         jnp.minimum(jnp.maximum(tz0, tz1), limit),
                     )
-                    tag = sc[56 + ci]
-                    ref = sc[48 + ci].astype(jnp.int32)
                     hit = tnear <= tfar
-                    push = (tag > 0.5) & jnp.any(hit)
+                    if smem_nodes:
+                        child0 = ccodes[ci]
+                        push = (child0 != 0) & jnp.any(hit)
+                        child = child0
+                    else:
+                        tag = sc[56 + ci]
+                        ref = sc[48 + ci].astype(jnp.int32)
+                        push = (tag > 0.5) & jnp.any(hit)
+                        child = jnp.where(
+                            tag > 2.5, -(_IB + ref + 1),
+                            jnp.where(tag > 1.5, -(ref + 1), ref + 1),
+                        )
                     key = jnp.min(jnp.where(hit, tnear, jnp.float32(np.inf)))
                     keys.append(jnp.where(push, key, jnp.float32(-np.inf)))
-                    child = jnp.where(
-                        tag > 2.5, -(_IB + ref + 1),
-                        jnp.where(tag > 1.5, -(ref + 1), ref + 1),
-                    )
                     codes.append(jnp.where(push, child, jnp.int32(0)))
 
                 net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
@@ -208,7 +270,9 @@ def make_two_level_trace(
                     # instance base into the flattened merged texture pool
                     # (tri leaves only pop under a BLAS context, so the
                     # world-context select is belt-and-braces)
-                    texb = jnp.where(in_world, jnp.float32(0.0), irow[0, 25])
+                    texb_raw = (inst_ref[ib + 25] if smem_nodes
+                                else irow[0, 25])
+                    texb = jnp.where(in_world, jnp.float32(0.0), texb_raw)
                 # forward transform of the CURRENT instance (identity-like
                 # select for world context)
                 fw = [jnp.where(in_world,
@@ -318,14 +382,21 @@ def make_two_level_trace(
 
         blk = pl.BlockSpec((r, lanes), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-        scene_args = [nodes, tris, inst]
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        if smem_nodes:
+            scene_args = [nodes, tris, inst, codes]
+            scene_specs = [smem, vmem, smem, smem]
+        else:
+            scene_args = [nodes, tris, inst]
+            scene_specs = [vmem, vmem, vmem]
         if with_tex:
             scene_args.append(aux)
+            scene_specs.append(vmem)
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-            * len(scene_args) + [blk] * 7,
+            in_specs=scene_specs + [blk] * 7,
             out_specs=[blk] * n_out,
             out_shape=[
                 jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32)
@@ -367,6 +438,7 @@ def make_two_level_occlusion(
     t_min: float,
     block_rows: int = 8,
     interpret: Optional[bool] = None,
+    smem_nodes: Optional[bool] = None,
 ):
     """Occlusion-only (any-hit) two-level traversal for instanced NEE
     shadow rays: no payload carries, a lane retires on its FIRST hit
@@ -375,9 +447,18 @@ def make_two_level_occlusion(
 
     Returns occluded(o, d, t_max, active) -> (N,) bool.
     """
-    nodes = jnp.asarray(tl.nodes)
+    if smem_nodes is None:
+        smem_nodes = _smem_fits(tl)
+    if smem_nodes:
+        boxes_np, codes_np, inst_np = _smem_tables(tl)
+        nodes = jnp.asarray(boxes_np)
+        codes = jnp.asarray(codes_np)
+        inst = jnp.asarray(inst_np)
+    else:
+        nodes = jnp.asarray(tl.nodes)
+        codes = None
+        inst = jnp.asarray(tl.inst)
     tris = jnp.asarray(tl.tris)
-    inst = jnp.asarray(tl.inst)
     stack_n = int(tl.max_stack)
     t_min = np.float32(t_min)
     lanes = 128
@@ -386,9 +467,12 @@ def make_two_level_occlusion(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def kernel(nodes_ref, tris_ref, inst_ref, ox_ref, oy_ref, oz_ref,
-               dx_ref, dy_ref, dz_ref, tmax_ref, occ_ref,
-               stack_ref, istack_ref):
+    def kernel(nodes_ref, tris_ref, inst_ref, *rest):
+        if smem_nodes:
+            codes_ref = rest[0]
+            rest = rest[1:]
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+         occ_ref, stack_ref, istack_ref) = rest
         wox, woy, woz = ox_ref[:], oy_ref[:], oz_ref[:]
         wdx, wdy, wdz = dx_ref[:], dy_ref[:], dz_ref[:]
         tmax0 = tmax_ref[:]
@@ -418,8 +502,12 @@ def make_two_level_occlusion(
             # occluded lanes retire: empty window
             limit0 = jnp.where(occ > 0.5, jnp.float32(-np.inf), tmax0)
 
-            irow = inst_ref[pl.ds(jnp.maximum(ictx, 0), 1), :]
-            tf = [irow[0, cc] for cc in range(12)]
+            if smem_nodes:
+                ib = jnp.maximum(ictx, 0) * 128
+                tf = [inst_ref[ib + cc] for cc in range(12)]
+            else:
+                irow = inst_ref[pl.ds(jnp.maximum(ictx, 0), 1), :]
+                tf = [irow[0, cc] for cc in range(12)]
             in_world = ictx < 0
             ox = jnp.where(in_world, wox,
                            tf[0] * wox + tf[1] * woy + tf[2] * woz + tf[9])
@@ -436,8 +524,11 @@ def make_two_level_occlusion(
             ivx, ivy, ivz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
             iid = jnp.where(is_inst, neg - _IB, 0)
-            prow = inst_ref[pl.ds(iid, 1), :]
-            blas_root = prow[0, 24].astype(jnp.int32)
+            if smem_nodes:
+                blas_root = inst_ref[iid * 128 + 24].astype(jnp.int32)
+            else:
+                prow = inst_ref[pl.ds(iid, 1), :]
+                blas_root = prow[0, 24].astype(jnp.int32)
 
             def inst_fn(occ):
                 stack_ref[sp] = blas_root + 1
@@ -445,8 +536,13 @@ def make_two_level_occlusion(
                 return (sp + 1, occ)
 
             def node_fn(occ):
-                nrow = nodes_ref[pl.ds(jnp.maximum(code - 1, 0), 1), :]
-                sc = [nrow[0, cc] for cc in range(64)]
+                node_i = jnp.maximum(code - 1, 0)
+                if smem_nodes:
+                    sc = [nodes_ref[node_i * 48 + cc] for cc in range(48)]
+                    ccodes = [codes_ref[node_i * 8 + ci] for ci in range(8)]
+                else:
+                    nrow = nodes_ref[pl.ds(node_i, 1), :]
+                    sc = [nrow[0, cc] for cc in range(64)]
                 spn = sp
                 for ci in range(8):
                     tx0 = (sc[0 + ci] - ox) * ivx
@@ -465,13 +561,17 @@ def make_two_level_occlusion(
                                     jnp.maximum(ty0, ty1)),
                         jnp.minimum(jnp.maximum(tz0, tz1), limit0),
                     )
-                    tag = sc[56 + ci]
-                    ref = sc[48 + ci].astype(jnp.int32)
-                    push = (tag > 0.5) & jnp.any(tnear <= tfar)
-                    code_c = jnp.where(
-                        tag > 2.5, -(_IB + ref + 1),
-                        jnp.where(tag > 1.5, -(ref + 1), ref + 1),
-                    )
+                    if smem_nodes:
+                        code_c = ccodes[ci]
+                        push = (code_c != 0) & jnp.any(tnear <= tfar)
+                    else:
+                        tag = sc[56 + ci]
+                        ref = sc[48 + ci].astype(jnp.int32)
+                        push = (tag > 0.5) & jnp.any(tnear <= tfar)
+                        code_c = jnp.where(
+                            tag > 2.5, -(_IB + ref + 1),
+                            jnp.where(tag > 1.5, -(ref + 1), ref + 1),
+                        )
 
                     @pl.when(push)
                     def _(spn=spn, code_c=code_c):
@@ -548,10 +648,18 @@ def make_two_level_occlusion(
         ]
         blk = pl.BlockSpec((r, lanes), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        if smem_nodes:
+            scene_args = [nodes, tris, inst, codes]
+            scene_specs = [smem, vmem, smem, smem]
+        else:
+            scene_args = [nodes, tris, inst]
+            scene_specs = [vmem, vmem, vmem]
         occ = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3 + [blk] * 7,
+            in_specs=scene_specs + [blk] * 7,
             out_specs=blk,
             out_shape=jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32),
             scratch_shapes=[
@@ -559,7 +667,7 @@ def make_two_level_occlusion(
                 pltpu.SMEM((stack_n,), jnp.int32),
             ],
             interpret=interpret,
-        )(nodes, tris, inst, *args)
+        )(*scene_args, *args)
         return occ.reshape(-1)[:n] > 0.5
 
     return occluded

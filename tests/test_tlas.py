@@ -243,3 +243,31 @@ def test_two_level_render_step():
     a = np.asarray(step_tl(init_state(16, 16)).accum)
     b = np.asarray(step_ref(init_state(16, 16)).accum)
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_two_level_smem_nodes_matches():
+    """smem_nodes on == off, bitwise, for the two-level trace AND the
+    any-hit occlusion kernel: the flat SMEM tables (boxes, pre-decoded
+    child codes incl. TAG_INSTANCE, flattened instance rows) hold the
+    exact same scalars the VMEM rows did."""
+    from sfvp_tpu.kernels.bvh_tlas import make_two_level_occlusion
+
+    mesh_a = _mesh(30, seed=1)
+    mesh_b = _mesh(22, seed=2)
+    instances = _instances(5, mesh_a, mesh_b)
+    tl = build_two_level(instances)
+    o, d = _rays(512)
+    ts, occs = [], []
+    for sn in (False, True):
+        trace = make_two_level_trace(tl, t_min=1e-3, interpret=True,
+                                     smem_nodes=sn)
+        pay = trace((o[:, 0], o[:, 1], o[:, 2]),
+                    (d[:, 0], d[:, 1], d[:, 2]), 1e4)
+        ts.append(np.asarray(pay.t))
+        occl = make_two_level_occlusion(tl, t_min=1e-3, interpret=True,
+                                        smem_nodes=sn)
+        occs.append(np.asarray(occl(
+            (o[:, 0], o[:, 1], o[:, 2]),
+            (d[:, 0], d[:, 1], d[:, 2]), 1e4)))
+    np.testing.assert_array_equal(ts[0], ts[1])
+    np.testing.assert_array_equal(occs[0], occs[1])
