@@ -71,6 +71,46 @@ class WideBVH(NamedTuple):
         return codes.astype(np.int32)
 
 
+def reorder_bfs(wide: WideBVH) -> WideBVH:
+    """Permute the node table into BFS (level) order and remap child refs.
+
+    Why: the hierarchical SMEM node table keys on ``node_i < top_n`` —
+    with BFS numbering the first ``top_n`` rows are exactly the top of the
+    tree, where packet pops concentrate (benchmarks/probe_smem_top.py).
+    The default emission order is DFS pre-order (build_wide), whose low
+    indices are root + leftmost subtree, not the top levels.
+
+    Traversal output is invariant to node numbering: push order depends
+    only on child slots and tnear keys, and refs are pure addresses. Leaf
+    rows (tris / tris_aux / prim_rows) are untouched."""
+    nodes = wide.nodes
+    m = nodes.shape[0]
+    lay = node_layout(WIDTH)
+    ref = nodes[:, lay["ref"]:lay["ref"] + WIDTH].astype(np.int64)
+    tag = nodes[:, lay["tag"]:lay["tag"] + WIDTH]
+    order = np.empty(m, np.int64)
+    pos = 0
+    frontier = [0]
+    while frontier:
+        nxt = []
+        for i in frontier:
+            order[pos] = i
+            pos += 1
+            for c in range(WIDTH):
+                if tag[i, c] == TAG_INTERNAL:
+                    nxt.append(int(ref[i, c]))
+        frontier = nxt
+    assert pos == m, "wide node table contains unreachable rows"
+    inv = np.empty(m, np.int64)
+    inv[order] = np.arange(m)
+    new_nodes = nodes[order].copy()
+    nref = new_nodes[:, lay["ref"]:lay["ref"] + WIDTH]
+    ntag = new_nodes[:, lay["tag"]:lay["tag"] + WIDTH]
+    internal = ntag == TAG_INTERNAL
+    nref[internal] = inv[nref[internal].astype(np.int64)].astype(np.float32)
+    return wide._replace(nodes=new_nodes)
+
+
 def _binary_children(bvh: BVH, i: int):
     """Children of internal node i in the DFS skip-link layout:
     left = i+1, right = skip[left]."""

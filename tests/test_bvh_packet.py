@@ -223,3 +223,46 @@ def test_packet_trace_smem_boxes_matches():
             (d[:, 0], d[:, 1], d[:, 2]), 1e4)))
     np.testing.assert_array_equal(ts[0], ts[1])
     np.testing.assert_array_equal(occs[0], occs[1])
+
+
+def test_reorder_bfs_is_traversal_invariant():
+    """reorder_bfs permutes node numbering only: parents precede children
+    in level order, and packet traversal output is bitwise unchanged
+    (push order depends on child slots + tnear keys, not indices)."""
+    from sfvp_tpu.accel.wide import reorder_bfs
+
+    tris = _soup(300, seed=9)
+    kd = np.random.default_rng(4).uniform(0, 1, (300, 3)).astype(np.float32)
+    buffers = from_arrays(tris, kd, np.zeros((300, 3), np.float32))
+    wide = build_wide(
+        bvh_from_arrays(tris, leaf_size=LEAF_TRIS), materials_array(buffers)
+    )
+    bfs = reorder_bfs(wide)
+    assert bfs.nodes.shape == wide.nodes.shape
+    # BFS level order: child depth == parent depth + 1 and refs ascend
+    # monotonically across the row sweep
+    ref = bfs.nodes[:, 48:56].astype(np.int64)
+    tag = bfs.nodes[:, 56:64]
+    depth = np.zeros(bfs.nodes.shape[0], np.int64)
+    last_child = 0
+    for i in range(bfs.nodes.shape[0]):
+        kids = ref[i][tag[i] == 1.0]
+        for k in kids:
+            assert k > i
+            assert k >= last_child  # level order emits children in sequence
+            last_child = int(k)
+            depth[k] = depth[i] + 1
+    if bfs.nodes.shape[0] > 1:
+        assert np.all(np.diff(depth) >= 0)  # nondecreasing depth == BFS
+    # leaf tables untouched
+    np.testing.assert_array_equal(bfs.tris, wide.tris)
+    # traversal bitwise invariant
+    o, d = _rays(256, seed=11)
+    outs = []
+    for w in (wide, bfs):
+        trace = make_packet_trace(w, t_min=1e-3, interpret=True)
+        pay = trace((o[:, 0], o[:, 1], o[:, 2]),
+                    (d[:, 0], d[:, 1], d[:, 2]), 1e4)
+        outs.append((np.asarray(pay.t), np.asarray(pay.u)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
