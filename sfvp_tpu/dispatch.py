@@ -268,7 +268,8 @@ def select_render_step(
     )
 
 
-def instanced_wavefront_kwargs(cfg: RenderConfig, instances):
+def instanced_wavefront_kwargs(cfg: RenderConfig, instances,
+                               _prebuilt=None):
     """Instanced-scene dispatch (shared BLASes + per-instance object-to-
     world transforms — the general form of the reference's TLAS-over-one-
     BLAS, ref main.cpp:521-538). Returns (make_render_step kwargs,
@@ -282,7 +283,11 @@ def instanced_wavefront_kwargs(cfg: RenderConfig, instances):
     from .accel.instances import flatten_instances
     from .scene import upload
 
-    flat_buffers = upload(flatten_instances(instances))
+    if _prebuilt is not None:
+        flat_buffers, tl = _prebuilt
+    else:
+        flat_buffers = upload(flatten_instances(instances))
+        tl = None
     backend, _ = _resolve(cfg, flat_buffers)
     if backend == "pallas":
         from .accel.tlas import build_two_level
@@ -290,7 +295,8 @@ def instanced_wavefront_kwargs(cfg: RenderConfig, instances):
             make_two_level_occlusion, make_two_level_trace,
         )
 
-        tl = build_two_level(instances)
+        if tl is None:
+            tl = build_two_level(instances)
         trace = make_two_level_trace(
             tl, t_min=cfg.t_min, block_rows=cfg.packet_block_rows
         )
@@ -311,16 +317,98 @@ def instanced_wavefront_kwargs(cfg: RenderConfig, instances):
     )
 
 
+def _instanced_fused_blockers(cfg: RenderConfig, flat_buffers, tl) -> dict:
+    """Gates that keep an instanced config OFF the fused two-level regen
+    megakernel (mirrors the single-level bvh branch in
+    select_render_step). Empty dict == fused kernel takes it."""
+    import numpy as np
+
+    blockers = {}
+    if not cfg.megakernel_regen:
+        blockers["megakernel_regen"] = False
+    t = flat_buffers.num_tris
+    n_lights = 0
+    if cfg.use_nee:
+        from .kernels.imgfetch import MAX_KERNEL_LIGHTS
+
+        em = (np.asarray(flat_buffers.er)[:t] > 0) | (
+            np.asarray(flat_buffers.eg)[:t] > 0) | (
+            np.asarray(flat_buffers.eb)[:t] > 0)
+        n_lights = int(em.sum())
+        if n_lights > MAX_KERNEL_LIGHTS:
+            blockers["many_lights"] = n_lights
+        if cfg.spp_chunk > 1:
+            # same measured preference as the single-level branch: folded
+            # sample waves amortize coherent shadow batches better in the
+            # sorted wavefront loop
+            blockers["nee_spp_chunk"] = cfg.spp_chunk
+    env = getattr(flat_buffers, "env", None)
+    if env is not None:
+        from .kernels.imgfetch import env_fits_in_kernel
+
+        if not env_fits_in_kernel(env):
+            blockers["env_blocks_fused"] = True
+    if flat_buffers.has_textures:
+        from .kernels.imgfetch import atlas_fits_in_kernel
+
+        if not atlas_fits_in_kernel(flat_buffers.textures):
+            blockers["tex_blocks_fused"] = True
+    # combined VMEM budget: node/inst tables usually live in SMEM
+    # (bvh_tlas._smem_fits); tri/aux rows + env/atlas/light operands
+    # must fit VMEM together
+    from .kernels.bvh_tlas import _smem_fits
+    from .kernels.imgfetch import fused_extra_vmem_bytes
+
+    extra = fused_extra_vmem_bytes(
+        n_lights, env, flat_buffers.textures if flat_buffers.has_textures
+        else None, cfg.use_nee)
+    resident = tl.tris.nbytes + (
+        tl.tris_aux.nbytes if tl.tris_aux is not None else 0) + extra
+    if not _smem_fits(tl):
+        resident += tl.nodes.nbytes + tl.inst.nbytes
+    if resident > cfg.vmem_scene_budget:
+        blockers["fused_over_budget"] = resident
+    return blockers
+
+
 def select_instanced_render_step(
     cfg: RenderConfig,
     instances,
     global_shape: Optional[tuple] = None,
 ):
-    """Single-chip form of instanced_wavefront_kwargs: returns
-    (render_step, flat_buffers)."""
+    """Single-chip (or per-shard) instanced dispatch: the FUSED two-level
+    regen megakernel when the config's capabilities fit in-kernel
+    (megakernel_bvh with tl= — no per-bounce relaunch/dead lanes/sorts,
+    ref main.cpp:514-538 + raygen.rgen:41-91), else the wavefront loop
+    with the TLAS packet kernels. Returns (render_step, flat_buffers)."""
+    from .accel.instances import flatten_instances
     from .integrate.wavefront import make_render_step
+    from .scene import upload
 
-    kwargs, flat_buffers = instanced_wavefront_kwargs(cfg, instances)
+    flat_buffers = upload(flatten_instances(instances))
+    backend, _ = _resolve(cfg, flat_buffers)
+    if backend == "pallas":
+        from .accel.tlas import build_two_level
+
+        tl = build_two_level(instances)
+        blockers = _instanced_fused_blockers(cfg, flat_buffers, tl)
+        if not blockers:
+            from .kernels.megakernel_bvh import make_bvh_regen_render_step
+
+            _dbg("megakernel_bvh(fused two-level regen)",
+                 instances=len(instances), tris=flat_buffers.num_tris,
+                 nodes=int(tl.nodes.shape[0]))
+            step = make_bvh_regen_render_step(
+                cfg, flat_buffers, tl=tl, global_shape=global_shape,
+                block_rows=cfg.packet_block_rows,
+            )
+            return step, flat_buffers
+        _dbg("wavefront(tlas packet; fused blocked)", **blockers)
+        kwargs, flat_buffers = instanced_wavefront_kwargs(
+            cfg, instances, _prebuilt=(flat_buffers, tl))
+    else:
+        kwargs, flat_buffers = instanced_wavefront_kwargs(
+            cfg, instances, _prebuilt=(flat_buffers, None))
     step = make_render_step(
         cfg, flat_buffers, global_shape=global_shape, **kwargs
     )

@@ -55,6 +55,7 @@ def make_sharded_render_step(
     trace_fn: Optional[Callable] = None,
     trace_payload_fn: Optional[Callable] = None,
     occlusion_fn: Optional[Callable] = None,
+    local_step: Optional[Callable] = None,
 ):
     """Returns ``(step, init)``:
 
@@ -76,7 +77,9 @@ def make_sharded_render_step(
     h_local = cfg.height // n
     gshape = (cfg.height, cfg.width)
 
-    if trace_fn is not None or trace_payload_fn is not None:
+    if local_step is not None:
+        pass  # pre-built per-shard step (instanced dispatch)
+    elif trace_fn is not None or trace_payload_fn is not None:
         local_step = make_render_step(
             cfg,
             buffers,
@@ -163,21 +166,22 @@ class DistRenderer:
         self.scene = scene
         self.mesh = mesh if mesh is not None else default_mesh()
         occlusion_fn = None
+        local_step = None
         if isinstance(scene, (list, tuple)):
             # instanced scene: same dispatch as the single-chip Renderer —
-            # TLAS payload trace (+ any-hit occlusion for NEE) on pallas,
-            # flattened oracle on jnp
-            from ..dispatch import instanced_wavefront_kwargs
+            # the fused two-level regen megakernel when capabilities fit,
+            # else TLAS payload trace (+ any-hit occlusion for NEE) on
+            # pallas, flattened oracle on jnp; every path takes row0
+            from ..dispatch import select_instanced_render_step
 
             if trace_fn is not None or trace_payload_fn is not None:
                 raise ValueError(
                     "explicit trace fns cannot be combined with an "
                     "instanced scene"
                 )
-            kwargs, self.buffers = instanced_wavefront_kwargs(cfg, scene)
-            trace_fn = kwargs.get("trace_fn")
-            trace_payload_fn = kwargs.get("trace_payload_fn")
-            occlusion_fn = kwargs.get("occlusion_fn")
+            local_step, self.buffers = select_instanced_render_step(
+                cfg, scene, global_shape=(cfg.height, cfg.width)
+            )
         else:
             self.buffers = upload(scene)
         self._step, init = make_sharded_render_step(
@@ -187,6 +191,7 @@ class DistRenderer:
             trace_fn=trace_fn,
             trace_payload_fn=trace_payload_fn,
             occlusion_fn=occlusion_fn,
+            local_step=local_step,
         )
         self.state = init()
 

@@ -43,6 +43,7 @@ from ..sampling import (
     ggx_vndf_pdf,
 )
 from .megakernel import INV_PI, TWO_PI, _pcg2d_vec, _rand_vec, _U
+from .bvh_tlas import _IB  # instance-code base for two-level traversal
 
 _BIG = np.float32(1e30)
 INF = np.float32(np.inf)
@@ -59,6 +60,7 @@ def make_bvh_regen_render_step(
     smem_codes: Optional[bool] = None,
     smem_boxes: Optional[bool] = None,
     fast_node: bool = False,
+    tl=None,
 ):
     """render_step(state, row0) -> state. Whole spp per kernel call, BVH
     traversal per bounce, in-lane sample regeneration.
@@ -73,31 +75,85 @@ def make_bvh_regen_render_step(
     per node, flat) so a node pop does zero VMEM traffic — no dynamic
     row load on the pop chain, 48 scalar loads instead of 48 lane
     extracts. Requires smem_codes (no tag/ref decode without it);
-    None = auto (on when codes+boxes fit the SMEM budget)."""
-    if wide is None:
-        from ..accel.wide import build_wide_from_buffers
+    None = auto (on when codes+boxes fit the SMEM budget).
 
-        wide = build_wide_from_buffers(scene_buffers)
-    nodes = jnp.asarray(wide.nodes)
-    tris = jnp.asarray(wide.tris)
+    tl: an accel.tlas.TwoLevelBVH makes this the FUSED INSTANCED kernel:
+    the per-bounce traversal is the two-level (TLAS over shared BLASes)
+    packet traversal of kernels/bvh_tlas.py — instance-context stack,
+    per-pop object-space ray re-derivation, world-space leaf payloads —
+    while the whole regen/shade/NEE machinery is unchanged. Kills the
+    per-bounce relaunch + dead lanes + 17-array sorts that instanced
+    scenes paid in the wavefront loop (ref main.cpp:514-538 TLAS;
+    raygen.rgen:41-91 is one hardware megakernel over it).
+    scene_buffers must then be the FLATTENED world-space buffers (for
+    lights/materials/env/textures), exactly what
+    dispatch.instanced_wavefront_kwargs uses."""
+    two_level = tl is not None
     from .bvh_packet import SMEM_BOXES_MAX_BYTES, SMEM_CODES_MAX_BYTES
 
-    if smem_codes is None:
-        smem_codes = wide.codes_nbytes <= SMEM_CODES_MAX_BYTES
-    boxes_nbytes = int(wide.nodes.shape[0]) * 48 * 4
-    if smem_boxes is None:
-        smem_boxes = bool(smem_codes) and (
-            wide.codes_nbytes + boxes_nbytes <= SMEM_BOXES_MAX_BYTES)
-    smem_boxes = bool(smem_boxes) and bool(smem_codes)
-    codes = (jnp.asarray(wide.codes.reshape(-1))
-             if smem_codes else None)  # 1-D: SMEM pads 2-D rows to 128 lanes
-    if smem_boxes:
-        # nodes[:, :48] ARE the per-child box scalars in lane order
-        # [mnx*8 mny*8 mnz*8 mxx*8 mxy*8 mxz*8]; flat so boxes[n*48+c]
-        # == nodes[n, c]. Replaces the VMEM node operand entirely.
-        nodes = jnp.asarray(
-            np.ascontiguousarray(np.asarray(wide.nodes)[:, :48]).reshape(-1))
-    stack_n = int(wide.max_stack)
+    inst = None
+    if two_level:
+        if stream_tris:
+            raise ValueError("two-level fused kernel keeps tri rows "
+                             "resident (shared BLASes are small)")
+        if fast_node:
+            raise ValueError("fast_node is single-level only")
+        from .bvh_tlas import _smem_fits, _smem_tables
+
+        # WORLD context is an appended IDENTITY instance row (index
+        # num_instances): TLAS-level pops read it like any other context,
+        # so the per-pop ray re-derivation needs NO in_world vector
+        # selects (identity transform reproduces the world ray exactly;
+        # its texture base is 0). bvh_tlas.py keeps the where() form.
+        world_row = int(tl.num_instances)
+        ident = np.zeros((1, 128), np.float32)
+        ident[0, 0] = ident[0, 4] = ident[0, 8] = 1.0     # inverse R = I
+        ident[0, 12] = ident[0, 16] = ident[0, 20] = 1.0  # forward R = I
+        tl = tl._replace(
+            inst=np.concatenate([np.asarray(tl.inst), ident]))
+        # smem_boxes doubles as the smem_nodes override in two-level mode
+        smem_nodes = (_smem_fits(tl) if smem_boxes is None
+                      else bool(smem_boxes))
+        if smem_nodes:
+            boxes_np, codes_np, inst_np = _smem_tables(tl)
+            nodes = jnp.asarray(boxes_np)
+            codes = jnp.asarray(codes_np)
+            inst = jnp.asarray(inst_np)
+        else:
+            nodes = jnp.asarray(tl.nodes)
+            codes = None
+            inst = jnp.asarray(tl.inst)
+        tris = jnp.asarray(tl.tris)
+        # reuse the single-level operand plumbing: smem_codes gates the
+        # codes operand, smem_boxes the SMEM-vs-VMEM node spec
+        smem_codes = smem_boxes = smem_nodes
+        stack_n = int(tl.max_stack)
+        wide_aux = tl.tris_aux
+    else:
+        if wide is None:
+            from ..accel.wide import build_wide_from_buffers
+
+            wide = build_wide_from_buffers(scene_buffers)
+        nodes = jnp.asarray(wide.nodes)
+        tris = jnp.asarray(wide.tris)
+
+        if smem_codes is None:
+            smem_codes = wide.codes_nbytes <= SMEM_CODES_MAX_BYTES
+        boxes_nbytes = int(wide.nodes.shape[0]) * 48 * 4
+        if smem_boxes is None:
+            smem_boxes = bool(smem_codes) and (
+                wide.codes_nbytes + boxes_nbytes <= SMEM_BOXES_MAX_BYTES)
+        smem_boxes = bool(smem_boxes) and bool(smem_codes)
+        codes = (jnp.asarray(wide.codes.reshape(-1))
+                 if smem_codes else None)  # 1-D: SMEM pads rows to 128 lanes
+        if smem_boxes:
+            # nodes[:, :48] ARE the per-child box scalars in lane order
+            # [mnx*8 mny*8 mnz*8 mxx*8 mxy*8 mxz*8]; flat so boxes[n*48+c]
+            # == nodes[n, c]. Replaces the VMEM node operand entirely.
+            nodes = jnp.asarray(np.ascontiguousarray(
+                np.asarray(wide.nodes)[:, :48]).reshape(-1))
+        stack_n = int(wide.max_stack)
+        wide_aux = wide.tris_aux
 
     gh, gw = global_shape if global_shape is not None else (cfg.height, cfg.width)
     spp = cfg.spp_per_step
@@ -225,7 +281,7 @@ def make_bvh_regen_render_step(
     # one-hot atlas fetch per bounce modulates Kd, same estimator as
     # integrate/wavefront.py:105-114.
     use_tex = (getattr(scene_buffers, "has_textures", False)
-               and wide.tris_aux is not None)
+               and wide_aux is not None)
     atlas_table = None
     aux = None
     tex_offs = tex_ws = tex_hs = None
@@ -248,7 +304,7 @@ def make_bvh_regen_render_step(
         atlas_table = jnp.asarray(at_np)
         atlas_wmax = max(tex_ws)
         atlas_htot = sum(tex_hs)
-        aux = jnp.asarray(wide.tris_aux)
+        aux = jnp.asarray(wide_aux)
 
     lanes = 128
     r = block_rows
@@ -287,6 +343,9 @@ def make_bvh_regen_render_step(
             if smem_codes:
                 codes_ref = refs[0]
                 refs = refs[1:]
+            if two_level:
+                inst_ref = refs[0]
+                refs = refs[1:]
             if use_nee:
                 light_ref = refs[0]
                 refs = refs[1:]
@@ -309,8 +368,20 @@ def make_bvh_regen_render_step(
                  tbuf_ref, tsem) = refs[:7]
                 if use_tex:
                     abuf_ref, asem = refs[7:]
+            elif two_level:
+                (colr_ref, colg_ref, colb_ref, segs_ref, stack_ref,
+                 istack_ref, ctx_ref, prevctx_ref) = refs
             else:
                 colr_ref, colg_ref, colb_ref, segs_ref, stack_ref = refs
+
+            def inst_scalars(i, lo, hi):
+                """Instance-row fields [lo:hi) for instance i (SMEM flat
+                table or a dynamic VMEM row, kernels/bvh_tlas.py)."""
+                if smem_boxes:  # == smem_nodes in two-level mode
+                    ib = i * 128
+                    return [inst_ref[ib + cc] for cc in range(lo, hi)]
+                irow = inst_ref[pl.ds(i, 1), :]
+                return [irow[0, cc] for cc in range(lo, hi)]
 
             def load_tri_row(lrow):
                 """One 128-lane triangle row: direct VMEM read, or a
@@ -448,9 +519,10 @@ def make_bvh_regen_render_step(
                         jnp.where(cc >= 0, _BIG, -_BIG),
                     )
 
-                ivx = safe_inv(dx)
-                ivy = safe_inv(dy)
-                ivz = safe_inv(dz)
+                if not two_level:
+                    ivx = safe_inv(dx)
+                    ivy = safe_inv(dy)
+                    ivz = safe_inv(dz)
                 tmax_l = jnp.where(active, t_max, np.float32(-np.inf))
                 if fast_node:
                     # center-ray scalars for ordered pushes (v2 recipe,
@@ -467,6 +539,9 @@ def make_bvh_regen_render_step(
                     civz = safe_inv(dz[cr, 64])
 
                 stack_ref[0] = jnp.int32(1)
+                if two_level:
+                    istack_ref[0] = jnp.int32(world_row)  # world = identity
+                    prevctx_ref[0] = jnp.int32(-2)  # impossible: force fill
                 n_pay = 19 if use_tex else 16
                 t_init = (
                     jnp.int32(1),
@@ -477,14 +552,80 @@ def make_bvh_regen_render_step(
                 def t_cond(tc):
                     return tc[0] > 0
 
+                def ctx_fill(ictx, o3, d3):
+                    """Instance-space ray cache refresh: consecutive pops
+                    share their context ~98% of the time (ordered pushes
+                    keep BLAS subtrees contiguous on the stack —
+                    benchmarks/probe_tlas_pops.py), so the 12 scalar loads
+                    + 18 FMAs + 3 inverses run only when the popped
+                    context differs from the cache (VMEM scratch planes;
+                    scratch persists across loop iterations, unlike a
+                    while carry which would be threaded every pop)."""
+                    prev = prevctx_ref[0]
+
+                    @pl.when(ictx != prev)
+                    def _():
+                        tf = inst_scalars(ictx, 0, 12)
+                        c_ox = (tf[0] * o3[0] + tf[1] * o3[1]
+                                + tf[2] * o3[2] + tf[9])
+                        c_oy = (tf[3] * o3[0] + tf[4] * o3[1]
+                                + tf[5] * o3[2] + tf[10])
+                        c_oz = (tf[6] * o3[0] + tf[7] * o3[1]
+                                + tf[8] * o3[2] + tf[11])
+                        c_dx = (tf[0] * d3[0] + tf[1] * d3[1]
+                                + tf[2] * d3[2])
+                        c_dy = (tf[3] * d3[0] + tf[4] * d3[1]
+                                + tf[5] * d3[2])
+                        c_dz = (tf[6] * d3[0] + tf[7] * d3[1]
+                                + tf[8] * d3[2])
+                        for j, plane in enumerate((
+                                c_ox, c_oy, c_oz, c_dx, c_dy, c_dz,
+                                safe_inv(c_dx), safe_inv(c_dy),
+                                safe_inv(c_dz))):
+                            ctx_ref[pl.ds(j * r, r), :] = plane
+                        prevctx_ref[0] = ictx
+
+                def ctx_plane(j):
+                    return ctx_ref[pl.ds(j * r, r), :]
+
                 def t_body(tc):
                     sp = tc[0]
                     bt = tc[1]
                     bu, bv = tc[2], tc[3]
                     pay = tuple(tc[4:])
                     code = stack_ref[sp - 1]
+                    if two_level:
+                        ictx = istack_ref[sp - 1]
                     sp = sp - 1
-                    is_leaf = code < 0
+                    if two_level:
+                        # two-level context (kernels/bvh_tlas.py body):
+                        # rays in the popped entry's instance object space
+                        # (directions NOT renormalized so t stays
+                        # world-measure and best-t pruning works across
+                        # instances), from the scratch cache
+                        neg = -code - 1
+                        is_inst = (code < 0) & (neg >= _IB)
+                        is_leaf = (code < 0) & jnp.logical_not(is_inst)
+                        ctx_fill(ictx, (ox, oy, oz), (dx, dy, dz))
+                        iid = jnp.where(is_inst, neg - _IB, 0)
+                        blas_root = inst_scalars(iid, 24, 25)[0].astype(
+                            jnp.int32)
+                        (l_ox, l_oy, l_oz, l_dx, l_dy, l_dz,
+                         l_ivx, l_ivy, l_ivz) = (
+                            ctx_plane(j) for j in range(9))
+                    else:
+                        is_leaf = code < 0
+                        l_ox, l_oy, l_oz = ox, oy, oz
+                        l_dx, l_dy, l_dz = dx, dy, dz
+                        l_ivx, l_ivy, l_ivz = ivx, ivy, ivz
+
+                    def inst_fn(args):
+                        """Instance leaf: push its BLAS root under its
+                        context (two-level only)."""
+                        bt, bu, bv, pay = args
+                        stack_ref[sp] = blas_root + 1
+                        istack_ref[sp] = iid
+                        return (sp + 1, bt, bu, bv) + pay
 
                     def node_fn(args):
                         bt, bu, bv, pay = args
@@ -514,12 +655,12 @@ def make_bvh_regen_render_step(
                             bmxx = sc[24 + ci]
                             bmxy = sc[32 + ci]
                             bmxz = sc[40 + ci]
-                            tx0 = (bmnx - ox) * ivx
-                            tx1 = (bmxx - ox) * ivx
-                            ty0 = (bmny - oy) * ivy
-                            ty1 = (bmxy - oy) * ivy
-                            tz0 = (bmnz - oz) * ivz
-                            tz1 = (bmxz - oz) * ivz
+                            tx0 = (bmnx - l_ox) * l_ivx
+                            tx1 = (bmxx - l_ox) * l_ivx
+                            ty0 = (bmny - l_oy) * l_ivy
+                            ty1 = (bmxy - l_oy) * l_ivy
+                            tz0 = (bmnz - l_oz) * l_ivz
+                            tz1 = (bmxz - l_oz) * l_ivz
                             tnear = jnp.maximum(
                                 jnp.maximum(jnp.minimum(tx0, tx1),
                                             jnp.minimum(ty0, ty1)),
@@ -533,6 +674,17 @@ def make_bvh_regen_render_step(
                             hit = tnear <= tfar
                             if smem_codes:
                                 code_c0 = ccodes[ci]
+                            elif two_level:
+                                tag = sc[56 + ci]
+                                ref = sc[48 + ci].astype(jnp.int32)
+                                code_c0 = jnp.where(
+                                    tag > 0.5,
+                                    jnp.where(
+                                        tag > 2.5, -(_IB + ref + 1),
+                                        jnp.where(tag > 1.5, -(ref + 1),
+                                                  ref + 1)),
+                                    jnp.int32(0),
+                                )
                             else:
                                 tag = sc[56 + ci]
                                 ref = sc[48 + ci].astype(jnp.int32)
@@ -611,6 +763,8 @@ def make_bvh_regen_render_step(
                             @pl.when(do_push)
                             def _(spn=spn, code_c=code_c):
                                 stack_ref[spn] = code_c
+                                if two_level:
+                                    istack_ref[spn] = ictx
 
                             spn = spn + do_push.astype(jnp.int32)
                         return (spn, bt, bu, bv) + pay
@@ -623,6 +777,17 @@ def make_bvh_regen_render_step(
                         if use_tex:
                             arow = load_aux_row(jnp.maximum(-code - 1, 0))
                             asc = [arow[0, cc] for cc in range(128)]
+                            if two_level:
+                                # instance base into the flattened merged
+                                # texture pool (bvh_tlas.py leaf_fn; the
+                                # identity world row's base is 0)
+                                texb = inst_scalars(ictx, 25, 26)[0]
+                        if two_level:
+                            # forward transform of the CURRENT instance
+                            # (the identity world row reproduces object ==
+                            # world) so payload vertices land in WORLD
+                            # space and shading stays space-agnostic
+                            fw = inst_scalars(ictx, 12, 24)
                         for k in range(8):
                             base = 16 * k
                             t0x = tsc[base + 0]
@@ -636,19 +801,22 @@ def make_bvh_regen_render_step(
                             t2z = tsc[base + 8]
                             e1x, e1y, e1z = t1x - t0x, t1y - t0y, t1z - t0z
                             e2x, e2y, e2z = t2x - t0x, t2y - t0y, t2z - t0z
-                            pvx = dy * e2z - dz * e2y
-                            pvy = dz * e2x - dx * e2z
-                            pvz = dx * e2y - dy * e2x
+                            pvx = l_dy * e2z - l_dz * e2y
+                            pvy = l_dz * e2x - l_dx * e2z
+                            pvz = l_dx * e2y - l_dy * e2x
                             det = e1x * pvx + e1y * pvy + e1z * pvz
                             inv_det = jnp.where(
                                 jnp.abs(det) > 1e-12, 1.0 / det, 0.0
                             )
-                            tvx, tvy, tvz = ox - t0x, oy - t0y, oz - t0z
+                            tvx = l_ox - t0x
+                            tvy = l_oy - t0y
+                            tvz = l_oz - t0z
                             u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
                             qvx = tvy * e1z - tvz * e1y
                             qvy = tvz * e1x - tvx * e1z
                             qvz = tvx * e1y - tvy * e1x
-                            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                            v = (l_dx * qvx + l_dy * qvy
+                                 + l_dz * qvz) * inv_det
                             t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
                             ok = (
                                 (jnp.abs(det) > 1e-12)
@@ -658,8 +826,24 @@ def make_bvh_regen_render_step(
                             bt = jnp.where(ok, t, bt)
                             bu = jnp.where(ok, u, bu)
                             bv = jnp.where(ok, v, bv)
-                            vals = (
-                                t0x, t0y, t0z, t1x, t1y, t1z, t2x, t2y, t2z,
+                            if two_level:
+                                wv = []
+                                for vx, vy, vz in (
+                                        (t0x, t0y, t0z), (t1x, t1y, t1z),
+                                        (t2x, t2y, t2z)):
+                                    wv.extend((
+                                        fw[0] * vx + fw[1] * vy
+                                        + fw[2] * vz + fw[9],
+                                        fw[3] * vx + fw[4] * vy
+                                        + fw[5] * vz + fw[10],
+                                        fw[6] * vx + fw[7] * vy
+                                        + fw[8] * vz + fw[11],
+                                    ))
+                                vert_vals = tuple(wv)
+                            else:
+                                vert_vals = (t0x, t0y, t0z, t1x, t1y, t1z,
+                                             t2x, t2y, t2z)
+                            vals = vert_vals + (
                                 tsc[base + 9], tsc[base + 10],
                                 tsc[base + 11], tsc[base + 12],
                                 tsc[base + 13], tsc[base + 14],
@@ -676,13 +860,26 @@ def make_bvh_regen_render_step(
                                 tw = (asc[base + 1] * wb_s
                                       + asc[base + 3] * u
                                       + asc[base + 5] * v)
-                                vals = vals + (tu, tw, asc[base + 6])
+                                a6 = asc[base + 6]
+                                if two_level:
+                                    # texid+1 shifted by the instance's
+                                    # texture base (0 stays untextured)
+                                    a6 = jnp.where(a6 > 0, a6 + texb,
+                                                   jnp.float32(0.0))
+                                vals = vals + (tu, tw, a6)
                             pay = [
                                 jnp.where(ok, sv + zero, pv)
                                 for sv, pv in zip(vals, pay)
                             ]
                         return (sp, bt, bu, bv) + tuple(pay)
 
+                    if two_level:
+                        def not_inst(args):
+                            return jax.lax.cond(is_leaf, leaf_fn, node_fn,
+                                                args)
+
+                        return jax.lax.cond(is_inst, inst_fn, not_inst,
+                                            (bt, bu, bv, pay))
                     return jax.lax.cond(is_leaf, leaf_fn, node_fn,
                                         (bt, bu, bv, pay))
 
@@ -792,10 +989,15 @@ def make_bvh_regen_render_step(
                     empty again after the main pass."""
                     sox, soy, soz = so3
                     wlx, wly, wlz = wl3
-                    sivx = safe_inv(wlx)
-                    sivy = safe_inv(wly)
-                    sivz = safe_inv(wlz)
+                    if not two_level:
+                        sivx = safe_inv(wlx)
+                        sivy = safe_inv(wly)
+                        sivz = safe_inv(wlz)
                     stack_ref[0] = jnp.int32(1)
+                    if two_level:
+                        istack_ref[0] = jnp.int32(world_row)
+                        # the scratch cache holds the MAIN rays: invalidate
+                        prevctx_ref[0] = jnp.int32(-2)
                     s_init = (jnp.int32(1), jnp.zeros((r, lanes), jnp.float32))
 
                     def s_cond(sc_):
@@ -804,12 +1006,37 @@ def make_bvh_regen_render_step(
                     def s_body(sc_):
                         sp, occ = sc_
                         code = stack_ref[sp - 1]
+                        if two_level:
+                            ictx = istack_ref[sp - 1]
                         sp = sp - 1
-                        is_leaf = code < 0
+                        if two_level:
+                            # instance-space shadow-ray re-derivation
+                            # (kernels/bvh_tlas.py occlusion body), cached
+                            # in the same scratch planes as the main loop
+                            neg = -code - 1
+                            is_inst = (code < 0) & (neg >= _IB)
+                            is_leaf = (code < 0) & jnp.logical_not(is_inst)
+                            ctx_fill(ictx, so3, wl3)
+                            s_iid = jnp.where(is_inst, neg - _IB, 0)
+                            s_blas_root = inst_scalars(
+                                s_iid, 24, 25)[0].astype(jnp.int32)
+                            (sl_ox, sl_oy, sl_oz, sl_dx, sl_dy, sl_dz,
+                             sl_ivx, sl_ivy, sl_ivz) = (
+                                ctx_plane(j) for j in range(9))
+                        else:
+                            is_leaf = code < 0
+                            sl_ox, sl_oy, sl_oz = sox, soy, soz
+                            sl_dx, sl_dy, sl_dz = wlx, wly, wlz
+                            sl_ivx, sl_ivy, sl_ivz = sivx, sivy, sivz
                         slimit = jnp.where(
                             shadow_q & (occ < 0.5), smax,
                             jnp.float32(-np.inf),
                         )
+
+                        def inst_fn(occ):
+                            stack_ref[sp] = s_blas_root + 1
+                            istack_ref[sp] = s_iid
+                            return (sp + 1, occ)
 
                         def node_fn(occ):
                             node_i = jnp.maximum(code - 1, 0)
@@ -836,12 +1063,12 @@ def make_bvh_regen_render_step(
                                 nrow = nodes_ref[pl.ds(node_i, 1), :]
                                 nsc = [nrow[0, cc] for cc in range(64)]
                             for ci in range(8):
-                                tx0 = (nsc[0 + ci] - sox) * sivx
-                                tx1 = (nsc[24 + ci] - sox) * sivx
-                                ty0 = (nsc[8 + ci] - soy) * sivy
-                                ty1 = (nsc[32 + ci] - soy) * sivy
-                                tz0 = (nsc[16 + ci] - soz) * sivz
-                                tz1 = (nsc[40 + ci] - soz) * sivz
+                                tx0 = (nsc[0 + ci] - sl_ox) * sl_ivx
+                                tx1 = (nsc[24 + ci] - sl_ox) * sl_ivx
+                                ty0 = (nsc[8 + ci] - sl_oy) * sl_ivy
+                                ty1 = (nsc[32 + ci] - sl_oy) * sl_ivy
+                                tz0 = (nsc[16 + ci] - sl_oz) * sl_ivz
+                                tz1 = (nsc[40 + ci] - sl_oz) * sl_ivz
                                 tnear = jnp.maximum(
                                     jnp.maximum(jnp.minimum(tx0, tx1),
                                                 jnp.minimum(ty0, ty1)),
@@ -856,6 +1083,17 @@ def make_bvh_regen_render_step(
                                 )
                                 if smem_codes:
                                     code_c = nccodes[ci]
+                                elif two_level:
+                                    tag = nsc[56 + ci]
+                                    ref = nsc[48 + ci].astype(jnp.int32)
+                                    code_c = jnp.where(
+                                        tag > 0.5,
+                                        jnp.where(
+                                            tag > 2.5, -(_IB + ref + 1),
+                                            jnp.where(tag > 1.5,
+                                                      -(ref + 1), ref + 1)),
+                                        jnp.int32(0),
+                                    )
                                 else:
                                     tag = nsc[56 + ci]
                                     ref = nsc[48 + ci].astype(jnp.int32)
@@ -884,6 +1122,8 @@ def make_bvh_regen_render_step(
                                 @pl.when(push)
                                 def _(spn=spn, code_c=code_c):
                                     stack_ref[spn] = code_c
+                                    if two_level:
+                                        istack_ref[spn] = ictx
 
                                 spn = spn + push.astype(jnp.int32)
                             if fast_node:
@@ -915,21 +1155,22 @@ def make_bvh_regen_render_step(
                                 e2x = tsc[base + 6] - t0x
                                 e2y = tsc[base + 7] - t0y
                                 e2z = tsc[base + 8] - t0z
-                                pvx = wly * e2z - wlz * e2y
-                                pvy = wlz * e2x - wlx * e2z
-                                pvz = wlx * e2y - wly * e2x
+                                pvx = sl_dy * e2z - sl_dz * e2y
+                                pvy = sl_dz * e2x - sl_dx * e2z
+                                pvz = sl_dx * e2y - sl_dy * e2x
                                 det = e1x * pvx + e1y * pvy + e1z * pvz
                                 inv_det = jnp.where(
                                     jnp.abs(det) > 1e-12, 1.0 / det, 0.0
                                 )
-                                tvx = sox - t0x
-                                tvy = soy - t0y
-                                tvz = soz - t0z
+                                tvx = sl_ox - t0x
+                                tvy = sl_oy - t0y
+                                tvz = sl_oz - t0z
                                 u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
                                 qvx = tvy * e1z - tvz * e1y
                                 qvy = tvz * e1x - tvx * e1z
                                 qvz = tvx * e1y - tvy * e1x
-                                v = (wlx * qvx + wly * qvy + wlz * qvz) * inv_det
+                                v = (sl_dx * qvx + sl_dy * qvy
+                                     + sl_dz * qvz) * inv_det
                                 t_ = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
                                 slimit_k = jnp.where(
                                     shadow_q & (occ < 0.5), smax,
@@ -946,10 +1187,20 @@ def make_bvh_regen_render_step(
                                 )
                             return (sp, occ)
 
+                        if two_level:
+                            def not_inst(occ):
+                                return jax.lax.cond(is_leaf, leaf_fn,
+                                                    node_fn, occ)
+
+                            return jax.lax.cond(is_inst, inst_fn, not_inst,
+                                                occ)
                         return jax.lax.cond(is_leaf, leaf_fn, node_fn, occ)
 
-                    _, occ_f = jax.lax.while_loop(s_cond, s_body, s_init)
-                    return occ_f
+                    s_final = jax.lax.while_loop(s_cond, s_body, s_init)
+                    if two_level:
+                        # next traversal (shadow or bounce) uses new rays
+                        prevctx_ref[0] = jnp.int32(-2)
+                    return s_final[1]
 
                 # NEE gating (non-MIS): BSDF-path emission only on camera
                 # rays, post-specular bounces, and sky misses. Under MIS,
@@ -1429,6 +1680,10 @@ def make_bvh_regen_render_step(
         if smem_codes:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             args.append(codes)
+        if two_level:
+            in_specs.append(pl.BlockSpec(
+                memory_space=pltpu.SMEM if smem_boxes else pltpu.VMEM))
+            args.append(inst)
         if use_nee:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(light_table)
@@ -1448,6 +1703,11 @@ def make_bvh_regen_render_step(
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(atlas_table)
         scratch = [pltpu.SMEM((stack_n,), jnp.int32)]
+        if two_level:
+            scratch.append(pltpu.SMEM((stack_n,), jnp.int32))  # istack
+            # instance-space ray cache: 9 (r, 128) planes + prev context
+            scratch.append(pltpu.VMEM((9 * rr, lanes), jnp.float32))
+            scratch.append(pltpu.SMEM((1,), jnp.int32))
         if stream_tris:
             scratch += [
                 pltpu.VMEM((1, lanes), jnp.float32),

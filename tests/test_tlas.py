@@ -271,3 +271,135 @@ def test_two_level_smem_nodes_matches():
             (d[:, 0], d[:, 1], d[:, 2]), 1e4)))
     np.testing.assert_array_equal(ts[0], ts[1])
     np.testing.assert_array_equal(occs[0], occs[1])
+
+
+def test_fused_two_level_regen_matches_wavefront():
+    """The FUSED instanced regen megakernel (megakernel_bvh with tl=)
+    reproduces the wavefront loop driven by the TLAS payload trace on
+    identical per-sample streams (the instanced analog of
+    test_bvh_regen_equivalence; ref raygen.rgen:41-91 over the TLAS of
+    main.cpp:514-538)."""
+    from sfvp_tpu import RenderConfig, init_state
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.integrate.wavefront import make_render_step
+    from sfvp_tpu.kernels.megakernel_bvh import make_bvh_regen_render_step
+
+    mesh_a = _mesh(30, seed=1)
+    mesh_b = _mesh(22, seed=2)
+    instances = _instances(5, mesh_a, mesh_b)
+    tl = build_two_level(instances)
+    flat = upload(flatten_instances(instances))
+    cam = CameraConfig.look_at(origin=(0, 2, 9), target=(0, 0, 0),
+                               fov_y_deg=50)
+    cfg = RenderConfig(width=16, height=16, spp_per_step=2, max_depth=3,
+                       camera=cam, sampling="cosine", packet_tile_size=8,
+                       sky_emission=(0.8, 0.85, 1.0))
+    trace = make_two_level_trace(tl, t_min=cfg.t_min, interpret=True)
+    a = jax.jit(make_render_step(cfg, flat, trace_payload_fn=trace))(
+        init_state(16, 16))
+    b = jax.jit(make_bvh_regen_render_step(cfg, flat, tl=tl,
+                                           interpret=True))(
+        init_state(16, 16))
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-5, atol=1e-7)
+    assert float(a.mrays) == float(b.mrays)
+
+
+def test_fused_two_level_regen_nee_mis_matches_wavefront():
+    """Instanced NEE + MIS: the fused kernel's in-kernel two-level any-hit
+    shadow traversal must reproduce the wavefront loop's dedicated
+    occlusion kernel (same light table from the flattened buffers)."""
+    from sfvp_tpu import RenderConfig, init_state
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.integrate.wavefront import make_render_step
+    from sfvp_tpu.kernels.bvh_tlas import make_two_level_occlusion
+    from sfvp_tpu.kernels.megakernel_bvh import make_bvh_regen_render_step
+
+    mesh_a = _mesh(30, seed=1)
+    instances = _instances(4, mesh_a, mesh_a)
+    lamp = Scene(
+        vertices=np.asarray([
+            [-1.2, 4.0, -1.2], [1.2, 4.0, -1.2], [1.2, 4.0, 1.2],
+            [-1.2, 4.0, -1.2], [1.2, 4.0, 1.2], [-1.2, 4.0, 1.2],
+        ], np.float32),
+        indices=np.arange(6, dtype=np.uint32),
+        face_diffuse=np.zeros((2, 3), np.float32),
+        face_emission=np.full((2, 3), 9.0, np.float32),
+    )
+    lit = instances + [Instance(
+        scene=lamp,
+        transform=np.hstack([np.eye(3, dtype=np.float32),
+                             np.zeros((3, 1), np.float32)]))]
+    tl = build_two_level(lit)
+    flat = upload(flatten_instances(lit))
+    cam = CameraConfig.look_at(origin=(0, 2, 9), target=(0, 0, 0),
+                               fov_y_deg=50)
+    for use_mis in (False, True):
+        cfg = RenderConfig(width=16, height=8, spp_per_step=2, max_depth=3,
+                           camera=cam, sampling="cosine", use_nee=True,
+                           use_mis=use_mis, use_rr=True, rr_start_depth=1,
+                           packet_tile_size=8,
+                           sky_emission=(0.05, 0.05, 0.05))
+        trace = make_two_level_trace(tl, t_min=cfg.t_min, interpret=True)
+        occl = make_two_level_occlusion(tl, t_min=cfg.t_min, interpret=True)
+        a = jax.jit(make_render_step(cfg, flat, trace_payload_fn=trace,
+                                     occlusion_fn=occl))(init_state(8, 16))
+        b = jax.jit(make_bvh_regen_render_step(cfg, flat, tl=tl,
+                                               interpret=True))(
+            init_state(8, 16))
+        np.testing.assert_allclose(
+            np.asarray(a.accum), np.asarray(b.accum), rtol=1e-5, atol=1e-7)
+
+
+def test_fused_two_level_regen_smem_nodes_matches():
+    """Fused instanced kernel: smem_nodes on == off, bitwise (same
+    scalars whether node boxes/codes/instance rows come from the flat
+    SMEM tables or dynamic VMEM rows)."""
+    from sfvp_tpu import RenderConfig, init_state
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.kernels.megakernel_bvh import make_bvh_regen_render_step
+
+    mesh_a = _mesh(30, seed=1)
+    mesh_b = _mesh(22, seed=2)
+    instances = _instances(5, mesh_a, mesh_b)
+    tl = build_two_level(instances)
+    flat = upload(flatten_instances(instances))
+    cam = CameraConfig.look_at(origin=(0, 2, 9), target=(0, 0, 0),
+                               fov_y_deg=50)
+    cfg = RenderConfig(width=16, height=8, spp_per_step=2, max_depth=2,
+                       camera=cam, sampling="cosine", use_nee=True,
+                       packet_tile_size=8, sky_emission=(0.8, 0.85, 1.0))
+    outs = []
+    for sn in (False, True):
+        step = make_bvh_regen_render_step(cfg, flat, tl=tl, interpret=True,
+                                          smem_boxes=sn)
+        outs.append(np.asarray(jax.jit(step)(init_state(8, 16)).accum))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_instanced_dispatch_routes_fused():
+    """select_instanced_render_step routes capability-fitting instanced
+    configs to the fused two-level regen kernel and falls back to the
+    wavefront loop when a gate blocks (NEE + spp_chunk > 1)."""
+    import dataclasses
+
+    from sfvp_tpu import RenderConfig
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.dispatch import _instanced_fused_blockers
+    from sfvp_tpu.scene.procedural import instanced_field
+
+    insts = instanced_field(n_tris=300, n_inst=4)
+    from sfvp_tpu.accel.instances import flatten_instances as _fi
+    from sfvp_tpu.accel.tlas import build_two_level as _btl
+
+    flat = upload(_fi(insts))
+    tl = _btl(insts)
+    cam = CameraConfig.look_at(origin=(6.0, 5.0, 6.0), target=(0, 0.6, 0),
+                               fov_y_deg=50)
+    cfg = RenderConfig(width=16, height=16, spp_per_step=2, max_depth=2,
+                       camera=cam, sampling="cosine", backend="pallas",
+                       packet_tile_size=8)
+    assert _instanced_fused_blockers(cfg, flat, tl) == {}
+    cfg_chunk = dataclasses.replace(cfg, use_nee=True, spp_per_step=4,
+                                    spp_chunk=2)
+    assert "nee_spp_chunk" in _instanced_fused_blockers(cfg_chunk, flat, tl)
