@@ -135,8 +135,11 @@ def bench_streamed_500k(results):
 
 def bench_city_sorted(results):
     """BASELINE config 5 class (one-chip slice): mixed materials (mirror
-    windows) city at 2048^2 through the material-sorted wavefront queue
-    path (spp_chunk folds samples into big sorted waves)."""
+    windows) city at 2048^2 with NEE + folded sample waves. Routes
+    through the fused BVH regen megakernel since round 4 (measured 3.79x
+    over the sorted wavefront loop at this exact config,
+    benchmarks/probe_chunk_nee.py); the metric key is kept for
+    round-over-round comparability."""
     from sfvp_tpu import upload
     from sfvp_tpu.config import CameraConfig
     from sfvp_tpu.scene.procedural import city_mesh

@@ -219,14 +219,16 @@ def select_render_step(
         fused_resident = (wide.nodes.nbytes if fused_stream
                           else scene_bytes) + extra_vmem
         fused_over_budget = fused_resident > cfg.vmem_scene_budget
-        # NEE with folded sample waves (spp_chunk > 1) measures FASTER in
-        # the sorted wavefront loop than in the fused kernel (0.20 vs
-        # 0.28 s/step on the 100k MIS bench): big coherent shadow batches
-        # amortize better than per-iteration shadow traversals. The fused
-        # kernel wins at the default chunk=1 and for all NEE-less configs.
-        prefer_wavefront = (
-            cfg.use_nee and (many_lights or cfg.spp_chunk > 1)
-        ) or fused_over_budget
+        # NEE + spp_chunk > 1 routes FUSED since round 4: the round-3
+        # preference for the sorted wavefront loop (0.20 vs 0.28 s/step,
+        # 100k MIS chunk=8) predated the SMEM node tables; re-measured
+        # with them (benchmarks/probe_chunk_nee.py) the fused kernel wins
+        # 1.30x on that exact config (0.269 vs 0.349 s/step) and 3.79x on
+        # the city 2048^2 chunk=4 bench (4.20 vs 1.11 Mrays/s). The fused
+        # kernel ignores spp_chunk (in-lane sample regeneration); sample
+        # streams are chunk-layout invariant (test_spp_chunk_invariance)
+        # so the routing flip is image-safe.
+        prefer_wavefront = (cfg.use_nee and many_lights) or fused_over_budget
         if (cfg.megakernel_regen and not prefer_wavefront
                 and not env_blocks_fused and not tex_blocks_fused):
             # env skies, env NEE and map_Kd textures fuse via the
@@ -337,11 +339,9 @@ def _instanced_fused_blockers(cfg: RenderConfig, flat_buffers, tl) -> dict:
         n_lights = int(em.sum())
         if n_lights > MAX_KERNEL_LIGHTS:
             blockers["many_lights"] = n_lights
-        if cfg.spp_chunk > 1:
-            # same measured preference as the single-level branch: folded
-            # sample waves amortize coherent shadow batches better in the
-            # sorted wavefront loop
-            blockers["nee_spp_chunk"] = cfg.spp_chunk
+        # NEE + spp_chunk > 1 stays fused (round 4): the fused kernel
+        # ignores spp_chunk and beats the sorted wavefront loop on every
+        # re-measured chunked-NEE config (probe_chunk_nee.py)
     env = getattr(flat_buffers, "env", None)
     if env is not None:
         from .kernels.imgfetch import env_fits_in_kernel

@@ -129,6 +129,28 @@ def test_nee_light_count_routing():
     assert step.__module__ == "sfvp_tpu.integrate.wavefront"
 
 
+def test_nee_spp_chunk_stays_fused():
+    """NEE with folded sample waves (spp_chunk > 1) routes to the fused
+    BVH regen kernel since round 4: the round-3 wavefront preference
+    predated the SMEM node tables; re-measured (probe_chunk_nee.py) the
+    fused kernel wins 1.30x on the 100k MIS chunk=8 bench and 3.79x on
+    the city 2048^2 chunk=4 bench. The fused kernel ignores spp_chunk
+    (in-lane sample regeneration; streams are chunk-layout invariant,
+    test_spp_chunk_invariance) so the flip is image-safe."""
+    g = np.random.default_rng(5)
+    n = 256
+    tris = (g.uniform(-5, 5, (n, 1, 3))
+            + g.normal(0, 0.5, (n, 3, 3))).astype(np.float32)
+    z = np.zeros((n, 3), np.float32)
+    ke = np.zeros((n, 3), np.float32)
+    ke[:4] = 2.0
+    bufs = from_arrays(tris, z, ke)
+    cfg = RenderConfig(backend="pallas", traversal="bvh", use_nee=True,
+                       sampling="cosine", spp_per_step=8, spp_chunk=4)
+    step = select_render_step(cfg, bufs)
+    assert step.__module__ == "sfvp_tpu.kernels.megakernel_bvh"
+
+
 def test_fused_combined_vmem_budget_routes_wavefront():
     """Env/atlas/light operands each fit their own cap, but stacked next
     to a near-budget scene the fused BVH kernel must not compile over

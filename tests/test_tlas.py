@@ -380,7 +380,9 @@ def test_fused_two_level_regen_smem_nodes_matches():
 def test_instanced_dispatch_routes_fused():
     """select_instanced_render_step routes capability-fitting instanced
     configs to the fused two-level regen kernel and falls back to the
-    wavefront loop when a gate blocks (NEE + spp_chunk > 1)."""
+    wavefront loop when a gate blocks (many lights past the in-kernel
+    cap); NEE + spp_chunk > 1 stays fused since round 4
+    (probe_chunk_nee.py re-measure)."""
     import dataclasses
 
     from sfvp_tpu import RenderConfig
@@ -402,4 +404,4 @@ def test_instanced_dispatch_routes_fused():
     assert _instanced_fused_blockers(cfg, flat, tl) == {}
     cfg_chunk = dataclasses.replace(cfg, use_nee=True, spp_per_step=4,
                                     spp_chunk=2)
-    assert "nee_spp_chunk" in _instanced_fused_blockers(cfg_chunk, flat, tl)
+    assert _instanced_fused_blockers(cfg_chunk, flat, tl) == {}
