@@ -202,7 +202,7 @@ def main():
             base = min(g * 1024, z["ox"].shape[0] - 1024)
             sl = slice(base, base + 1024)
             tmx = np.where(live[sl], np.float32(1e4), np.float32(-np.inf))
-            n_p, l_p = traverse_packet(
+            n_p, l_p, _ = traverse_packet(
                 nd, tr, z["ox"][sl], z["oy"][sl], z["oz"][sl],
                 z["dx"][sl], z["dy"][sl], z["dz"][sl], tmx)
             tot += n_p + l_p

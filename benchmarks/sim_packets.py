@@ -34,13 +34,20 @@ def traverse_packet(nodes, tris_rows, ox, oy, oz, dx, dy, dz, tmax,
     ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
     bt = np.full(ox.shape, np.inf, np.float32)
     stack = [(1, 0.0)]  # (code, key); +ref+1 internal, -(ref+1) leaf
-    n_pops = l_pops = 0
+    n_pops = l_pops = ll_adj = 0
+    prev_leaf = False
     t_min = np.float32(1e-3)
     with np.errstate(all="ignore"):
         while stack:
             code, _ = stack.pop()
             if code < 0:
                 l_pops += 1
+                # leaf pop whose PREDECESSOR pop was also a leaf: a 2-slot
+                # ring prefetch issued before the predecessor's 8
+                # intersection tests has real work to hide the DMA behind
+                # (round-4 streamed-DMA overlap probe)
+                ll_adj += prev_leaf
+                prev_leaf = True
                 trow = tris_rows[-code - 1]
                 for k in range(8):
                     b = 16 * k
@@ -64,6 +71,7 @@ def traverse_packet(nodes, tris_rows, ox, oy, oz, dx, dy, dz, tmax,
                     bt = np.where(ok, t, bt)
                 continue
             n_pops += 1
+            prev_leaf = False
             nrow = nodes[code - 1]
             limit = np.minimum(bt, tmax)
             cand = []
@@ -99,7 +107,7 @@ def traverse_packet(nodes, tris_rows, ox, oy, oz, dx, dy, dz, tmax,
             if order != "none":
                 cand.sort(key=lambda x: -x[1])  # far first; near popped 1st
             stack.extend(cand)
-    return n_pops, l_pops
+    return n_pops, l_pops, ll_adj
 
 
 def main():
@@ -161,7 +169,7 @@ def main():
     out = {"wave": a.wave_kind, "sampled_groups": a.groups,
            "live_groups": n_live_groups, "ser_sorted": bool(a.ser)}
     for width in (1024, 256, 128):
-        tot_n = tot_l = 0
+        tot_n = tot_l = tot_adj = 0
         lockstep = 0
         gw = max(width, 1024)
         for g in gids:
@@ -177,7 +185,7 @@ def main():
             sub = []
             for s in range(0, gw, width):
                 ss = slice(s, s + width)
-                n_p, l_p = traverse_packet(
+                n_p, l_p, adj = traverse_packet(
                     nodes, tris_rows,
                     gox[ss], goy[ss], goz[ss],
                     gdx[ss], gdy[ss], gdz[ss], tmx[ss],
@@ -185,12 +193,15 @@ def main():
                 sub.append(n_p + l_p)
                 tot_n += n_p
                 tot_l += l_p
+                tot_adj += adj
             # an (8,128) lockstep block interleaving its sub-packets in one
             # while loop pays max over the sub-packets
             lockstep += max(sub)
         rays = a.groups * gw
         out[f"w{width}_pops_per_ray"] = round((tot_n + tot_l) / rays, 4)
         out[f"w{width}_leaf_frac"] = round(tot_l / max(tot_n + tot_l, 1), 3)
+        out[f"w{width}_leaf_leaf_adj_frac"] = round(
+            tot_adj / max(tot_l, 1), 3)
         if width < 1024:
             out[f"w{width}_lockstep_iters_per_block"] = round(
                 lockstep / a.groups, 1)

@@ -242,9 +242,11 @@ def select_render_step(
             # (1.2-1.8x over the wavefront loop on 100k-tri GI); NEE runs
             # in-kernel up to 16384 lights (MXU select; two-level
             # bucketed past 1024). Beyond the VMEM budget the
-            # triangle rows stream from HBM (blocking per-leaf DMA — still
-            # 1.27x over the prefetching wavefront kernel at 500k tris);
-            # node rows stay VMEM-resident either way.
+            # triangle rows stream from HBM through a 2-slot DMA ring
+            # (leaf pops prefetch the next leaf behind their own
+            # intersection tests — 1.25x over the round-3 blocking DMA,
+            # probe_stream_overlap.py); node rows stay VMEM-resident
+            # either way.
             from .kernels.megakernel_bvh import make_bvh_regen_render_step
 
             _dbg("megakernel_bvh(fused regen)", tris=t, lights=n_lights,

@@ -66,10 +66,13 @@ def make_bvh_regen_render_step(
     traversal per bounce, in-lane sample regeneration.
 
     stream_tris: keep the triangle rows in HBM and DMA each popped leaf
-    row into a VMEM slot (blocking — the regen loop has no natural
-    prefetch point, but removing relaunch/dead-lane/sort overheads still
-    beats the prefetching wavefront kernel end-to-end on streamed
-    scenes); node rows stay VMEM-resident.
+    row into a 2-slot VMEM ring. A leaf pop starts the NEXT leaf's DMA
+    before its own 8 intersection tests whenever the stack top is
+    another leaf (~70% of leaf pops on the 500k bounce wave,
+    sim_packets.py w1024_leaf_leaf_adj_frac), so most waits are already
+    satisfied — the round-2 blocking fetch measured 35% of the streamed
+    step (benchmarks/probe_stream_overlap.py). Node rows stay
+    VMEM-resident either way.
 
     smem_boxes: move the ENTIRE node table to SMEM (the 48 box scalars
     per node, flat) so a node pop does zero VMEM traffic — no dynamic
@@ -365,9 +368,9 @@ def make_bvh_regen_render_step(
                 refs = refs[2:]
             if stream_tris:
                 (colr_ref, colg_ref, colb_ref, segs_ref, stack_ref,
-                 tbuf_ref, tsem) = refs[:7]
+                 tbuf_ref, tsem, pf_ref) = refs[:8]
                 if use_tex:
-                    abuf_ref, asem = refs[7:]
+                    abuf_ref, asem = refs[8:]
             elif two_level:
                 (colr_ref, colg_ref, colb_ref, segs_ref, stack_ref,
                  istack_ref, ctx_ref, prevctx_ref) = refs
@@ -383,31 +386,75 @@ def make_bvh_regen_render_step(
                 irow = inst_ref[pl.ds(i, 1), :]
                 return [irow[0, cc] for cc in range(lo, hi)]
 
-            def load_tri_row(lrow):
-                """One 128-lane triangle row: direct VMEM read, or a
-                blocking HBM->VMEM DMA when streaming."""
-                if not stream_tris:
-                    return tris_ref[pl.ds(lrow, 1), :]
-                cp = pltpu.make_async_copy(
-                    tris_ref.at[pl.ds(lrow, 1), :], tbuf_ref, tsem
-                )
-                cp.start()
-                cp.wait()
-                return tbuf_ref[...]
+            def _leaf_dma(lrow, slot):
+                """Start the HBM->VMEM copy of leaf row lrow (+ its
+                parallel uv/texid row) into ring slot `slot`."""
+                pltpu.make_async_copy(
+                    tris_ref.at[pl.ds(lrow, 1), :],
+                    tbuf_ref.at[pl.ds(slot, 1), :], tsem.at[slot],
+                ).start()
+                if use_tex:
+                    pltpu.make_async_copy(
+                        aux_ref.at[pl.ds(lrow, 1), :],
+                        abuf_ref.at[pl.ds(slot, 1), :], asem.at[slot],
+                    ).start()
 
-            def load_aux_row(lrow):
-                """The parallel uv/texid leaf row (same index as tris)."""
+            def load_leaf_rows(code, sp):
+                """The popped leaf's 128-lane triangle row (+ parallel
+                uv/texid row when textured): direct VMEM reads when
+                resident; when streaming, a 2-slot HBM->VMEM DMA ring.
+                The row was usually prefetched by the PREVIOUS leaf pop
+                (issued before its 8 intersection tests, which hide the
+                DMA), and this pop starts the ring's next prefetch when
+                the stack top is another leaf — guaranteed to be the next
+                pop, since leaf pops push nothing (70-78% of leaf pops on
+                the 500k wave, sim_packets.py w1024_leaf_leaf_adj_frac;
+                the round-2 blocking fetch measured 35% of the streamed
+                step, benchmarks/probe_stream_overlap.py). pf_ref holds
+                (prefetched stack code | 0, its slot); an outstanding
+                prefetch is always consumed by the very next pop, so no
+                drain is needed at loop exit."""
+                lrow = jnp.maximum(-code - 1, 0)
                 if not stream_tris:
-                    return aux_ref[pl.ds(lrow, 1), :]
-                cp = pltpu.make_async_copy(
-                    aux_ref.at[pl.ds(lrow, 1), :], abuf_ref, asem
-                )
-                cp.start()
-                cp.wait()
-                return abuf_ref[...]
+                    trow = tris_ref[pl.ds(lrow, 1), :]
+                    arow = aux_ref[pl.ds(lrow, 1), :] if use_tex else None
+                    return trow, arow
+                have = pf_ref[0] == code
+                cur = jnp.where(have, pf_ref[1], 1 - pf_ref[1])
+
+                @pl.when(jnp.logical_not(have))
+                def _():
+                    _leaf_dma(lrow, cur)
+
+                top = stack_ref[jnp.maximum(sp - 1, 0)]
+                can_pf = (sp > 0) & (top < 0)
+
+                @pl.when(can_pf)
+                def _():
+                    _leaf_dma(jnp.maximum(-top - 1, 0), 1 - cur)
+
+                pf_ref[0] = jnp.where(can_pf, top, jnp.int32(0))
+                pf_ref[1] = jnp.where(can_pf, 1 - cur, cur)
+                pltpu.make_async_copy(
+                    tris_ref.at[pl.ds(lrow, 1), :],
+                    tbuf_ref.at[pl.ds(cur, 1), :], tsem.at[cur],
+                ).wait()
+                trow = tbuf_ref[pl.ds(cur, 1), :]
+                arow = None
+                if use_tex:
+                    pltpu.make_async_copy(
+                        aux_ref.at[pl.ds(lrow, 1), :],
+                        abuf_ref.at[pl.ds(cur, 1), :], asem.at[cur],
+                    ).wait()
+                    arow = abuf_ref[pl.ds(cur, 1), :]
+                return trow, arow
             pid = pl.program_id(0)
             frame = scal_ref[0]
             row0 = scal_ref[1]
+            if stream_tris:
+                # DMA ring starts empty (pf code 0 never matches a leaf)
+                pf_ref[0] = jnp.int32(0)
+                pf_ref[1] = jnp.int32(0)
 
             # hoisted light scalars: [v0(3) v1(3) v2(3) n(3) Le(3) cdf]
             # (unrolled small-table path only; the MXU path loads the
@@ -772,10 +819,9 @@ def make_bvh_regen_render_step(
                     def leaf_fn(args):
                         bt, bu, bv, pay = args
                         pay = list(pay)
-                        trow = load_tri_row(jnp.maximum(-code - 1, 0))
+                        trow, arow = load_leaf_rows(code, sp)
                         tsc = [trow[0, cc] for cc in range(128)]
                         if use_tex:
-                            arow = load_aux_row(jnp.maximum(-code - 1, 0))
                             asc = [arow[0, cc] for cc in range(128)]
                             if two_level:
                                 # instance base into the flattened merged
@@ -1142,7 +1188,7 @@ def make_bvh_regen_render_step(
                             return (spn, occ)
 
                         def leaf_fn(occ):
-                            trow = load_tri_row(jnp.maximum(-code - 1, 0))
+                            trow, _ = load_leaf_rows(code, sp)
                             tsc = [trow[0, cc] for cc in range(128)]
                             for k in range(8):
                                 base = 16 * k
@@ -1710,13 +1756,14 @@ def make_bvh_regen_render_step(
             scratch.append(pltpu.SMEM((1,), jnp.int32))
         if stream_tris:
             scratch += [
-                pltpu.VMEM((1, lanes), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((2, lanes), jnp.float32),   # 2-slot DMA ring
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((2,), jnp.int32),           # (pf code|0, slot)
             ]
             if use_tex:
                 scratch += [
-                    pltpu.VMEM((1, lanes), jnp.float32),
-                    pltpu.SemaphoreType.DMA(()),
+                    pltpu.VMEM((2, lanes), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
                 ]
         colr, colg, colb, segs = pl.pallas_call(
             kernel,
