@@ -237,6 +237,33 @@ def bench_env_nee_100k(results):
     return _emit(results, "env_nee_100k_512_mrays_per_sec_per_chip", v)
 
 
+def bench_env_big_100k(results):
+    """IBL with an OVERSIZED sky (2048x1024 = 24MB packed, 12x past
+    ENV_VMEM_MAX_BYTES): stays on the fused BVH regen kernel via
+    deferred miss records since round 4 (megakernel_bvh defer_env) —
+    before, any map past the cap knocked the whole render onto the
+    wavefront loop."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sfvp_tpu import upload
+    from sfvp_tpu.scene.textures import TextureTable
+
+    h_, w_ = 1024, 2048
+    yy = np.repeat(np.linspace(0.0, 1.5, h_, dtype=np.float32), w_)
+    big = TextureTable(
+        tr=jnp.asarray(yy), tg=jnp.asarray(yy * 0.8 + 0.1),
+        tb=jnp.asarray(1.5 - yy),
+        off=jnp.zeros((1,), np.int32),
+        width=jnp.full((1,), w_, np.int32),
+        height=jnp.full((1,), h_, np.int32),
+    )
+    buffers = upload(_sphere(224))._replace(env=big)
+    cfg = _gi_cfg(width=512, height=512)
+    v = _bench_step(cfg, buffers, steps=3, warmup=1)
+    return _emit(results, "env_big2048_100k_512_mrays_per_sec_per_chip", v)
+
+
 def bench_instanced_tlas(results):
     """Instanced scenes through the in-kernel two-level TLAS traversal
     (50 instances sharing two displaced-sphere BLASes, ~220k flattened
@@ -280,7 +307,7 @@ def main() -> int:
     for fn in (bench_cornell_wallclock, bench_gi_100k, bench_streamed_500k,
                bench_city_sorted, bench_city_fused_lights,
                bench_textured_100k, bench_env_nee_100k,
-               bench_instanced_tlas):
+               bench_env_big_100k, bench_instanced_tlas):
         try:
             fn(results)
         except Exception as e:  # a broken sub-bench must not kill the suite

@@ -126,12 +126,21 @@ def select_render_step(
 
         # env miss shading AND env NEE (importance-sampled environment,
         # combined with area-light NEE when both exist) both fuse when the
-        # packed map fits VMEM — the texel-CDF inversion runs in-kernel as the
-        # separable exact-searchsorted (kernels/imgfetch.py); only
-        # oversized maps route to the wavefront loop
-        env_blocks_fused = not env_fits_in_kernel(env)
+        # packed map fits VMEM — the texel-CDF inversion runs in-kernel as
+        # the separable exact-searchsorted (kernels/imgfetch.py). The BVH
+        # regen kernel additionally handles OVERSIZED maps (e.g. 2k x 1k
+        # HDR skies) by DEFERRING miss shading: per-sample (dir, weight)
+        # records come out of the kernel and one XLA gather shades them
+        # (megakernel_bvh defer_env). Only env NEE (the CDF inversion
+        # drives in-kernel control flow) still needs the map resident, so
+        # NEE + oversized routes to the wavefront loop; the brute regen
+        # kernel keeps the resident-only requirement.
+        env_oversized = not env_fits_in_kernel(env)
     else:
-        env_blocks_fused = False
+        env_oversized = False
+    env_blocks_brute = env_oversized
+    env_blocks_bvh = env_oversized and cfg.use_nee
+    env_deferred = env_oversized and not cfg.use_nee
     if has_tex:
         from .kernels.imgfetch import atlas_fits_in_kernel
 
@@ -155,12 +164,12 @@ def select_render_step(
             brute_extra + 27 * buffers.v0x.nbytes > cfg.vmem_scene_budget)
     else:
         brute_over_budget = False
-    if ((many_lights or tex_blocks_fused or env_blocks_fused
+    if ((many_lights or tex_blocks_fused or env_blocks_brute
          or brute_over_budget)
             and backend == "pallas" and traversal == "brute"):
         _dbg("wavefront(jnp-brute)", many_lights=many_lights,
              tex_blocks_fused=tex_blocks_fused,
-             env_blocks_fused=env_blocks_fused,
+             env_blocks_fused=env_blocks_brute,
              brute_over_budget=brute_over_budget)
         return make_render_step(
             cfg, buffers, trace_fn=select_trace_fn(cfg, buffers),
@@ -210,8 +219,11 @@ def select_render_step(
         # lights run at the XLA level between bounces there)
         from .kernels.imgfetch import fused_extra_vmem_bytes
 
+        # a DEFERRED oversized env costs no resident VMEM (the kernel
+        # emits miss records instead of holding the map)
         extra_vmem = fused_extra_vmem_bytes(
-            n_lights if not many_lights else 0, env,
+            n_lights if not many_lights else 0,
+            None if env_deferred else env,
             buffers.textures if has_tex else None, cfg.use_nee)
         fused_stream = (cfg.stream_tris if cfg.stream_tris is not None
                         else scene_bytes + extra_vmem
@@ -230,12 +242,14 @@ def select_render_step(
         # so the routing flip is image-safe.
         prefer_wavefront = (cfg.use_nee and many_lights) or fused_over_budget
         if (cfg.megakernel_regen and not prefer_wavefront
-                and not env_blocks_fused and not tex_blocks_fused):
+                and not env_blocks_bvh and not tex_blocks_fused):
             # env skies, env NEE and map_Kd textures fuse via the
             # separable one-hot MXU machinery (kernels/imgfetch.py);
-            # oversized maps (>2MB packed) and >16 textures route to the
-            # wavefront loop below, whose packet kernels carry uv/texid
-            # planes and fetch at the XLA level between bounces.
+            # OVERSIZED env maps stay fused too via deferred miss
+            # records (megakernel_bvh defer_env) unless env NEE needs
+            # the CDF tables resident; >16 textures / >2MB atlases route
+            # to the wavefront loop below, whose packet kernels carry
+            # uv/texid planes and fetch at the XLA level between bounces.
             # fused BVH regen megakernel: whole spp per kernel call with
             # in-lane sample regeneration and in-kernel packet traversal —
             # no per-bounce relaunch, no dead lanes, no bounce sort
@@ -250,7 +264,8 @@ def select_render_step(
             from .kernels.megakernel_bvh import make_bvh_regen_render_step
 
             _dbg("megakernel_bvh(fused regen)", tris=t, lights=n_lights,
-                 stream=fused_stream, extra_vmem=extra_vmem)
+                 stream=fused_stream, extra_vmem=extra_vmem,
+                 env_deferred=env_deferred)
             return make_bvh_regen_render_step(
                 cfg, buffers, wide=wide, global_shape=global_shape,
                 block_rows=cfg.packet_block_rows, stream_tris=fused_stream,
@@ -258,7 +273,7 @@ def select_render_step(
         _dbg("wavefront(packet kernels)", tris=t, lights=n_lights,
              stream=stream, prefer_wavefront=prefer_wavefront,
              fused_over_budget=fused_over_budget,
-             env_blocks_fused=env_blocks_fused,
+             env_blocks_fused=env_blocks_bvh,
              tex_blocks_fused=tex_blocks_fused)
         return make_render_step(
             cfg, buffers, global_shape=global_shape,
@@ -345,11 +360,18 @@ def _instanced_fused_blockers(cfg: RenderConfig, flat_buffers, tl) -> dict:
         # ignores spp_chunk and beats the sorted wavefront loop on every
         # re-measured chunked-NEE config (probe_chunk_nee.py)
     env = getattr(flat_buffers, "env", None)
+    env_deferred = False
     if env is not None:
         from .kernels.imgfetch import env_fits_in_kernel
 
         if not env_fits_in_kernel(env):
-            blockers["env_blocks_fused"] = True
+            # oversized maps DEFER miss shading inside the fused kernel
+            # (megakernel_bvh defer_env) unless env NEE needs the CDF
+            # tables resident — same rule as the single-level branch
+            if cfg.use_nee:
+                blockers["env_blocks_fused"] = True
+            else:
+                env_deferred = True
     if flat_buffers.has_textures:
         from .kernels.imgfetch import atlas_fits_in_kernel
 
@@ -362,7 +384,8 @@ def _instanced_fused_blockers(cfg: RenderConfig, flat_buffers, tl) -> dict:
     from .kernels.imgfetch import fused_extra_vmem_bytes
 
     extra = fused_extra_vmem_bytes(
-        n_lights, env, flat_buffers.textures if flat_buffers.has_textures
+        n_lights, None if env_deferred else env,
+        flat_buffers.textures if flat_buffers.has_textures
         else None, cfg.use_nee)
     resident = tl.tris.nbytes + (
         tl.tris_aux.nbytes if tl.tris_aux is not None else 0) + extra

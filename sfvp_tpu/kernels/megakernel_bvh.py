@@ -243,17 +243,32 @@ def make_bvh_regen_render_step(
     use_env = env is not None
     env_table = None
     env_h = env_w = 0
+    defer_env = False
     if use_env:
         from .imgfetch import ENV_VMEM_MAX_BYTES, pack_env_transposed
 
         et_np, env_h, env_w = pack_env_transposed(env)
         if et_np.nbytes > ENV_VMEM_MAX_BYTES:
-            raise ValueError(
-                f"in-kernel env sky supports maps up to "
-                f"{ENV_VMEM_MAX_BYTES} bytes packed ({env_w}x{env_h} is "
-                f"{et_np.nbytes}); use the wavefront integrator"
-            )
-        env_table = jnp.asarray(et_np)
+            # Oversized map (e.g. a 2048x1024 HDR sky): DEFER miss
+            # shading instead of leaving the fused kernel. A miss
+            # terminates its sample, so each (pixel, sample) has at most
+            # ONE env record — the kernel writes (miss dir, weight) into
+            # 6 per-sample output planes and the step adds
+            # weight * sample_environment(env, dir) at the XLA level
+            # after the kernel (the wavefront loop's exact fetch,
+            # scene/textures.py). Env NEE cannot defer (the CDF
+            # inversion drives control flow in-kernel), so NEE +
+            # oversized maps stay on the wavefront loop (dispatch).
+            if cfg.use_nee:
+                raise ValueError(
+                    f"in-kernel env NEE supports maps up to "
+                    f"{ENV_VMEM_MAX_BYTES} bytes packed ({env_w}x{env_h} "
+                    f"is {et_np.nbytes}); use the wavefront integrator"
+                )
+            defer_env = True
+        else:
+            env_table = jnp.asarray(et_np)
+    env_in_kernel = use_env and not defer_env
 
     # ---- in-kernel env NEE (importance-sampled environment; wavefront
     # integrate/wavefront.py:168-183 semantics): engages when NEE is
@@ -355,7 +370,7 @@ def make_bvh_regen_render_step(
                 if mxu_lights:
                     lcdf_ref = refs[0]
                     refs = refs[1:]
-            if use_env:
+            if env_in_kernel:
                 env_ref = refs[0]
                 refs = refs[1:]
             if use_env_nee:
@@ -366,6 +381,12 @@ def make_bvh_regen_render_step(
                 aux_ref = refs[0]
                 atlas_ref = refs[1]
                 refs = refs[2:]
+            if defer_env:
+                # deferred env-miss record planes sit after the 4 color/
+                # segs outputs: (dir xyz, weight rgb) x (spp, r) rows
+                (edx_ref, edy_ref, edz_ref,
+                 ewr_ref, ewg_ref, ewb_ref) = refs[4:10]
+                refs = tuple(refs[:4]) + tuple(refs[10:])
             if stream_tris:
                 (colr_ref, colg_ref, colb_ref, segs_ref, stack_ref,
                  tbuf_ref, tsem, pf_ref) = refs[:8]
@@ -455,6 +476,11 @@ def make_bvh_regen_render_step(
                 # DMA ring starts empty (pf code 0 never matches a leaf)
                 pf_ref[0] = jnp.int32(0)
                 pf_ref[1] = jnp.int32(0)
+            if defer_env:
+                ez = jnp.zeros((spp * r, lanes), jnp.float32)
+                for _eref in (edx_ref, edy_ref, edz_ref,
+                              ewr_ref, ewg_ref, ewb_ref):
+                    _eref[...] = ez
 
             # hoisted light scalars: [v0(3) v1(3) v2(3) n(3) Le(3) cdf]
             # (unrolled small-table path only; the MXU path loads the
@@ -960,11 +986,15 @@ def make_bvh_regen_render_step(
                         tex_offs, tex_ws, tex_hs, atlas_htot, atlas_wmax,
                     )
                     diffuse = vec.mul(diffuse, texc)
-                if use_env:
+                if env_in_kernel:
                     from .imgfetch import env_fetch_rows
 
                     sky3 = env_fetch_rows(
                         env_ref[...], (dx, dy, dz), env_h, env_w)
+                elif defer_env:
+                    # miss radiance is added OUTSIDE the kernel from the
+                    # recorded (dir, weight); in-kernel contribution 0
+                    sky3 = (zero, zero, zero)
                 else:
                     sky3 = (sky[0] + zero, sky[1] + zero, sky[2] + zero)
                 emission = vec.where(miss, sky3, ke)
@@ -1340,6 +1370,18 @@ def make_bvh_regen_render_step(
                 tr = tr + wr * emission[0] * emit_w
                 tg = tg + wg * emission[1] * emit_w
                 tb = tb + wb * emission[2] * emit_w
+                if defer_env:
+                    # a miss ends its sample, so each (pixel, sample) pair
+                    # records at most once: row block si*r..si*r+r of each
+                    # plane holds sample si's (miss dir, weight)
+                    rec = miss & active
+                    for si in range(spp):
+                        m = rec & (s == si)
+                        sl = pl.ds(si * r, r)
+                        for _eref, _val in (
+                                (edx_ref, dx), (edy_ref, dy), (edz_ref, dz),
+                                (ewr_ref, wr), (ewg_ref, wg), (ewb_ref, wb)):
+                            _eref[sl, :] = jnp.where(m, _val, _eref[sl, :])
 
                 if use_nee:
                     r_sel, seed = _rand_vec(seed)
@@ -1736,7 +1778,7 @@ def make_bvh_regen_render_step(
             if mxu_lights:
                 in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
                 args.append(light_cdfb)
-        if use_env:
+        if env_in_kernel:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(env_table)
         if use_env_nee:
@@ -1765,14 +1807,23 @@ def make_bvh_regen_render_step(
                     pltpu.VMEM((2, lanes), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,)),
                 ]
-        colr, colg, colb, segs = pl.pallas_call(
+        out_specs = [blk] * 4
+        out_shapes = [
+            jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32)
+        ] * 4
+        if defer_env:
+            eblk = pl.BlockSpec((spp * rr, lanes), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+            out_specs += [eblk] * 6
+            out_shapes += [
+                jax.ShapeDtypeStruct((grid * spp * rr, lanes), jnp.float32)
+            ] * 6
+        colr, colg, colb, segs, *edefer = pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=in_specs,
-            out_specs=[blk] * 4,
-            out_shape=[
-                jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32)
-            ] * 4,
+            out_specs=out_specs,
+            out_shape=out_shapes,
             scratch_shapes=scratch,
             interpret=interpret,
         )(*args)
@@ -1787,6 +1838,25 @@ def make_bvh_regen_render_step(
             colr, colg, colb = (flat(a)[inv] for a in (colr, colg, colb))
         else:
             colr, colg, colb = (flat(a) for a in (colr, colg, colb))
+        if defer_env:
+            # deferred env-miss shading: gather the recorded (dir, weight)
+            # per (pixel, sample) and add weight * env(dir) with the
+            # wavefront loop's exact fetch (scene/textures.py). Lanes with
+            # no record carry weight 0 and a zero direction (atan2/acos of
+            # 0 are finite, so the dead records contribute exact zeros).
+            from ..scene.textures import sample_environment
+
+            def per_sample(o):
+                # block i rows [s*rr, (s+1)*rr) hold sample s -> (spp, npix)
+                o = o.reshape(grid, spp, rr, lanes).transpose(1, 0, 2, 3)
+                o = o.reshape(spp, rows_padded * lanes)[:, :npix]
+                return o[:, inv] if swz else o
+
+            sdx, sdy, sdz, swr, swg, swb = (per_sample(o) for o in edefer)
+            er, eg, eb = sample_environment(env, (sdx, sdy, sdz))
+            colr = colr + jnp.sum(swr * er, axis=0)
+            colg = colg + jnp.sum(swg * eg, axis=0)
+            colb = colb + jnp.sum(swb * eb, axis=0)
         color = jnp.stack(
             [colr.reshape(h, w), colg.reshape(h, w), colb.reshape(h, w)],
             axis=-1,

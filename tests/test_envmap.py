@@ -104,8 +104,11 @@ def test_dispatch_small_env_fuses_on_megakernel(tmp_path):
 
 def test_dispatch_env_fallbacks(tmp_path):
     """Env NEE (env-only scene under use_nee) fuses on the regen
-    megakernel since round 3 (in-kernel CDF inversion); only oversized
-    env maps still route to the wavefront integrator."""
+    megakernel since round 3 (in-kernel CDF inversion). Oversized env
+    maps route to the wavefront integrator on the BRUTE path (the small-
+    scene kernel holds the map in VMEM); the BVH regen kernel handles
+    them fused via deferred miss records since round 4 — see
+    test_bvh_megakernel_deferred_env_equivalence."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -142,6 +145,59 @@ def test_dispatch_env_fallbacks(tmp_path):
     step = select_render_step(dataclasses.replace(cfg, use_nee=True),
                               big_buffers)
     assert step.__module__ == "sfvp_tpu.integrate.wavefront"
+
+
+def _big_env_table(big_h=512, big_w=1024):
+    """An OVERSIZED equirect map (1024x512 packs to 6MB >
+    ENV_VMEM_MAX_BYTES) with non-trivial content, built directly as a
+    TextureTable so the test stays cheap."""
+    from sfvp_tpu.scene.textures import TextureTable
+
+    n = big_h * big_w
+    g = np.linspace(0.0, 1.0, n, dtype=np.float32)
+    return TextureTable(
+        tr=jnp.asarray(g),
+        tg=jnp.asarray(np.ascontiguousarray(g[::-1])),
+        tb=jnp.asarray(np.mod(g * 7.0, 1.0)),
+        off=jnp.zeros((1,), jnp.int32),
+        width=jnp.full((1,), big_w, jnp.int32),
+        height=jnp.full((1,), big_h, jnp.int32),
+    )
+
+
+def test_bvh_megakernel_deferred_env_equivalence():
+    """OVERSIZED env maps stay on the fused BVH regen kernel via DEFERRED
+    miss shading (round-4 VERDICT item 5): a miss terminates its sample,
+    so the kernel records one (dir, weight) per (pixel, sample) into
+    output planes and the step shades them with the wavefront loop's
+    exact sample_environment gather — dispatch routes there, and the
+    image matches the wavefront integrator on identical sample streams.
+    Env NEE keeps the wavefront fallback (the CDF inversion drives
+    in-kernel control flow)."""
+    import dataclasses
+
+    from sfvp_tpu.dispatch import select_render_step, select_trace_fn
+    from sfvp_tpu.scene.procedural import sphere_mesh
+
+    scene = sphere_mesh(n_lat=16, n_lon=16, bump=0.3)
+    buffers = upload(scene)._replace(env=_big_env_table())
+    cfg = RenderConfig(width=16, height=8, spp_per_step=2, max_depth=3,
+                       sampling="cosine", use_rr=True,
+                       backend="pallas", traversal="bvh")
+    step = select_render_step(cfg, buffers)
+    assert step.__module__ == "sfvp_tpu.kernels.megakernel_bvh"
+    step_nee = select_render_step(
+        dataclasses.replace(cfg, use_nee=True), buffers)
+    assert step_nee.__module__ == "sfvp_tpu.integrate.wavefront"
+
+    a = jax.jit(make_render_step(
+        cfg, buffers, trace_fn=select_trace_fn(cfg, buffers)
+    ))(init_state(8, 16))
+    b = jax.jit(step)(init_state(8, 16))
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-4, atol=1e-6
+    )
+    assert float(a.mrays) == float(b.mrays)
 
 
 def _env_equiv_case(tmp_path, make_kernel_step, n_tris, **cfg_kw):
