@@ -425,7 +425,11 @@ def select_instanced_render_step(
                  nodes=int(tl.nodes.shape[0]))
             step = make_bvh_regen_render_step(
                 cfg, flat_buffers, tl=tl, global_shape=global_shape,
-                block_rows=cfg.packet_block_rows,
+                # wider packets than the single-level kernel: the
+                # two-level per-pop scalar work (instance contexts) is
+                # heavier, so 16 rows amortize it (1.32 -> 1.57 Mrays/s
+                # on the 50-instance bench; 32 regresses to 0.98)
+                block_rows=cfg.tlas_block_rows,
             )
             return step, flat_buffers
         _dbg("wavefront(tlas packet; fused blocked)", **blockers)
