@@ -133,12 +133,12 @@ def select_render_step(
         # records come out of the kernel and one XLA gather shades them
         # (megakernel_bvh defer_env). Only env NEE (the CDF inversion
         # drives in-kernel control flow) still needs the map resident, so
-        # NEE + oversized routes to the wavefront loop; the brute regen
-        # kernel keeps the resident-only requirement.
+        # NEE + oversized routes to the wavefront loop. Both regen
+        # kernels (brute + BVH) defer.
         env_oversized = not env_fits_in_kernel(env)
     else:
         env_oversized = False
-    env_blocks_brute = env_oversized
+    env_blocks_brute = env_oversized and cfg.use_nee
     env_blocks_bvh = env_oversized and cfg.use_nee
     env_deferred = env_oversized and not cfg.use_nee
     if has_tex:
@@ -156,7 +156,8 @@ def select_render_step(
         from .kernels.imgfetch import fused_extra_vmem_bytes
 
         brute_extra = fused_extra_vmem_bytes(
-            n_lights if not many_lights else 0, env,
+            n_lights if not many_lights else 0,
+            None if env_deferred else env,
             buffers.textures if has_tex else None, cfg.use_nee)
         # scene_table is up to 27 (Tp,) f32 rows (20 base + 7 texture,
         # kernels/megakernel.py scene_table)

@@ -145,17 +145,28 @@ def make_regen_render_step(
     use_env = env is not None
     env_table = None
     env_h = env_w = 0
+    defer_env = False
     if use_env:
         from .imgfetch import ENV_VMEM_MAX_BYTES, pack_env_transposed
 
         et_np, env_h, env_w = pack_env_transposed(env)
         if et_np.nbytes > ENV_VMEM_MAX_BYTES:
-            raise ValueError(
-                f"in-kernel env sky supports maps up to "
-                f"{ENV_VMEM_MAX_BYTES} bytes packed ({env_w}x{env_h} is "
-                f"{et_np.nbytes}); use the wavefront integrator"
-            )
-        env_table = jnp.asarray(et_np)
+            # Oversized map: DEFER miss shading (same mechanism as
+            # megakernel_bvh defer_env — a miss terminates its sample, so
+            # the kernel records one (dir, weight) per (pixel, sample)
+            # and the step shades them with ONE post-kernel XLA
+            # sample_environment gather). Env NEE cannot defer (the CDF
+            # inversion drives in-kernel control flow).
+            if cfg.use_nee:
+                raise ValueError(
+                    f"in-kernel env NEE supports maps up to "
+                    f"{ENV_VMEM_MAX_BYTES} bytes packed ({env_w}x{env_h} "
+                    f"is {et_np.nbytes}); use the wavefront integrator"
+                )
+            defer_env = True
+        else:
+            env_table = jnp.asarray(et_np)
+    env_in_kernel = use_env and not defer_env
 
     # ---- in-kernel env NEE (importance-sampled environment; wavefront
     # integrate/wavefront.py:168-183 semantics): engages when NEE is
@@ -245,7 +256,7 @@ def make_regen_render_step(
                 if mxu_lights:
                     lcdf_ref = refs[0]
                     refs = refs[1:]
-            if use_env:
+            if env_in_kernel:
                 env_ref = refs[0]
                 refs = refs[1:]
             if use_env_nee:
@@ -255,7 +266,16 @@ def make_regen_render_step(
             if use_tex:
                 atlas_ref = refs[0]
                 refs = refs[1:]
-            colr_ref, colg_ref, colb_ref, segs_ref = refs
+            colr_ref, colg_ref, colb_ref, segs_ref = refs[:4]
+            if defer_env:
+                # deferred env-miss record planes: (dir xyz, weight rgb)
+                # x (spp, r) rows (megakernel_bvh defer_env layout)
+                (edx_ref, edy_ref, edz_ref,
+                 ewr_ref, ewg_ref, ewb_ref) = refs[4:]
+                ez = jnp.zeros((spp * r, lanes), jnp.float32)
+                for _eref in (edx_ref, edy_ref, edz_ref,
+                              ewr_ref, ewg_ref, ewb_ref):
+                    _eref[...] = ez
             pid = pl.program_id(0)
             frame = scal_ref[0]
             row0 = scal_ref[1]
@@ -440,11 +460,15 @@ def make_regen_render_step(
                         tex_offs, tex_ws, tex_hs, atlas_htot, atlas_wmax,
                     )
                     diffuse = vec.mul(diffuse, texc)
-                if use_env:
+                if env_in_kernel:
                     from .imgfetch import env_fetch_rows
 
                     sky3 = env_fetch_rows(
                         env_ref[...], (dx, dy, dz), env_h, env_w)
+                elif defer_env:
+                    # miss radiance added OUTSIDE the kernel from the
+                    # recorded (dir, weight); in-kernel contribution 0
+                    sky3 = (zero, zero, zero)
                 else:
                     sky3 = (sky[0] + zero, sky[1] + zero, sky[2] + zero)
                 emission = vec.where(
@@ -594,6 +618,18 @@ def make_regen_render_step(
                 tr = tr + wr * emission[0] * emit_w
                 tg = tg + wg * emission[1] * emit_w
                 tb = tb + wb * emission[2] * emit_w
+                if defer_env:
+                    # one record per (pixel, sample): a miss ends the
+                    # sample, so a masked row write per sample slot is
+                    # exact (megakernel_bvh defer_env)
+                    rec = miss & active
+                    for si in range(spp):
+                        m = rec & (s == si)
+                        sl = pl.ds(si * r, r)
+                        for _eref, _val in (
+                                (edx_ref, dx), (edy_ref, dy), (edz_ref, dz),
+                                (ewr_ref, wr), (ewg_ref, wg), (ewb_ref, wb)):
+                            _eref[sl, :] = jnp.where(m, _val, _eref[sl, :])
 
                 if use_nee:
                     r_sel, seed = _rand_vec(seed)
@@ -1022,7 +1058,7 @@ def make_regen_render_step(
             if mxu_lights:
                 in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
                 args.append(light_cdfb)
-        if use_env:
+        if env_in_kernel:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(env_table)
         if use_env_nee:
@@ -1031,21 +1067,45 @@ def make_regen_render_step(
         if use_tex:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(atlas_table)
-        colr, colg, colb, segs = pl.pallas_call(
+        out_specs = [blk] * 4
+        out_shapes = [
+            jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32)
+        ] * 4
+        if defer_env:
+            eblk = pl.BlockSpec((spp * r, lanes), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+            out_specs += [eblk] * 6
+            out_shapes += [
+                jax.ShapeDtypeStruct((grid * spp * r, lanes), jnp.float32)
+            ] * 6
+        colr, colg, colb, segs, *edefer = pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=in_specs,
-            out_specs=[blk] * 4,
-            out_shape=[
-                jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32)
-            ] * 4,
+            out_specs=out_specs,
+            out_shape=out_shapes,
             interpret=interpret,
         )(*args)
 
         flat = lambda a: a.reshape(-1)[:npix]  # noqa: E731
+        colr, colg, colb = flat(colr), flat(colg), flat(colb)
+        if defer_env:
+            # deferred env-miss shading: one coherent XLA gather over the
+            # per-sample records (the wavefront loop's exact fetch)
+            from ..scene.textures import sample_environment
+
+            def per_sample(o):
+                o = o.reshape(grid, spp, r, lanes).transpose(1, 0, 2, 3)
+                return o.reshape(spp, rows_padded * lanes)[:, :npix]
+
+            sdx, sdy, sdz, swr, swg, swb = (per_sample(o) for o in edefer)
+            er_, eg_, eb_ = sample_environment(env, (sdx, sdy, sdz))
+            colr = colr + jnp.sum(swr * er_, axis=0)
+            colg = colg + jnp.sum(swg * eg_, axis=0)
+            colb = colb + jnp.sum(swb * eb_, axis=0)
         color = jnp.stack(
-            [flat(colr).reshape(h, w), flat(colg).reshape(h, w),
-             flat(colb).reshape(h, w)], axis=-1
+            [colr.reshape(h, w), colg.reshape(h, w),
+             colb.reshape(h, w)], axis=-1
         ) / np.float32(spp)
         f = state.frame.astype(jnp.float32)
         accum = (color + state.accum * f) / (f + 1.0)

@@ -105,10 +105,9 @@ def test_dispatch_small_env_fuses_on_megakernel(tmp_path):
 def test_dispatch_env_fallbacks(tmp_path):
     """Env NEE (env-only scene under use_nee) fuses on the regen
     megakernel since round 3 (in-kernel CDF inversion). Oversized env
-    maps route to the wavefront integrator on the BRUTE path (the small-
-    scene kernel holds the map in VMEM); the BVH regen kernel handles
-    them fused via deferred miss records since round 4 — see
-    test_bvh_megakernel_deferred_env_equivalence."""
+    maps stay on BOTH fused regen kernels via deferred miss records
+    since round 4; only NEE + oversized (the CDF inversion needs the
+    map resident) still routes to the wavefront integrator."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -141,7 +140,7 @@ def test_dispatch_env_fallbacks(tmp_path):
     )
     big_buffers = buffers._replace(env=big_env)
     step = select_render_step(cfg, big_buffers)
-    assert step.__module__ == "sfvp_tpu.integrate.wavefront"
+    assert step.__module__ == "sfvp_tpu.kernels.megakernel_regen"
     step = select_render_step(dataclasses.replace(cfg, use_nee=True),
                               big_buffers)
     assert step.__module__ == "sfvp_tpu.integrate.wavefront"
@@ -193,6 +192,26 @@ def test_bvh_megakernel_deferred_env_equivalence():
     a = jax.jit(make_render_step(
         cfg, buffers, trace_fn=select_trace_fn(cfg, buffers)
     ))(init_state(8, 16))
+    b = jax.jit(step)(init_state(8, 16))
+    np.testing.assert_allclose(
+        np.asarray(a.accum), np.asarray(b.accum), rtol=1e-4, atol=1e-6
+    )
+    assert float(a.mrays) == float(b.mrays)
+
+
+def test_brute_megakernel_deferred_env_equivalence(cornell_buffers):
+    """Same deferred-miss mechanism on the BRUTE regen megakernel
+    (small scenes + oversized skies): routes fused and matches the jnp
+    wavefront integrator."""
+    from sfvp_tpu.dispatch import select_render_step
+
+    buffers = cornell_buffers._replace(env=_big_env_table())
+    cfg = RenderConfig(width=16, height=8, spp_per_step=2, max_depth=3,
+                       sampling="cosine", backend="pallas",
+                       traversal="brute")
+    step = select_render_step(cfg, buffers)
+    assert step.__module__ == "sfvp_tpu.kernels.megakernel_regen"
+    a = jax.jit(make_render_step(cfg, buffers))(init_state(8, 16))
     b = jax.jit(step)(init_state(8, 16))
     np.testing.assert_allclose(
         np.asarray(a.accum), np.asarray(b.accum), rtol=1e-4, atol=1e-6
