@@ -217,19 +217,23 @@ def make_two_level_trace(
                         jnp.minimum(jnp.maximum(tz0, tz1), limit),
                     )
                     hit = tnear <= tfar
+                    # any-lane-hit derived from the min key (hit lanes
+                    # give finite tnear) — one cross-lane reduction per
+                    # child instead of two, bitwise-identical
+                    key = jnp.min(jnp.where(hit, tnear, jnp.float32(np.inf)))
+                    any_hit = key < INF
                     if smem_nodes:
                         child0 = ccodes[ci]
-                        push = (child0 != 0) & jnp.any(hit)
+                        push = (child0 != 0) & any_hit
                         child = child0
                     else:
                         tag = sc[56 + ci]
                         ref = sc[48 + ci].astype(jnp.int32)
-                        push = (tag > 0.5) & jnp.any(hit)
+                        push = (tag > 0.5) & any_hit
                         child = jnp.where(
                             tag > 2.5, -(_IB + ref + 1),
                             jnp.where(tag > 1.5, -(ref + 1), ref + 1),
                         )
-                    key = jnp.min(jnp.where(hit, tnear, jnp.float32(np.inf)))
                     keys.append(jnp.where(push, key, jnp.float32(-np.inf)))
                     codes.append(jnp.where(push, child, jnp.int32(0)))
 

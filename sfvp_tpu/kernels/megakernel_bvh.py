@@ -793,11 +793,16 @@ def make_bvh_regen_render_step(
                                 keys.append(ckey)
                                 codes.append(code_c0)
                             else:
-                                push = (code_c0 != 0) & jnp.any(hit)
                                 key = jnp.min(
                                     jnp.where(hit, tnear,
                                               jnp.float32(np.inf))
                                 )
+                                # any-lane-hit derived from the key (hit
+                                # lanes give finite tnear: slopes capped
+                                # at 1e30 by safe_inv, tfar <= limit) —
+                                # saves a second full cross-lane
+                                # reduction per child, bitwise-identical
+                                push = (code_c0 != 0) & (key < INF)
                                 keys.append(
                                     jnp.where(push, key,
                                               jnp.float32(-np.inf))
