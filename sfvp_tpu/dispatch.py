@@ -57,11 +57,31 @@ def _resolve(cfg: RenderConfig, buffers):
     return backend, traversal
 
 
+def _guard_jnp_bvh_on_tpu() -> None:
+    """The XLA-compiled threaded-BVH dynamic-gather while_loop FAULTS the
+    TPU backend on large scenes (measured twice, docs/ROADMAP.md "KNOWN
+    BACKEND ISSUE") and a faulted chip stays wedged for ~30 min. Default
+    dispatch never routes there on TPU; refuse the explicit override
+    with a clear message instead of wedging the user's chip."""
+    import os
+
+    if _on_tpu() and os.environ.get("SFVP_ALLOW_JNP_BVH_ON_TPU", "") in (
+            "", "0"):
+        raise ValueError(
+            "backend='jnp' + traversal='bvh' faults the TPU backend on "
+            "large scenes (XLA dynamic-gather while_loop; see "
+            "docs/ROADMAP.md). Use backend='pallas' (the default on TPU) "
+            "or run the jnp oracle on CPU; set "
+            "SFVP_ALLOW_JNP_BVH_ON_TPU=1 to override anyway."
+        )
+
+
 def select_trace_fn(cfg: RenderConfig, buffers) -> Callable:
     """Trace-function-level dispatch (used by the jnp integrator)."""
     backend, traversal = _resolve(cfg, buffers)
     if traversal == "brute":
         return trace_brute_jnp
+    _guard_jnp_bvh_on_tpu()
     from .accel import build_bvh
     from .kernels.bvh_traverse import make_trace_bvh_jnp
 

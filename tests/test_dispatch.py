@@ -129,6 +129,21 @@ def test_nee_light_count_routing():
     assert step.__module__ == "sfvp_tpu.integrate.wavefront"
 
 
+def test_jnp_bvh_on_tpu_refused(monkeypatch):
+    """Explicit backend=jnp + traversal=bvh on a real TPU faults the chip
+    (docs/ROADMAP.md KNOWN BACKEND ISSUE) — dispatch must refuse with a
+    clear error instead of wedging it; SFVP_ALLOW_JNP_BVH_ON_TPU=1
+    overrides."""
+    import sfvp_tpu.dispatch as dispatch
+
+    monkeypatch.setattr(dispatch, "_on_tpu", lambda: True)
+    cfg = RenderConfig(backend="jnp", traversal="bvh")
+    with pytest.raises(ValueError, match="faults the TPU"):
+        select_trace_fn(cfg, _buffers(64))
+    monkeypatch.setenv("SFVP_ALLOW_JNP_BVH_ON_TPU", "1")
+    assert callable(select_trace_fn(cfg, _buffers(64)))
+
+
 def test_nee_spp_chunk_stays_fused():
     """NEE with folded sample waves (spp_chunk > 1) routes to the fused
     BVH regen kernel since round 4: the round-3 wavefront preference
