@@ -60,6 +60,7 @@ def make_bvh_regen_render_step(
     smem_codes: Optional[bool] = None,
     smem_boxes: Optional[bool] = None,
     fast_node: bool = False,
+    shadow_sort: int = 0,
     tl=None,
 ):
     """render_step(state, row0) -> state. Whole spp per kernel call, BVH
@@ -833,6 +834,22 @@ def make_bvh_regen_render_step(
                             cb = jnp.where(swap, codes[a], codes[b])
                             keys[a], keys[b] = ka, kb
                             codes[a], codes[b] = ca, cb
+                        # shadow_sort: sensitivity probe knob
+                        # (benchmarks/probe_sort_shadow.py). Each extra
+                        # pass re-sorts the already-descending lists —
+                        # every comparator's strict `<` is False, so the
+                        # pass is the identity and the traversal stays
+                        # bitwise-identical while the network's scalar op
+                        # count multiplies by (1 + shadow_sort).
+                        for _ in range(shadow_sort):
+                            for a, b in net:
+                                swap = keys[a] < keys[b]
+                                ka = jnp.where(swap, keys[b], keys[a])
+                                kb = jnp.where(swap, keys[a], keys[b])
+                                ca = jnp.where(swap, codes[b], codes[a])
+                                cb = jnp.where(swap, codes[a], codes[b])
+                                keys[a], keys[b] = ka, kb
+                                codes[a], codes[b] = ca, cb
                         spn = sp
                         for ci in range(8):
                             code_c = codes[ci]
