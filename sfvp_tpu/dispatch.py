@@ -290,6 +290,14 @@ def select_render_step(
             return make_bvh_regen_render_step(
                 cfg, buffers, wide=wide, global_shape=global_shape,
                 block_rows=cfg.packet_block_rows, stream_tris=fused_stream,
+                # SMEM leaf ring: the per-leaf-pop scalar chain (dynamic
+                # VMEM row load + 128 lane extracts, ~191 ns/pop) becomes
+                # free SMEM scalar loads behind the same peek-prefetch
+                # ring. Measured bitwise-identical and faster on every
+                # workload class: Cornell 1.22x, 100k GI 1.14x, streamed
+                # 500k 1.28x, textured streamed 1.51x
+                # (benchmarks/results/PROBE_SMEM_LEAF_AB_r04.json).
+                smem_leaf=True,
             )
         _dbg("wavefront(packet kernels)", tris=t, lights=n_lights,
              stream=stream, prefer_wavefront=prefer_wavefront,

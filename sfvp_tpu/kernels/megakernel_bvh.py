@@ -59,6 +59,7 @@ def make_bvh_regen_render_step(
     stream_tris: bool = False,
     smem_codes: Optional[bool] = None,
     smem_boxes: Optional[bool] = None,
+    smem_leaf: bool = False,
     fast_node: bool = False,
     shadow_sort: int = 0,
     tl=None,
@@ -80,6 +81,22 @@ def make_bvh_regen_render_step(
     row load on the pop chain, 48 scalar loads instead of 48 lane
     extracts. Requires smem_codes (no tag/ref decode without it);
     None = auto (on when codes+boxes fit the SMEM budget).
+
+    smem_leaf: route the popped leaf's 128-lane tri row (+ aux row when
+    textured) through a 2-slot SMEM ring so the 16 per-tri scalars come
+    from SMEM scalar loads — measured FREE on v5e (they dual-issue with
+    the consuming scalar math) — instead of the dynamic VMEM row load +
+    128 lane extracts (~191 ns per leaf pop; both sides measured in
+    benchmarks/micro_leaf_cost.py, PROBE_LEAF_SMEM_r04.json). The ring
+    reuses the stream_tris prefetch discipline (next-leaf DMA issued
+    behind the current pop's 8 intersection tests, 70-78% leaf->leaf
+    adjacency) with SMEM as the copy destination; works for resident
+    (VMEM->SMEM) and streamed (HBM->SMEM) tri rows alike. Measured
+    (PROBE_SMEM_LEAF_AB_r04.json): Cornell 1.22x, 100k GI 1.14x,
+    streamed 500k 1.28x, textured streamed 1.51x — dispatch enables it
+    for the single-level kernel; the two-level (tl=) kernel measured
+    14% SLOWER (instance-context work dominates its pops) so instanced
+    dispatch keeps the extract path.
 
     tl: an accel.tlas.TwoLevelBVH makes this the FUSED INSTANCED kernel:
     the per-bounce traversal is the two-level (TLAS over shared BLASes)
@@ -158,6 +175,10 @@ def make_bvh_regen_render_step(
                 np.asarray(wide.nodes)[:, :48]).reshape(-1))
         stack_n = int(wide.max_stack)
         wide_aux = wide.tris_aux
+
+    # the 2-slot leaf DMA ring exists for streamed rows (HBM source) and
+    # for smem_leaf (SMEM destination); same prefetch state machine.
+    use_ring = stream_tris or smem_leaf
 
     gh, gw = global_shape if global_shape is not None else (cfg.height, cfg.width)
     spp = cfg.spp_per_step
@@ -388,16 +409,18 @@ def make_bvh_regen_render_step(
                 (edx_ref, edy_ref, edz_ref,
                  ewr_ref, ewg_ref, ewb_ref) = refs[4:10]
                 refs = tuple(refs[:4]) + tuple(refs[10:])
-            if stream_tris:
+            if two_level:
                 (colr_ref, colg_ref, colb_ref, segs_ref, stack_ref,
-                 tbuf_ref, tsem, pf_ref) = refs[:8]
-                if use_tex:
-                    abuf_ref, asem = refs[8:]
-            elif two_level:
-                (colr_ref, colg_ref, colb_ref, segs_ref, stack_ref,
-                 istack_ref, ctx_ref, prevctx_ref) = refs
+                 istack_ref, ctx_ref, prevctx_ref) = refs[:8]
+                refs = refs[8:]
             else:
-                colr_ref, colg_ref, colb_ref, segs_ref, stack_ref = refs
+                (colr_ref, colg_ref, colb_ref, segs_ref,
+                 stack_ref) = refs[:5]
+                refs = refs[5:]
+            if use_ring:
+                tbuf_ref, tsem, pf_ref = refs[:3]
+                if use_tex:
+                    abuf_ref, asem = refs[3:5]
 
             def inst_scalars(i, lo, hi):
                 """Instance-row fields [lo:hi) for instance i (SMEM flat
@@ -422,25 +445,36 @@ def make_bvh_regen_render_step(
                     ).start()
 
             def load_leaf_rows(code, sp):
-                """The popped leaf's 128-lane triangle row (+ parallel
-                uv/texid row when textured): direct VMEM reads when
-                resident; when streaming, a 2-slot HBM->VMEM DMA ring.
-                The row was usually prefetched by the PREVIOUS leaf pop
-                (issued before its 8 intersection tests, which hide the
-                DMA), and this pop starts the ring's next prefetch when
-                the stack top is another leaf — guaranteed to be the next
-                pop, since leaf pops push nothing (70-78% of leaf pops on
-                the 500k wave, sim_packets.py w1024_leaf_leaf_adj_frac;
-                the round-2 blocking fetch measured 35% of the streamed
-                step, benchmarks/probe_stream_overlap.py). pf_ref holds
+                """The popped leaf's 16 x 8 triangle scalars (+ parallel
+                uv/texid scalars when textured), as two 128-long lists.
+                Resident + no smem_leaf: direct VMEM row read + lane
+                extracts. With the ring (stream_tris and/or smem_leaf):
+                a 2-slot DMA ring — HBM or VMEM source, VMEM (stream) or
+                SMEM (smem_leaf) destination; under smem_leaf the
+                scalars come from SMEM scalar loads, which are FREE on
+                v5e (dual-issue with the consuming scalar math,
+                PROBE_LEAF_SMEM_r04.json), vs ~191 ns for the row load +
+                extract chain. The row was usually prefetched by the
+                PREVIOUS leaf pop (issued before its 8 intersection
+                tests, which hide the DMA), and this pop starts the
+                ring's next prefetch when the stack top is another
+                leaf — guaranteed to be the next pop, since leaf pops
+                push nothing (70-78% of leaf pops on the 500k wave,
+                sim_packets.py w1024_leaf_leaf_adj_frac; the round-2
+                blocking fetch measured 35% of the streamed step,
+                benchmarks/probe_stream_overlap.py). pf_ref holds
                 (prefetched stack code | 0, its slot); an outstanding
                 prefetch is always consumed by the very next pop, so no
                 drain is needed at loop exit."""
                 lrow = jnp.maximum(-code - 1, 0)
-                if not stream_tris:
+                if not use_ring:
                     trow = tris_ref[pl.ds(lrow, 1), :]
-                    arow = aux_ref[pl.ds(lrow, 1), :] if use_tex else None
-                    return trow, arow
+                    tsc = [trow[0, cc] for cc in range(128)]
+                    asc = None
+                    if use_tex:
+                        arow = aux_ref[pl.ds(lrow, 1), :]
+                        asc = [arow[0, cc] for cc in range(128)]
+                    return tsc, asc
                 have = pf_ref[0] == code
                 cur = jnp.where(have, pf_ref[1], 1 - pf_ref[1])
 
@@ -450,6 +484,13 @@ def make_bvh_regen_render_step(
 
                 top = stack_ref[jnp.maximum(sp - 1, 0)]
                 can_pf = (sp > 0) & (top < 0)
+                if two_level:
+                    # a negative stack entry may be an INSTANCE record
+                    # (-top-1 >= _IB), whose decode is NOT a tri row —
+                    # prefetching it would DMA out of tris bounds (device
+                    # abort) and never be consumed (inst_fn pops bypass
+                    # load_leaf_rows, leaking the ring semaphore)
+                    can_pf = can_pf & (-top - 1 < _IB)
 
                 @pl.when(can_pf)
                 def _():
@@ -461,19 +502,27 @@ def make_bvh_regen_render_step(
                     tris_ref.at[pl.ds(lrow, 1), :],
                     tbuf_ref.at[pl.ds(cur, 1), :], tsem.at[cur],
                 ).wait()
-                trow = tbuf_ref[pl.ds(cur, 1), :]
-                arow = None
+                if smem_leaf:
+                    tsc = [tbuf_ref[cur, cc] for cc in range(128)]
+                else:
+                    trow = tbuf_ref[pl.ds(cur, 1), :]
+                    tsc = [trow[0, cc] for cc in range(128)]
+                asc = None
                 if use_tex:
                     pltpu.make_async_copy(
                         aux_ref.at[pl.ds(lrow, 1), :],
                         abuf_ref.at[pl.ds(cur, 1), :], asem.at[cur],
                     ).wait()
-                    arow = abuf_ref[pl.ds(cur, 1), :]
-                return trow, arow
+                    if smem_leaf:
+                        asc = [abuf_ref[cur, cc] for cc in range(128)]
+                    else:
+                        arow = abuf_ref[pl.ds(cur, 1), :]
+                        asc = [arow[0, cc] for cc in range(128)]
+                return tsc, asc
             pid = pl.program_id(0)
             frame = scal_ref[0]
             row0 = scal_ref[1]
-            if stream_tris:
+            if use_ring:
                 # DMA ring starts empty (pf code 0 never matches a leaf)
                 pf_ref[0] = jnp.int32(0)
                 pf_ref[1] = jnp.int32(0)
@@ -867,10 +916,8 @@ def make_bvh_regen_render_step(
                     def leaf_fn(args):
                         bt, bu, bv, pay = args
                         pay = list(pay)
-                        trow, arow = load_leaf_rows(code, sp)
-                        tsc = [trow[0, cc] for cc in range(128)]
+                        tsc, asc = load_leaf_rows(code, sp)
                         if use_tex:
-                            asc = [arow[0, cc] for cc in range(128)]
                             if two_level:
                                 # instance base into the flattened merged
                                 # texture pool (bvh_tlas.py leaf_fn; the
@@ -1240,8 +1287,7 @@ def make_bvh_regen_render_step(
                             return (spn, occ)
 
                         def leaf_fn(occ):
-                            trow, _ = load_leaf_rows(code, sp)
-                            tsc = [trow[0, cc] for cc in range(128)]
+                            tsc, _ = load_leaf_rows(code, sp)
                             for k in range(8):
                                 base = 16 * k
                                 t0x = tsc[base + 0]
@@ -1818,15 +1864,16 @@ def make_bvh_regen_render_step(
             # instance-space ray cache: 9 (r, 128) planes + prev context
             scratch.append(pltpu.VMEM((9 * rr, lanes), jnp.float32))
             scratch.append(pltpu.SMEM((1,), jnp.int32))
-        if stream_tris:
+        if use_ring:
+            ring_space = pltpu.SMEM if smem_leaf else pltpu.VMEM
             scratch += [
-                pltpu.VMEM((2, lanes), jnp.float32),   # 2-slot DMA ring
+                ring_space((2, lanes), jnp.float32),   # 2-slot DMA ring
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SMEM((2,), jnp.int32),           # (pf code|0, slot)
             ]
             if use_tex:
                 scratch += [
-                    pltpu.VMEM((2, lanes), jnp.float32),
+                    ring_space((2, lanes), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,)),
                 ]
         out_specs = [blk] * 4

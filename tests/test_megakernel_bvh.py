@@ -418,6 +418,26 @@ def test_bvh_regen_mis_glossy_equivalence():
     )
 
 
+def test_bvh_regen_smem_leaf_matches(buffers):
+    """smem_leaf on == off, bitwise, resident AND streamed: the 2-slot
+    SMEM leaf-row ring + scalar loads reads the exact same 128 floats the
+    dynamic VMEM row load + lane extracts did, so traversal and shading
+    are unchanged. NEE+MIS exercises BOTH leaf-pop sites (closest-hit and
+    any-hit shadow); textured + two-level rings are pinned by
+    test_textures.py / test_tlas.py smem_leaf params."""
+    cfg = RenderConfig(width=16, height=8, spp_per_step=2, max_depth=3,
+                       sampling="cosine", use_nee=True, use_mis=True)
+    for stream in (False, True):
+        outs = []
+        for sl in (False, True):
+            st = make_bvh_regen_render_step(
+                cfg, buffers, interpret=True, stream_tris=stream,
+                smem_leaf=sl,
+            )(init_state(8, 16))
+            outs.append(np.asarray(st.accum))
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_bvh_regen_smem_boxes_matches(buffers):
     """smem_boxes on == off, bitwise: the flat SMEM box table holds the
     exact node-row scalars (nodes[:, :48]), so traversal order, culling

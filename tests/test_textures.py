@@ -332,11 +332,16 @@ def test_bvh_megakernel_texture_equivalence():
     from sfvp_tpu.kernels.megakernel_bvh import make_bvh_regen_render_step
 
     buffers = _multi_tex_buffers()
-    for kw, stream in ((dict(), False),
-                       (dict(use_nee=True, use_mis=True,
-                             sampling="cosine"), False),
-                       (dict(use_nee=True, use_mis=True,
-                             sampling="cosine"), True)):
+    # (cfg kwargs, stream_tris, smem_leaf) — the smem_leaf rows pin the
+    # SMEM leaf ring's parallel AUX (uv/texid) ring bitwise against the
+    # lane-extract path on both resident and streamed sources.
+    for kw, stream, sl in ((dict(), False, False),
+                           (dict(use_nee=True, use_mis=True,
+                                 sampling="cosine"), False, True),
+                           (dict(use_nee=True, use_mis=True,
+                                 sampling="cosine"), True, False),
+                           (dict(use_nee=True, use_mis=True,
+                                 sampling="cosine"), True, True)):
         cfg = RenderConfig(width=16, height=16, spp_per_step=4,
                            max_depth=4, **kw)
         wave = make_render_step(
@@ -344,7 +349,7 @@ def test_bvh_megakernel_texture_equivalence():
             global_shape=(16, 16))
         kern = make_bvh_regen_render_step(
             cfg, buffers, global_shape=(16, 16), interpret=True,
-            stream_tris=stream)
+            stream_tris=stream, smem_leaf=sl)
         st = init_state(16, 16)
         a = np.asarray(wave(st).accum)
         b = np.asarray(kern(st).accum)

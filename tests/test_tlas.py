@@ -303,6 +303,13 @@ def test_fused_two_level_regen_matches_wavefront():
     np.testing.assert_allclose(
         np.asarray(a.accum), np.asarray(b.accum), rtol=1e-5, atol=1e-7)
     assert float(a.mrays) == float(b.mrays)
+    # smem_leaf through the two-level kernel: the SMEM leaf ring must be
+    # bitwise-identical to the lane-extract path (BLAS leaf rows are the
+    # same 128 floats either way)
+    c = jax.jit(make_bvh_regen_render_step(cfg, flat, tl=tl, smem_leaf=True,
+                                           interpret=True))(
+        init_state(16, 16))
+    np.testing.assert_array_equal(np.asarray(b.accum), np.asarray(c.accum))
 
 
 def test_fused_two_level_regen_nee_mis_matches_wavefront():
