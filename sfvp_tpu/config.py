@@ -152,11 +152,21 @@ class RenderConfig:
 
     # fields that affect the accumulated image (whitelist — execution knobs
     # like backend/traversal/block sizes/sorting never change the estimate).
-    # spp_chunk stays: sample streams are chunk-layout dependent.
+    # spp_chunk is an execution knob since round 5: per-sample streams are
+    # derived from (pixel, global sample index), so folding samples into
+    # waves is chunk-layout INVARIANT up to f32 summation order
+    # (test_spp_chunk_invariance) and dispatch may auto-tune it
+    # (dispatch._auto_chunk_cfg). config_hash hashes the constant 1 in its
+    # place so every default-chunk hash (goldens, existing checkpoints)
+    # stays stable; checkpoints written with spp_chunk>1 under older
+    # versions hash differently and refuse resume — correct, since their
+    # accumulated bits depend on the old chunked summation order (the
+    # round-4 fused re-route of chunked-NEE configs already changed those
+    # bits once, see docs/ROADMAP.md).
     _IMAGE_FIELDS = (
         "width", "height", "spp_per_step", "max_depth", "t_min", "t_max",
         "sky_emission", "camera", "sampling", "use_nee", "use_rr",
-        "rr_start_depth", "spp_chunk",
+        "rr_start_depth",
     )
     # image-affecting fields added AFTER v1: hashed only when non-default,
     # so hashes of configs that do not use them are stable across versions
@@ -168,6 +178,10 @@ class RenderConfig:
         stored in checkpoints so resume can refuse a mismatched config."""
         d = dataclasses.asdict(self)
         keep = {k: d[k] for k in self._IMAGE_FIELDS}
+        # legacy constant: v1 hashed spp_chunk; pinning 1 here keeps every
+        # default-chunk hash bit-stable now that the field is an
+        # execution knob (see _IMAGE_FIELDS comment)
+        keep["spp_chunk"] = 1
         for k in self._IMAGE_FIELDS_OPT:
             if d[k] != getattr(type(self), k):
                 keep[k] = d[k]

@@ -45,6 +45,39 @@ def _dbg(choice: str, **why) -> None:
               file=sys.stderr, flush=True)
 
 
+_AUTO_CHUNK_MAX = 8          # measured-best fold (probe: 1.29x, textured
+                             # 100k at 256^2x8spp — docs/ROADMAP.md)
+_AUTO_CHUNK_WAVE_CAP = 1 << 22  # rays per wave: past ~4M the sorts and
+                                # launches are already amortized and the
+                                # live SoA planes start to cost real HBM
+
+
+def _auto_chunk_cfg(cfg: RenderConfig) -> RenderConfig:
+    """Auto-tune spp_chunk for wavefront-loop routes (pallas backends
+    only, so the CPU/jnp oracle routes stay bitwise-stable for goldens).
+    Folding samples into one wave amortizes the per-wave bounce sorts and
+    kernel launches; sample streams are derived from the GLOBAL sample
+    index so the image is chunk-invariant up to f32 summation order
+    (test_spp_chunk_invariance) and spp_chunk is not hashed. Only engages
+    from the default (an explicit spp_chunk > 1 is the user's choice)."""
+    import dataclasses
+
+    if cfg.spp_chunk != 1 or cfg.spp_per_step == 1:
+        return cfg
+    pixels = max(1, cfg.height * cfg.width)
+    cap = min(_AUTO_CHUNK_MAX, _AUTO_CHUNK_WAVE_CAP // pixels,
+              cfg.spp_per_step)
+    best = 1
+    for c in range(2, cap + 1):
+        if cfg.spp_per_step % c == 0:
+            best = c
+    if best == 1:
+        return cfg
+    _dbg("auto spp_chunk", chunk=best, pixels=pixels,
+         spp=cfg.spp_per_step)
+    return dataclasses.replace(cfg, spp_chunk=best)
+
+
 def _resolve(cfg: RenderConfig, buffers):
     backend = cfg.backend
     if backend == "auto":
@@ -65,8 +98,10 @@ def _guard_jnp_bvh_on_tpu() -> None:
     with a clear message instead of wedging the user's chip."""
     import os
 
-    if _on_tpu() and os.environ.get("SFVP_ALLOW_JNP_BVH_ON_TPU", "") in (
-            "", "0"):
+    allow = os.environ.get("SFVP_ALLOW_JNP_BVH_ON_TPU", "")
+    # explicit allowlist: anything else ("false", "no", typos...) must
+    # NOT silently enable the chip-wedging path
+    if _on_tpu() and allow.strip().lower() not in ("1", "true", "yes"):
         raise ValueError(
             "backend='jnp' + traversal='bvh' faults the TPU backend on "
             "large scenes (XLA dynamic-gather while_loop; see "
@@ -192,6 +227,7 @@ def select_render_step(
              tex_blocks_fused=tex_blocks_fused,
              env_blocks_fused=env_blocks_brute,
              brute_over_budget=brute_over_budget)
+        cfg = _auto_chunk_cfg(cfg)
         return make_render_step(
             cfg, buffers, trace_fn=select_trace_fn(cfg, buffers),
             global_shape=global_shape,
@@ -304,6 +340,7 @@ def select_render_step(
              fused_over_budget=fused_over_budget,
              env_blocks_fused=env_blocks_bvh,
              tex_blocks_fused=tex_blocks_fused)
+        cfg = _auto_chunk_cfg(cfg)
         return make_render_step(
             cfg, buffers, global_shape=global_shape,
             **packet_trace_kwargs(cfg, wide, stream=stream),
@@ -418,8 +455,10 @@ def _instanced_fused_blockers(cfg: RenderConfig, flat_buffers, tl) -> dict:
         else None, cfg.use_nee)
     resident = tl.tris.nbytes + (
         tl.tris_aux.nbytes if tl.tris_aux is not None else 0) + extra
-    if not _smem_fits(tl):
-        resident += tl.nodes.nbytes + tl.inst.nbytes
+    # n_extra_inst=1: the fused kernel appends an identity world row
+    # before making its own SMEM decision — budget the same tl it sees
+    if not _smem_fits(tl, n_extra_inst=1):
+        resident += tl.nodes.nbytes + tl.inst.nbytes + 128 * 4
     if resident > cfg.vmem_scene_budget:
         blockers["fused_over_budget"] = resident
     return blockers
@@ -464,6 +503,7 @@ def select_instanced_render_step(
         _dbg("wavefront(tlas packet; fused blocked)", **blockers)
         kwargs, flat_buffers = instanced_wavefront_kwargs(
             cfg, instances, _prebuilt=(flat_buffers, tl))
+        cfg = _auto_chunk_cfg(cfg)
     else:
         kwargs, flat_buffers = instanced_wavefront_kwargs(
             cfg, instances, _prebuilt=(flat_buffers, None))

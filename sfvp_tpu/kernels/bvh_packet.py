@@ -218,10 +218,13 @@ def make_packet_trace(
                     )
                     hit = tnear <= tfar
                     # packet entry distance: min tnear over lanes that hit;
-                    # any-lane-hit is derived from it (hit lanes give
-                    # finite tnear — safe_inv caps slopes at 1e30, tfar <=
-                    # limit), saving a second full cross-lane reduction
-                    # per child, bitwise-identical
+                    # any-lane-hit is derived from it, saving a second full
+                    # cross-lane reduction per child. Identical to
+                    # jnp.any(hit) whenever hit lanes give finite tnear —
+                    # true for finite t_max and coordinates below ~3e8
+                    # (safe_inv caps slopes at 1e30; past that, slab
+                    # products can overflow to +inf and a hit=True lane
+                    # with tnear=+inf would be skipped here)
                     key = jnp.min(jnp.where(hit, tnear, jnp.float32(np.inf)))
                     any_hit = key < INF
                     if smem_codes:

@@ -59,9 +59,12 @@ def _smem_tables(tl: TwoLevelBVH):
     return boxes, codes.reshape(-1), inst_flat
 
 
-def _smem_fits(tl: TwoLevelBVH) -> bool:
+def _smem_fits(tl: TwoLevelBVH, n_extra_inst: int = 0) -> bool:
+    """n_extra_inst: instance rows a caller will append BEFORE building
+    (the fused kernel adds one identity world row) — dispatch gates must
+    budget them or the kernel lands the tables in VMEM unbudgeted."""
     n_nodes = int(np.asarray(tl.nodes).shape[0])
-    n_inst = int(np.asarray(tl.inst).shape[0])
+    n_inst = int(np.asarray(tl.inst).shape[0]) + int(n_extra_inst)
     return (n_nodes * (48 + 8) * 4 + n_inst * 128 * 4
             <= SMEM_BOXES_MAX_BYTES)
 

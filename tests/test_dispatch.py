@@ -191,3 +191,63 @@ def test_fused_combined_vmem_budget_routes_wavefront():
     step = select_render_step(
         RenderConfig(vmem_scene_budget=nodes_bytes + 64 * 1024, **kw), bufs)
     assert step.__module__ == "sfvp_tpu.integrate.wavefront"
+
+
+def test_auto_spp_chunk_picks_fold_for_wavefront_routes():
+    """Round 5: spp_chunk is an execution knob (streams are chunk-layout
+    invariant) so pallas wavefront-loop routes auto-tune it — the
+    measured 1.29x textured-scene fold no longer needs --spp-chunk."""
+    from sfvp_tpu.dispatch import _auto_chunk_cfg
+
+    # small frame: largest divisor of spp <= 8
+    assert _auto_chunk_cfg(
+        RenderConfig(width=256, height=256, spp_per_step=8)).spp_chunk == 8
+    # non-power-of-two spp: largest divisor <= 8 of 12 is 6
+    assert _auto_chunk_cfg(
+        RenderConfig(width=256, height=256, spp_per_step=12)).spp_chunk == 6
+    # an explicit user chunk is respected
+    cfg = RenderConfig(width=256, height=256, spp_per_step=8, spp_chunk=2)
+    assert _auto_chunk_cfg(cfg).spp_chunk == 2
+    # high-res frames cap the wave (2048^2 pixels fills the cap alone)
+    assert _auto_chunk_cfg(
+        RenderConfig(width=2048, height=2048, spp_per_step=8)).spp_chunk == 1
+    # nothing to fold at spp 1
+    assert _auto_chunk_cfg(
+        RenderConfig(width=64, height=64, spp_per_step=1)).spp_chunk == 1
+
+
+def test_spp_chunk_is_not_image_affecting_in_hash():
+    """config_hash no longer depends on spp_chunk (round 5); default-chunk
+    hashes are bit-stable vs v1 (test_mis pins the literal)."""
+    import dataclasses
+
+    base = RenderConfig()
+    chunked = dataclasses.replace(base, spp_chunk=8)
+    assert base.config_hash() == chunked.config_hash()
+
+
+def test_wavefront_route_applies_auto_chunk(monkeypatch):
+    """The pallas->wavefront fallback routes pass through _auto_chunk_cfg
+    (here: many-lights NEE knocks a brute config off the fused kernel)."""
+    import sfvp_tpu.dispatch as dispatch
+    import sfvp_tpu.kernels.imgfetch as imgfetch
+
+    calls = []
+    real = dispatch._auto_chunk_cfg
+    monkeypatch.setattr(
+        dispatch, "_auto_chunk_cfg",
+        lambda cfg: (calls.append(cfg.spp_chunk), real(cfg))[1])
+    monkeypatch.setattr(imgfetch, "MAX_KERNEL_LIGHTS", 2)
+    g = np.random.default_rng(3)
+    n = 64
+    tris = (g.uniform(-5, 5, (n, 1, 3))
+            + g.normal(0, 0.5, (n, 3, 3))).astype(np.float32)
+    z = np.zeros((n, 3), np.float32)
+    ke = np.zeros((n, 3), np.float32)
+    ke[:4] = 2.0
+    bufs = from_arrays(tris, z, ke)
+    cfg = RenderConfig(backend="pallas", traversal="brute", use_nee=True,
+                       width=16, height=16, spp_per_step=8)
+    step = select_render_step(cfg, bufs)
+    assert callable(step)
+    assert calls == [1]

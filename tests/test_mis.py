@@ -118,6 +118,9 @@ def test_mis_config_hash_stability():
 
     d = dataclasses.asdict(base)
     keep = {k: d[k] for k in RenderConfig._IMAGE_FIELDS}
+    # v1 hashed spp_chunk; since round 5 it is an execution knob and
+    # config_hash pins the constant 1 in its place (config.py)
+    keep["spp_chunk"] = 1
     # camera fields added after v1 (DOF) are stripped at their defaults,
     # exactly as config_hash does
     keep["camera"] = {
