@@ -111,13 +111,14 @@ class RenderConfig:
     # packet size (rows x 128 rays) for the BVH packet-traversal kernel;
     # smaller packets cull better, larger ones amortize node loads.
     packet_block_rows: int = 8
-    # packet rows for the TWO-LEVEL (instanced) fused regen kernel: its
-    # per-pop scalar work is heavier (instance contexts, 9 cached ray
-    # planes), so wider packets amortize it — measured 1.32/1.57/0.98
-    # Mrays/s at 8/16/32 rows on the 50-instance bench (round 4); the
-    # single-level kernel regresses at 16 (8.56 vs ~9.6) and keeps 8.
-    # Execution knob: never changes the image.
-    tlas_block_rows: int = 16
+    # packet rows for the TWO-LEVEL (instanced) fused regen kernel.
+    # Round 4 preferred 16 (1.32/1.57/0.98 at 8/16/32) because the
+    # per-leaf-pop scalar work was heavy; round 5's deferred instance
+    # transform + SMEM leaf ring stripped that chain and 8 rows win
+    # again (1.857 vs 1.740 Mrays/s at 8 vs 16 on the 50-instance
+    # bench, benchmarks/probe_tlas_ctx.py). Execution knob: never
+    # changes the image.
+    tlas_block_rows: int = 8
     # pixel-tile swizzle for packet coherence: a packet then covers a
     # compact tile_size x tile_size screen region instead of a full image
     # row (measured 5.6x on the 100k-tri sphere). 0 disables.

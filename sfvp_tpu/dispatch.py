@@ -493,11 +493,14 @@ def select_instanced_render_step(
                  nodes=int(tl.nodes.shape[0]))
             step = make_bvh_regen_render_step(
                 cfg, flat_buffers, tl=tl, global_shape=global_shape,
-                # wider packets than the single-level kernel: the
-                # two-level per-pop scalar work (instance contexts) is
-                # heavier, so 16 rows amortize it (1.32 -> 1.57 Mrays/s
-                # on the 50-instance bench; 32 regresses to 0.98)
                 block_rows=cfg.tlas_block_rows,
+                # round 5: with the deferred instance transform the SMEM
+                # leaf ring WINS on two-level too (1.586 -> 1.857 with
+                # 8-row packets, bitwise-identical; the round-4 14%
+                # regression was masked by the per-leaf-pop transform
+                # chain the deferral removed) — leaf pops are 59% of
+                # this scene class's pops (probe_tlas_pops.py)
+                smem_leaf=True,
             )
             return step, flat_buffers
         _dbg("wavefront(tlas packet; fused blocked)", **blockers)

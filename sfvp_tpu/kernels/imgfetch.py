@@ -239,6 +239,26 @@ def _cdf_count(keys, rs, n, strict):
     return jnp.minimum(cnt, np.float32(n - 1))
 
 
+def inst_xform_select_rows(fwt, iidp):
+    """Per-lane instance forward-transform gather for a (r, 128)
+    instance-id plane (megakernel_bvh defer_inst_xform): returns the 12
+    (r, 128) coefficient planes, each an exact one-hot MXU copy of
+    column ``iid`` of the (12, Np) operand — the same floats the
+    in-loop ``inst_scalars(ictx, 12, 24)`` SMEM loads produced, so the
+    post-traversal world transform is bitwise what the per-leaf-pop
+    transform computed."""
+    r = iidp.shape[0]
+    np_ = fwt.shape[1]
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (np_, 128), 0).astype(jnp.float32)
+    outs = [[] for _ in range(12)]
+    for j in range(r):
+        slab = _onehot_row_dot(fwt, iota, iidp[j:j + 1, :])     # (12,128)
+        for k in range(12):
+            outs[k].append(slab[k:k + 1, :])
+    return [jnp.concatenate(planes, axis=0) for planes in outs]
+
+
 def _onehot_row_dot(operand, iota, idx):
     """operand (K, N) @ onehot(idx) (N, 128) -> (K, 128): copy column
     ``idx`` of the operand into lanes. 0/1 weights at HIGHEST precision

@@ -63,6 +63,7 @@ def make_bvh_regen_render_step(
     fast_node: bool = False,
     shadow_sort: int = 0,
     tl=None,
+    defer_inst_xform: Optional[bool] = None,
 ):
     """render_step(state, row0) -> state. Whole spp per kernel call, BVH
     traversal per bounce, in-lane sample regeneration.
@@ -113,6 +114,8 @@ def make_bvh_regen_render_step(
     from .bvh_packet import SMEM_BOXES_MAX_BYTES, SMEM_CODES_MAX_BYTES
 
     inst = None
+    defer_xform = False
+    fwt = None
     if two_level:
         if stream_tris:
             raise ValueError("two-level fused kernel keeps tri rows "
@@ -150,6 +153,25 @@ def make_bvh_regen_render_step(
         smem_codes = smem_boxes = smem_nodes
         stack_n = int(tl.max_stack)
         wide_aux = tl.tris_aux
+        # defer_inst_xform (default ON): leaf pops store OBJECT-space
+        # vertices + the instance id as one extra payload plane; the
+        # world transform runs ONCE per bounce after the traversal loop
+        # (per-lane coefficients via an exact one-hot MXU gather,
+        # imgfetch.inst_xform_select_rows) instead of 12 SMEM loads +
+        # 27 vector FMAs x 8 slots on EVERY leaf pop — and leaf pops are
+        # 59% of this scene class's pops (benchmarks/probe_tlas_pops.py:
+        # bounce wave 13341 leaf / 9026 node / 272 inst). Bitwise
+        # identical: same coefficients, same FMA order, on the winning
+        # slot's object vertices.
+        defer_xform = (True if defer_inst_xform is None
+                       else bool(defer_inst_xform))
+        if defer_xform:
+            inst_full = np.asarray(tl.inst)
+            n_i = inst_full.shape[0]
+            n_pad = -(-n_i // 128) * 128
+            fw_np = np.zeros((12, n_pad), np.float32)
+            fw_np[:, :n_i] = inst_full[:, 12:24].T
+            fwt = jnp.asarray(fw_np)
     else:
         if wide is None:
             from ..accel.wide import build_wide_from_buffers
@@ -385,6 +407,9 @@ def make_bvh_regen_render_step(
                 refs = refs[1:]
             if two_level:
                 inst_ref = refs[0]
+                refs = refs[1:]
+            if defer_xform:
+                fwt_ref = refs[0]
                 refs = refs[1:]
             if use_nee:
                 light_ref = refs[0]
@@ -665,7 +690,7 @@ def make_bvh_regen_render_step(
                 if two_level:
                     istack_ref[0] = jnp.int32(world_row)  # world = identity
                     prevctx_ref[0] = jnp.int32(-2)  # impossible: force fill
-                n_pay = 19 if use_tex else 16
+                n_pay = (19 if use_tex else 16) + (1 if defer_xform else 0)
                 t_init = (
                     jnp.int32(1),
                     jnp.full((r, lanes), INF),   # bt
@@ -675,7 +700,7 @@ def make_bvh_regen_render_step(
                 def t_cond(tc):
                     return tc[0] > 0
 
-                def ctx_fill(ictx, o3, d3):
+                def ctx_fill(ictx, o3, d3, needed=None):
                     """Instance-space ray cache refresh: consecutive pops
                     share their context ~98% of the time (ordered pushes
                     keep BLAS subtrees contiguous on the stack —
@@ -683,10 +708,17 @@ def make_bvh_regen_render_step(
                     + 18 FMAs + 3 inverses run only when the popped
                     context differs from the cache (VMEM scratch planes;
                     scratch persists across loop iterations, unlike a
-                    while carry which would be threaded every pop)."""
+                    while carry which would be threaded every pop).
+                    needed: pops that consume no context planes (instance
+                    records) pass False so they neither refill nor evict —
+                    BLAS subtrees separated by an instance pop keep their
+                    cache instead of thrashing through the TLAS context."""
                     prev = prevctx_ref[0]
+                    want = ictx != prev
+                    if needed is not None:
+                        want = want & needed
 
-                    @pl.when(ictx != prev)
+                    @pl.when(want)
                     def _():
                         tf = inst_scalars(ictx, 0, 12)
                         c_ox = (tf[0] * o3[0] + tf[1] * o3[1]
@@ -729,29 +761,36 @@ def make_bvh_regen_render_step(
                         neg = -code - 1
                         is_inst = (code < 0) & (neg >= _IB)
                         is_leaf = (code < 0) & jnp.logical_not(is_inst)
-                        ctx_fill(ictx, (ox, oy, oz), (dx, dy, dz))
-                        iid = jnp.where(is_inst, neg - _IB, 0)
-                        blas_root = inst_scalars(iid, 24, 25)[0].astype(
-                            jnp.int32)
-                        (l_ox, l_oy, l_oz, l_dx, l_dy, l_dz,
-                         l_ivx, l_ivy, l_ivz) = (
-                            ctx_plane(j) for j in range(9))
+                        ctx_fill(ictx, (ox, oy, oz), (dx, dy, dz),
+                                 needed=jnp.logical_not(is_inst))
+                        # context planes are loaded INSIDE node_fn/leaf_fn
+                        # (each reads only the 6 it needs; instance pops
+                        # read none) — lax.cond lowers to real branches,
+                        # so the loads off this pop's taken path vanish
+                        ray_plane = ctx_plane
                     else:
                         is_leaf = code < 0
-                        l_ox, l_oy, l_oz = ox, oy, oz
-                        l_dx, l_dy, l_dz = dx, dy, dz
-                        l_ivx, l_ivy, l_ivz = ivx, ivy, ivz
+                        _rp = (ox, oy, oz, dx, dy, dz, ivx, ivy, ivz)
+                        ray_plane = _rp.__getitem__
 
                     def inst_fn(args):
                         """Instance leaf: push its BLAS root under its
-                        context (two-level only)."""
+                        context (two-level only). iid/blas_root load HERE,
+                        inside the branch, so node/leaf pops stop paying
+                        the per-pop instance-row SMEM load."""
                         bt, bu, bv, pay = args
+                        iid = neg - _IB
+                        blas_root = inst_scalars(iid, 24, 25)[0].astype(
+                            jnp.int32)
                         stack_ref[sp] = blas_root + 1
                         istack_ref[sp] = iid
                         return (sp + 1, bt, bu, bv) + pay
 
                     def node_fn(args):
                         bt, bu, bv, pay = args
+                        l_ox, l_oy, l_oz = (ray_plane(j) for j in (0, 1, 2))
+                        l_ivx, l_ivy, l_ivz = (
+                            ray_plane(j) for j in (6, 7, 8))
                         node_i = jnp.maximum(code - 1, 0)
                         limit = jnp.minimum(bt, tmax_l)
                         keys = []
@@ -915,6 +954,8 @@ def make_bvh_regen_render_step(
 
                     def leaf_fn(args):
                         bt, bu, bv, pay = args
+                        l_ox, l_oy, l_oz = (ray_plane(j) for j in (0, 1, 2))
+                        l_dx, l_dy, l_dz = (ray_plane(j) for j in (3, 4, 5))
                         pay = list(pay)
                         tsc, asc = load_leaf_rows(code, sp)
                         if use_tex:
@@ -923,7 +964,7 @@ def make_bvh_regen_render_step(
                                 # texture pool (bvh_tlas.py leaf_fn; the
                                 # identity world row's base is 0)
                                 texb = inst_scalars(ictx, 25, 26)[0]
-                        if two_level:
+                        if two_level and not defer_xform:
                             # forward transform of the CURRENT instance
                             # (the identity world row reproduces object ==
                             # world) so payload vertices land in WORLD
@@ -967,7 +1008,7 @@ def make_bvh_regen_render_step(
                             bt = jnp.where(ok, t, bt)
                             bu = jnp.where(ok, u, bu)
                             bv = jnp.where(ok, v, bv)
-                            if two_level:
+                            if two_level and not defer_xform:
                                 wv = []
                                 for vx, vy, vz in (
                                         (t0x, t0y, t0z), (t1x, t1y, t1z),
@@ -982,6 +1023,9 @@ def make_bvh_regen_render_step(
                                     ))
                                 vert_vals = tuple(wv)
                             else:
+                                # defer_xform: OBJECT-space vertices ride
+                                # the payload; the winning slot's world
+                                # transform runs once post-loop
                                 vert_vals = (t0x, t0y, t0z, t1x, t1y, t1z,
                                              t2x, t2y, t2z)
                             vals = vert_vals + (
@@ -1008,6 +1052,9 @@ def make_bvh_regen_render_step(
                                     a6 = jnp.where(a6 > 0, a6 + texb,
                                                    jnp.float32(0.0))
                                 vals = vals + (tu, tw, a6)
+                            if defer_xform:
+                                vals = vals + (
+                                    ictx.astype(jnp.float32),)
                             pay = [
                                 jnp.where(ok, sv + zero, pv)
                                 for sv, pv in zip(vals, pay)
@@ -1031,6 +1078,30 @@ def make_bvh_regen_render_step(
                 b0 = (pay[0], pay[1], pay[2])
                 b1 = (pay[3], pay[4], pay[5])
                 b2 = (pay[6], pay[7], pay[8])
+                if defer_xform:
+                    # world transform of the winning OBJECT-space
+                    # vertices, once per bounce: the per-lane 12
+                    # coefficients are exact one-hot MXU copies of the
+                    # same instance rows the in-loop transform read, and
+                    # the FMA order matches — bitwise-identical verts
+                    from .imgfetch import inst_xform_select_rows
+
+                    fwp = inst_xform_select_rows(fwt_ref[...], pay[-1])
+
+                    def _fw_point(v3):
+                        vx, vy, vz = v3
+                        return (
+                            fwp[0] * vx + fwp[1] * vy + fwp[2] * vz
+                            + fwp[9],
+                            fwp[3] * vx + fwp[4] * vy + fwp[5] * vz
+                            + fwp[10],
+                            fwp[6] * vx + fwp[7] * vy + fwp[8] * vz
+                            + fwp[11],
+                        )
+
+                    b0 = _fw_point(b0)
+                    b1 = _fw_point(b1)
+                    b2 = _fw_point(b2)
                 albedo = (pay[9], pay[10], pay[11])
                 ke = (pay[12], pay[13], pay[14])
                 mt = pay[15]
@@ -1161,29 +1232,32 @@ def make_bvh_regen_render_step(
                             neg = -code - 1
                             is_inst = (code < 0) & (neg >= _IB)
                             is_leaf = (code < 0) & jnp.logical_not(is_inst)
-                            ctx_fill(ictx, so3, wl3)
-                            s_iid = jnp.where(is_inst, neg - _IB, 0)
-                            s_blas_root = inst_scalars(
-                                s_iid, 24, 25)[0].astype(jnp.int32)
-                            (sl_ox, sl_oy, sl_oz, sl_dx, sl_dy, sl_dz,
-                             sl_ivx, sl_ivy, sl_ivz) = (
-                                ctx_plane(j) for j in range(9))
+                            ctx_fill(ictx, so3, wl3,
+                                     needed=jnp.logical_not(is_inst))
+                            s_ray_plane = ctx_plane
                         else:
                             is_leaf = code < 0
-                            sl_ox, sl_oy, sl_oz = sox, soy, soz
-                            sl_dx, sl_dy, sl_dz = wlx, wly, wlz
-                            sl_ivx, sl_ivy, sl_ivz = sivx, sivy, sivz
+                            _srp = (sox, soy, soz, wlx, wly, wlz,
+                                    sivx, sivy, sivz)
+                            s_ray_plane = _srp.__getitem__
                         slimit = jnp.where(
                             shadow_q & (occ < 0.5), smax,
                             jnp.float32(-np.inf),
                         )
 
                         def inst_fn(occ):
+                            s_iid = neg - _IB
+                            s_blas_root = inst_scalars(
+                                s_iid, 24, 25)[0].astype(jnp.int32)
                             stack_ref[sp] = s_blas_root + 1
                             istack_ref[sp] = s_iid
                             return (sp + 1, occ)
 
                         def node_fn(occ):
+                            sl_ox, sl_oy, sl_oz = (
+                                s_ray_plane(j) for j in (0, 1, 2))
+                            sl_ivx, sl_ivy, sl_ivz = (
+                                s_ray_plane(j) for j in (6, 7, 8))
                             node_i = jnp.maximum(code - 1, 0)
                             spn = sp
                             s_counts = []
@@ -1287,6 +1361,10 @@ def make_bvh_regen_render_step(
                             return (spn, occ)
 
                         def leaf_fn(occ):
+                            sl_ox, sl_oy, sl_oz = (
+                                s_ray_plane(j) for j in (0, 1, 2))
+                            sl_dx, sl_dy, sl_dz = (
+                                s_ray_plane(j) for j in (3, 4, 5))
                             tsc, _ = load_leaf_rows(code, sp)
                             for k in range(8):
                                 base = 16 * k
@@ -1840,6 +1918,9 @@ def make_bvh_regen_render_step(
             in_specs.append(pl.BlockSpec(
                 memory_space=pltpu.SMEM if smem_boxes else pltpu.VMEM))
             args.append(inst)
+        if defer_xform:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            args.append(fwt)
         if use_nee:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(light_table)
