@@ -62,6 +62,8 @@ def make_bvh_regen_render_step(
     smem_leaf: bool = False,
     fast_node: bool = False,
     shadow_sort: int = 0,
+    shadow_slab: int = 0,
+    shadow_mt: int = 0,
     tl=None,
     defer_inst_xform: Optional[bool] = None,
 ):
@@ -833,6 +835,28 @@ def make_bvh_regen_render_step(
                                             jnp.maximum(ty0, ty1)),
                                 jnp.minimum(jnp.maximum(tz0, tz1), limit),
                             )
+                            # shadow_slab: sensitivity knob (probe only).
+                            # -( (o-b) * iv ) == (b-o) * iv exactly, so
+                            # the duplicate is CSE-proof and the merged
+                            # min/max keeps traversal bitwise-identical
+                            # while slab vector ops multiply.
+                            for _ in range(shadow_slab):
+                                sx0 = -((l_ox - bmnx) * l_ivx)
+                                sx1 = -((l_ox - bmxx) * l_ivx)
+                                sy0 = -((l_oy - bmny) * l_ivy)
+                                sy1 = -((l_oy - bmxy) * l_ivy)
+                                sz0 = -((l_oz - bmnz) * l_ivz)
+                                sz1 = -((l_oz - bmxz) * l_ivz)
+                                tnear = jnp.maximum(tnear, jnp.maximum(
+                                    jnp.maximum(jnp.minimum(sx0, sx1),
+                                                jnp.minimum(sy0, sy1)),
+                                    jnp.maximum(jnp.minimum(sz0, sz1),
+                                                t_min)))
+                                tfar = jnp.minimum(tfar, jnp.minimum(
+                                    jnp.minimum(jnp.maximum(sx0, sx1),
+                                                jnp.maximum(sy0, sy1)),
+                                    jnp.minimum(jnp.maximum(sz0, sz1),
+                                                limit)))
                             hit = tnear <= tfar
                             if smem_codes:
                                 code_c0 = ccodes[ci]
@@ -938,19 +962,23 @@ def make_bvh_regen_render_step(
                                 cb = jnp.where(swap, codes[a], codes[b])
                                 keys[a], keys[b] = ka, kb
                                 codes[a], codes[b] = ca, cb
-                        spn = sp
+                        # pushes are a PREFIX of the descending-sorted
+                        # list (non-push keys are exactly -inf — real
+                        # keys are >= t_min — so they sort last): the 8
+                        # conditional pushes + the 8-deep serial sp add
+                        # chain become 8 UNCONDITIONAL independent SMEM
+                        # writes at sp+ci plus one popcount. Dead writes
+                        # above the new top are never read (pops read
+                        # below sp; stack_n carries +8 headroom).
+                        # Bitwise-identical: live stack contents and pop
+                        # order are unchanged.
+                        cnt = jnp.int32(0)
                         for ci in range(8):
-                            code_c = codes[ci]
-                            do_push = code_c != 0
-
-                            @pl.when(do_push)
-                            def _(spn=spn, code_c=code_c):
-                                stack_ref[spn] = code_c
-                                if two_level:
-                                    istack_ref[spn] = ictx
-
-                            spn = spn + do_push.astype(jnp.int32)
-                        return (spn, bt, bu, bv) + pay
+                            stack_ref[sp + ci] = codes[ci]
+                            if two_level:
+                                istack_ref[sp + ci] = ictx
+                            cnt = cnt + (codes[ci] != 0).astype(jnp.int32)
+                        return (sp + cnt, bt, bu, bv) + pay
 
                     def leaf_fn(args):
                         bt, bu, bv, pay = args
@@ -1000,6 +1028,30 @@ def make_bvh_regen_render_step(
                             v = (l_dx * qvx + l_dy * qvy
                                  + l_dz * qvz) * inv_det
                             t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                            # shadow_mt: sensitivity knob (probe only);
+                            # same CSE-proof sign trick as shadow_slab —
+                            # bitwise-identical, MT vector ops multiply
+                            for _ in range(shadow_mt):
+                                pvx_s = -(l_dz * e2y - l_dy * e2z)
+                                pvy_s = -(l_dx * e2z - l_dz * e2x)
+                                pvz_s = -(l_dy * e2x - l_dx * e2y)
+                                det_s = (e1x * pvx_s + e1y * pvy_s
+                                         + e1z * pvz_s)
+                                inv_det_s = jnp.where(
+                                    jnp.abs(det_s) > 1e-12,
+                                    1.0 / det_s, 0.0)
+                                u = jnp.maximum(u, (
+                                    tvx * pvx_s + tvy * pvy_s
+                                    + tvz * pvz_s) * inv_det_s)
+                                qvx_s = -(tvz * e1y - tvy * e1z)
+                                qvy_s = -(tvx * e1z - tvz * e1x)
+                                qvz_s = -(tvy * e1x - tvx * e1y)
+                                v = jnp.maximum(v, (
+                                    l_dx * qvx_s + l_dy * qvy_s
+                                    + l_dz * qvz_s) * inv_det_s)
+                                t = jnp.maximum(t, (
+                                    e2x * qvx_s + e2y * qvy_s
+                                    + e2z * qvz_s) * inv_det_s)
                             ok = (
                                 (jnp.abs(det) > 1e-12)
                                 & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
@@ -1337,13 +1389,12 @@ def make_bvh_regen_render_step(
                                     continue
                                 push = (code_c != 0) & jnp.any(
                                     tnear <= tfar)
-
-                                @pl.when(push)
-                                def _(spn=spn, code_c=code_c):
-                                    stack_ref[spn] = code_c
-                                    if two_level:
-                                        istack_ref[spn] = ictx
-
+                                # unconditional write: dead unless pushed
+                                # (overwritten by the next push or left
+                                # above the final top, never read)
+                                stack_ref[spn] = code_c
+                                if two_level:
+                                    istack_ref[spn] = ictx
                                 spn = spn + push.astype(jnp.int32)
                             if fast_node:
                                 for ci in range(8):
@@ -1352,11 +1403,7 @@ def make_bvh_regen_render_step(
                                             else (cnt >> 16))
                                     code_c = s_code_list[ci // 2][ci % 2]
                                     push = (code_c != 0) & (c_ci > 0)
-
-                                    @pl.when(push)
-                                    def _(spn=spn, code_c=code_c):
-                                        stack_ref[spn] = code_c
-
+                                    stack_ref[spn] = code_c
                                     spn = spn + push.astype(jnp.int32)
                             return (spn, occ)
 
@@ -1939,9 +1986,11 @@ def make_bvh_regen_render_step(
             args.append(aux)
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(atlas_table)
-        scratch = [pltpu.SMEM((stack_n,), jnp.int32)]
+        # +8: the prefix-push writes all 8 sorted children unconditionally
+        # at sp+ci before advancing sp by the push count
+        scratch = [pltpu.SMEM((stack_n + 8,), jnp.int32)]
         if two_level:
-            scratch.append(pltpu.SMEM((stack_n,), jnp.int32))  # istack
+            scratch.append(pltpu.SMEM((stack_n + 8,), jnp.int32))  # istack
             # instance-space ray cache: 9 (r, 128) planes + prev context
             scratch.append(pltpu.VMEM((9 * rr, lanes), jnp.float32))
             scratch.append(pltpu.SMEM((1,), jnp.int32))
