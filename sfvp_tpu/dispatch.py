@@ -168,8 +168,9 @@ def select_render_step(
     # kernels/imgfetch.py; maps up to ~512x256 / atlases up to ~2MB)
     # in-kernel; the chunked megakernel (megakernel.py) is the bitwise-
     # parity baseline (diffuse+mirror, no NEE/DOF/textures/env).
-    # Oversized atlases and env maps route to the jnp wavefront loop
-    # (still TPU-jitted).
+    # Oversized atlases route to the jnp wavefront loop (still
+    # TPU-jitted); oversized env maps stay fused via deferred miss/NEE
+    # records (megakernel_bvh defer_env / defer_env_nee).
     has_glossy = bool(np.any(np.asarray(buffers.mtype)[:t] == 2))
     has_diel = bool(np.any(np.asarray(buffers.mtype)[:t] == 3))
     has_tex = buffers.has_textures
@@ -182,20 +183,20 @@ def select_render_step(
         # env miss shading AND env NEE (importance-sampled environment,
         # combined with area-light NEE when both exist) both fuse when the
         # packed map fits VMEM — the texel-CDF inversion runs in-kernel as
-        # the separable exact-searchsorted (kernels/imgfetch.py). The BVH
-        # regen kernel additionally handles OVERSIZED maps (e.g. 2k x 1k
-        # HDR skies) by DEFERRING miss shading: per-sample (dir, weight)
-        # records come out of the kernel and one XLA gather shades them
-        # (megakernel_bvh defer_env). Only env NEE (the CDF inversion
-        # drives in-kernel control flow) still needs the map resident, so
-        # NEE + oversized routes to the wavefront loop. Both regen
-        # kernels (brute + BVH) defer.
+        # the separable exact-searchsorted (kernels/imgfetch.py). Both
+        # regen kernels additionally handle OVERSIZED maps (e.g. 2k x 1k
+        # HDR skies) by DEFERRING the radiance gathers: per-sample miss
+        # records and — since round 5 — per-(sample, bounce) env-NEE
+        # records come out of the kernel (the NEE contribution is linear
+        # in the fetched radiance; sampling uses the resident pooled
+        # coarse proposal, integrate/lights.py env_distribution_for) and
+        # one post-kernel XLA gather shades them (megakernel_bvh
+        # defer_env / defer_env_nee). No env configuration blocks fusion
+        # anymore.
         env_oversized = not env_fits_in_kernel(env)
     else:
         env_oversized = False
-    env_blocks_brute = env_oversized and cfg.use_nee
-    env_blocks_bvh = env_oversized and cfg.use_nee
-    env_deferred = env_oversized and not cfg.use_nee
+    env_deferred = env_oversized
     if has_tex:
         from .kernels.imgfetch import atlas_fits_in_kernel
 
@@ -211,21 +212,20 @@ def select_render_step(
         from .kernels.imgfetch import fused_extra_vmem_bytes
 
         brute_extra = fused_extra_vmem_bytes(
-            n_lights if not many_lights else 0,
-            None if env_deferred else env,
-            buffers.textures if has_tex else None, cfg.use_nee)
+            n_lights if not many_lights else 0, env,
+            buffers.textures if has_tex else None, cfg.use_nee,
+            env_deferred=env_deferred, spp=cfg.spp_per_step,
+            max_depth=cfg.max_depth, block_rows=cfg.pallas_block_rows)
         # scene_table is up to 27 (Tp,) f32 rows (20 base + 7 texture,
         # kernels/megakernel.py scene_table)
         brute_over_budget = (
             brute_extra + 27 * buffers.v0x.nbytes > cfg.vmem_scene_budget)
     else:
         brute_over_budget = False
-    if ((many_lights or tex_blocks_fused or env_blocks_brute
-         or brute_over_budget)
+    if ((many_lights or tex_blocks_fused or brute_over_budget)
             and backend == "pallas" and traversal == "brute"):
         _dbg("wavefront(jnp-brute)", many_lights=many_lights,
              tex_blocks_fused=tex_blocks_fused,
-             env_blocks_fused=env_blocks_brute,
              brute_over_budget=brute_over_budget)
         cfg = _auto_chunk_cfg(cfg)
         return make_render_step(
@@ -276,12 +276,14 @@ def select_render_step(
         # lights run at the XLA level between bounces there)
         from .kernels.imgfetch import fused_extra_vmem_bytes
 
-        # a DEFERRED oversized env costs no resident VMEM (the kernel
-        # emits miss records instead of holding the map)
+        # a DEFERRED oversized env costs no resident map VMEM (the kernel
+        # emits miss/NEE records instead of holding it); under NEE only
+        # the pooled coarse proposal's CDF operands stay resident
         extra_vmem = fused_extra_vmem_bytes(
-            n_lights if not many_lights else 0,
-            None if env_deferred else env,
-            buffers.textures if has_tex else None, cfg.use_nee)
+            n_lights if not many_lights else 0, env,
+            buffers.textures if has_tex else None, cfg.use_nee,
+            env_deferred=env_deferred, spp=cfg.spp_per_step,
+            max_depth=cfg.max_depth, block_rows=cfg.packet_block_rows)
         fused_stream = (cfg.stream_tris if cfg.stream_tris is not None
                         else scene_bytes + extra_vmem
                         > cfg.vmem_scene_budget)
@@ -299,14 +301,16 @@ def select_render_step(
         # so the routing flip is image-safe.
         prefer_wavefront = (cfg.use_nee and many_lights) or fused_over_budget
         if (cfg.megakernel_regen and not prefer_wavefront
-                and not env_blocks_bvh and not tex_blocks_fused):
+                and not tex_blocks_fused):
             # env skies, env NEE and map_Kd textures fuse via the
             # separable one-hot MXU machinery (kernels/imgfetch.py);
             # OVERSIZED env maps stay fused too via deferred miss
-            # records (megakernel_bvh defer_env) unless env NEE needs
-            # the CDF tables resident; >16 textures / >2MB atlases route
-            # to the wavefront loop below, whose packet kernels carry
-            # uv/texid planes and fetch at the XLA level between bounces.
+            # records (megakernel_bvh defer_env) and — since round 5 —
+            # deferred per-bounce env-NEE records with a resident pooled
+            # proposal CDF (defer_env_nee); >16 textures / >2MB atlases
+            # route to the wavefront loop below, whose packet kernels
+            # carry uv/texid planes and fetch at the XLA level between
+            # bounces.
             # fused BVH regen megakernel: whole spp per kernel call with
             # in-lane sample regeneration and in-kernel packet traversal —
             # no per-bounce relaunch, no dead lanes, no bounce sort
@@ -338,7 +342,6 @@ def select_render_step(
         _dbg("wavefront(packet kernels)", tris=t, lights=n_lights,
              stream=stream, prefer_wavefront=prefer_wavefront,
              fused_over_budget=fused_over_budget,
-             env_blocks_fused=env_blocks_bvh,
              tex_blocks_fused=tex_blocks_fused)
         cfg = _auto_chunk_cfg(cfg)
         return make_render_step(
@@ -430,14 +433,10 @@ def _instanced_fused_blockers(cfg: RenderConfig, flat_buffers, tl) -> dict:
     if env is not None:
         from .kernels.imgfetch import env_fits_in_kernel
 
-        if not env_fits_in_kernel(env):
-            # oversized maps DEFER miss shading inside the fused kernel
-            # (megakernel_bvh defer_env) unless env NEE needs the CDF
-            # tables resident — same rule as the single-level branch
-            if cfg.use_nee:
-                blockers["env_blocks_fused"] = True
-            else:
-                env_deferred = True
+        # oversized maps DEFER the radiance gathers inside the fused
+        # kernel (megakernel_bvh defer_env / defer_env_nee) — same rule
+        # as the single-level branch; nothing blocks fusion
+        env_deferred = not env_fits_in_kernel(env)
     if flat_buffers.has_textures:
         from .kernels.imgfetch import atlas_fits_in_kernel
 
@@ -450,9 +449,11 @@ def _instanced_fused_blockers(cfg: RenderConfig, flat_buffers, tl) -> dict:
     from .kernels.imgfetch import fused_extra_vmem_bytes
 
     extra = fused_extra_vmem_bytes(
-        n_lights, None if env_deferred else env,
+        n_lights, env,
         flat_buffers.textures if flat_buffers.has_textures
-        else None, cfg.use_nee)
+        else None, cfg.use_nee, env_deferred=env_deferred,
+        spp=cfg.spp_per_step, max_depth=cfg.max_depth,
+        block_rows=cfg.packet_block_rows)
     resident = tl.tris.nbytes + (
         tl.tris_aux.nbytes if tl.tris_aux is not None else 0) + extra
     # n_extra_inst=1: the fused kernel appends an identity world row

@@ -142,28 +142,62 @@ class EnvDistribution(NamedTuple):
         )
 
 
-def build_env_distribution(table) -> EnvDistribution:
-    """table: the scene's env TextureTable (one equirect image)."""
+def _dilate3x3(lum):
+    """3x3 max-dilate a (H, W) luminance/weight grid, wrapping in
+    longitude and clamping at the poles: the radiance LOOKUP is bilinear,
+    so cells adjacent to a bright feature can return blended-bright
+    values — their pdf must be scaled to the bright neighbor or those
+    samples become huge-weight outliers."""
+    lum = np.max(
+        [np.roll(lum, s, axis=1) for s in (-1, 0, 1)], axis=0
+    )
+    pad = np.pad(lum, ((1, 1), (0, 0)), mode="edge")
+    return np.max([pad[:-2], pad[1:-1], pad[2:]], axis=0)
+
+
+# Proposal-grid height cap for OVERSIZED env maps (deferred env NEE in
+# the fused kernels): the coarse (<= 256 x 512) grid's packed CDF
+# operands stay VMEM-resident while the full-resolution RADIANCE fetch
+# is deferred to one post-kernel XLA gather. The estimator divides by
+# the proposal's own exact pdf, so any full-support proposal is
+# unbiased — coarser just means slightly noisier env sampling.
+ENV_DIST_MAX_H = 256
+
+
+def build_env_distribution(table, max_h=None) -> EnvDistribution:
+    """table: the scene's env TextureTable (one equirect image).
+
+    max_h (optional): cap the distribution grid at (max_h, 2*max_h) by
+    pooling fine texel weights into the coarse cell containing each fine
+    texel's center. The sampler then importance-samples at coarse
+    granularity (uniform jitter inside the coarse cell) while radiance
+    is still fetched at full resolution — an unbiased proposal for maps
+    too big to keep resident in a kernel."""
     h = int(np.asarray(table.height)[0])
     w = int(np.asarray(table.width)[0])
     r = np.asarray(table.tr)[: h * w].reshape(h, w)
     g = np.asarray(table.tg)[: h * w].reshape(h, w)
     b = np.asarray(table.tb)[: h * w].reshape(h, w)
-    lum = 0.2126 * r + 0.7152 * g + 0.0722 * b
-    # 3x3 max-dilate the luminance (wrap in longitude, clamp at the poles):
-    # the radiance LOOKUP is bilinear, so texels adjacent to a bright
-    # feature can return blended-bright values — their pdf must be scaled
-    # to the bright neighbor or those samples become huge-weight outliers
-    lum = np.max(
-        [np.roll(lum, s, axis=1) for s in (-1, 0, 1)], axis=0
-    )
-    pad = np.pad(lum, ((1, 1), (0, 0)), mode="edge")
-    lum = np.max([pad[:-2], pad[1:-1], pad[2:]], axis=0)
+    lum = _dilate3x3(0.2126 * r + 0.7152 * g + 0.0722 * b)
     # texel solid angle: dOmega = (2pi/W)(pi/H) sin(theta_row); image row 0
     # is the top (theta ~ 0)
     theta = (np.arange(h) + 0.5) * (np.pi / h)
     d_omega = (2 * np.pi / w) * (np.pi / h) * np.sin(theta)[:, None]
     weight = np.maximum(lum, 1e-8) * d_omega
+    if max_h is not None and (h > max_h or w > 2 * max_h):
+        h2, w2 = min(h, max_h), min(w, 2 * max_h)
+        # pool: each fine texel's weight lands in the coarse cell holding
+        # its center (exact for non-divisible ratios too; every coarse
+        # cell receives >= 1 fine center when h2 <= h and w2 <= w)
+        ri = ((np.arange(h) + 0.5) * (h2 / h)).astype(np.int64)
+        ci = ((np.arange(w) + 0.5) * (w2 / w)).astype(np.int64)
+        pooled = np.zeros((h2, w2), weight.dtype)
+        np.add.at(pooled, (ri[:, None], ci[None, :]), weight)
+        # re-dilate at coarse scale (bilinear blending crosses coarse-cell
+        # boundaries) and floor for full support: pdf > 0 wherever the
+        # radiance can be nonzero keeps the estimator unbiased
+        weight = np.maximum(_dilate3x3(pooled), pooled.sum() * 1e-12)
+        h, w = h2, w2
     total = float(weight.sum())
     flat = (weight / total).reshape(-1)
     cdf = np.cumsum(flat)
@@ -173,6 +207,20 @@ def build_env_distribution(table) -> EnvDistribution:
         width=w,
         height=h,
     )
+
+
+def env_distribution_for(table) -> EnvDistribution:
+    """THE proposal distribution for env NEE, shared by the wavefront
+    integrator and the fused kernels (identical CDFs keep their sample
+    streams bitwise-comparable): the exact per-texel CDF when the packed
+    map is kernel-resident, else the pooled coarse proposal whose CDF
+    operands fit VMEM (deferred env NEE, megakernel_bvh/megakernel_regen
+    defer_env)."""
+    from ..kernels.imgfetch import env_fits_in_kernel
+
+    if env_fits_in_kernel(table):
+        return build_env_distribution(table)
+    return build_env_distribution(table, max_h=ENV_DIST_MAX_H)
 
 
 def sample_env(dist: EnvDistribution, r_sel, r1, r2):

@@ -175,9 +175,12 @@ def make_render_step(
     )
     env_dist = None
     if use_env_nee:
-        from .lights import build_env_distribution
+        # shared proposal rule (exact texel CDF for resident-size maps, a
+        # pooled coarse proposal for oversized ones) so the fused kernels'
+        # deferred env NEE and this oracle draw identical sample streams
+        from .lights import env_distribution_for
 
-        env_dist = build_env_distribution(scene.env)
+        env_dist = env_distribution_for(scene.env)
     # balance-heuristic MIS between NEE and BSDF sampling (extension; the
     # reference is BSDF-only). Lights are selected area-proportionally, so
     # the NEE pdf of ANY emissive hit point is 1/total_area in area measure.

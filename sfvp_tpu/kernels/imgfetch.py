@@ -385,14 +385,35 @@ def pack_light_table_mxu(lt):
             np.ascontiguousarray(cdfb.astype(np.float32)), Lp)
 
 
-def fused_extra_vmem_bytes(n_lights, env, textures, use_nee) -> int:
+def _env_nee_select_bytes(H, W) -> int:
+    """Scoped VMEM of the in-kernel env-NEE CDF machinery for an (H, W)
+    distribution grid: the (2W, H) cdf/pdf operand + (H, 128) row-end
+    cdf, plus the per-row select transients ((2W, 128) one-hot slab,
+    row/col iotas, compare mask) that live during env_cdf_sample_rows /
+    env_pdf_sa_rows."""
+    return (2 * W * H + H * 128) * 4 + (2 * W + W + 2 * H) * 128 * 4
+
+
+def fused_extra_vmem_bytes(n_lights, env, textures, use_nee,
+                           env_deferred=False, spp=0, max_depth=0,
+                           block_rows=8) -> int:
     """Resident VMEM the fused megakernels add BEYOND the scene/BVH rows,
     for dispatch's combined-budget check: the packed env map (+ its CDF
-    operands when env NEE runs), the packed texture atlas, and the
-    light-select operands. Each capability fits its own cap, but a scene
-    near vmem_scene_budget stacked with all of them must not compile the
-    fused kernel over VMEM — dispatch compares nodes+tris+this against
-    the budget and routes to the wavefront loop when it doesn't fit."""
+    operands and select transients when env NEE runs), the packed
+    texture atlas, and the light-select operands. Each capability fits
+    its own cap, but a scene near vmem_scene_budget stacked with all of
+    them must not compile the fused kernel over VMEM — dispatch compares
+    nodes+tris+this against the budget and routes to the wavefront loop
+    (or streams the triangle rows) when it doesn't fit.
+
+    env_deferred: the map itself is NOT resident (oversized — the kernel
+    emits miss/NEE records, megakernel_bvh defer_env): only the pooled
+    coarse proposal's CDF operands count, PLUS the double-buffered
+    record output blocks — 6 (spp, rows) miss planes and, under NEE,
+    6 (spp*max_depth, rows) per-bounce planes (spp/max_depth/block_rows
+    size them; a 100k-tri resident scene + spp8*depth8 records measured
+    112KB past the 16MB scoped limit, so this accounting is what flips
+    such configs to streamed triangle rows)."""
     total = 0
     if n_lights > LIGHT_FLAT_MAX:
         # bucketed two-level select: (2048, Bp) packed table (lane dim
@@ -409,9 +430,23 @@ def fused_extra_vmem_bytes(n_lights, env, textures, use_nee) -> int:
     if env is not None:
         H = int(np.asarray(env.height)[0])
         W = int(np.asarray(env.width)[0])
-        total += 3 * W * H * 4                      # packed (3W, H) image
-        if use_nee:
-            total += 2 * W * H * 4 + H * 128 * 4    # cdf/pdf + row-end cdf
+        if env_deferred:
+            # double-buffered miss-record output blocks
+            total += 2 * 6 * spp * block_rows * 128 * 4
+            if use_nee:
+                # the coarse proposal grid the dist builder will use
+                # (integrate/lights.py env_distribution_for)
+                from ..integrate.lights import ENV_DIST_MAX_H
+
+                H = min(H, ENV_DIST_MAX_H)
+                W = min(W, 2 * ENV_DIST_MAX_H)
+                total += _env_nee_select_bytes(H, W)
+                # double-buffered per-(sample, bounce) NEE record blocks
+                total += 2 * 6 * spp * max_depth * block_rows * 128 * 4
+        else:
+            total += 3 * W * H * 4                  # packed (3W, H) image
+            if use_nee:
+                total += _env_nee_select_bytes(H, W)
     if textures is not None:
         ws = np.asarray(textures.width)
         hs = np.asarray(textures.height)

@@ -302,15 +302,9 @@ def make_bvh_regen_render_step(
             # 6 per-sample output planes and the step adds
             # weight * sample_environment(env, dir) at the XLA level
             # after the kernel (the wavefront loop's exact fetch,
-            # scene/textures.py). Env NEE cannot defer (the CDF
-            # inversion drives control flow in-kernel), so NEE +
-            # oversized maps stay on the wavefront loop (dispatch).
-            if cfg.use_nee:
-                raise ValueError(
-                    f"in-kernel env NEE supports maps up to "
-                    f"{ENV_VMEM_MAX_BYTES} bytes packed ({env_w}x{env_h} "
-                    f"is {et_np.nbytes}); use the wavefront integrator"
-                )
+            # scene/textures.py). Under NEE the same linearity defers
+            # the env-NEE radiance too: per-BOUNCE (dir, weight) records
+            # (see defer_env_nee below).
             defer_env = True
         else:
             env_table = jnp.asarray(et_np)
@@ -323,15 +317,23 @@ def make_bvh_regen_render_step(
     # 2-way MIS pairing). The flat texel-CDF inversion runs as the
     # separable exact-searchsorted of kernels/imgfetch.py; the shadow ray
     # is the same any-hit packet traversal as area-light NEE with t_max
-    # as the limit.
+    # as the limit. For OVERSIZED maps the proposal is the shared pooled
+    # coarse distribution (integrate/lights.py env_distribution_for) —
+    # its CDF operands stay resident while the NEE contribution
+    # w*vis*brdf*cos*mis/pdf, LINEAR in the fetched radiance L(dir), is
+    # recorded per (sample, bounce) and shaded after the kernel with the
+    # same sample_environment gather as deferred miss shading.
     use_env_nee = cfg.use_nee and use_env
+    defer_env_nee = use_env_nee and defer_env
     env_nee_cdfpdf = env_nee_rowend = None
+    dist_h = dist_w = 0
     if use_env_nee:
-        from ..integrate.lights import build_env_distribution
+        from ..integrate.lights import env_distribution_for
         from .imgfetch import pack_env_dist_transposed
 
-        cp_np, re_np = pack_env_dist_transposed(
-            build_env_distribution(env))
+        env_dist = env_distribution_for(env)
+        dist_h, dist_w = env_dist.height, env_dist.width
+        cp_np, re_np = pack_env_dist_transposed(env_dist)
         env_nee_cdfpdf = jnp.asarray(cp_np)
         env_nee_rowend = jnp.asarray(re_np)
     # AFTER the empty-table fallback: a lightless scene must not compile
@@ -435,7 +437,15 @@ def make_bvh_regen_render_step(
                 # segs outputs: (dir xyz, weight rgb) x (spp, r) rows
                 (edx_ref, edy_ref, edz_ref,
                  ewr_ref, ewg_ref, ewb_ref) = refs[4:10]
-                refs = tuple(refs[:4]) + tuple(refs[10:])
+                n_eref = 10
+                if defer_env_nee:
+                    # deferred env-NEE record planes: (dir xyz, weight
+                    # rgb) x (spp * max_depth, r) rows — slab
+                    # s*max_depth+bounce holds sample s's bounce-b record
+                    (ndx_ref, ndy_ref, ndz_ref,
+                     nwr_ref, nwg_ref, nwb_ref) = refs[10:16]
+                    n_eref = 16
+                refs = tuple(refs[:4]) + tuple(refs[n_eref:])
             if two_level:
                 (colr_ref, colg_ref, colb_ref, segs_ref, stack_ref,
                  istack_ref, ctx_ref, prevctx_ref) = refs[:8]
@@ -558,6 +568,11 @@ def make_bvh_regen_render_step(
                 for _eref in (edx_ref, edy_ref, edz_ref,
                               ewr_ref, ewg_ref, ewb_ref):
                     _eref[...] = ez
+                if defer_env_nee:
+                    nz = jnp.zeros((spp * max_depth * r, lanes), jnp.float32)
+                    for _nref in (ndx_ref, ndy_ref, ndz_ref,
+                                  nwr_ref, nwg_ref, nwb_ref):
+                        _nref[...] = nz
 
             # hoisted light scalars: [v0(3) v1(3) v2(3) n(3) Le(3) cdf]
             # (unrolled small-table path only; the MXU path loads the
@@ -1489,7 +1504,7 @@ def make_bvh_regen_render_step(
                         from .imgfetch import env_pdf_sa_rows
 
                         p_env_d = env_pdf_sa_rows(
-                            encdf_ref[...], (dx, dy, dz), env_h, env_w)
+                            encdf_ref[...], (dx, dy, dz), dist_h, dist_w)
                         w_env = pdf_prev / jnp.maximum(
                             pdf_prev + p_env_d, 1e-30)
                         cos_l_hit = jnp.abs(
@@ -1527,7 +1542,7 @@ def make_bvh_regen_render_step(
                         from .imgfetch import env_pdf_sa_rows
 
                         p_env_d = env_pdf_sa_rows(
-                            encdf_ref[...], (dx, dy, dz), env_h, env_w)
+                            encdf_ref[...], (dx, dy, dz), dist_h, dist_w)
                         w_env = pdf_prev / jnp.maximum(
                             pdf_prev + p_env_d, 1e-30)
                         emit_w = jnp.where(
@@ -1566,14 +1581,21 @@ def make_bvh_regen_render_step(
                 if defer_env:
                     # a miss ends its sample, so each (pixel, sample) pair
                     # records at most once: row block si*r..si*r+r of each
-                    # plane holds sample si's (miss dir, weight)
+                    # plane holds sample si's (miss dir, weight). The
+                    # recorded weight carries emit_w: under NEE,
+                    # non-camera sky misses are gated (or MIS-weighted)
+                    # exactly like resident-map miss shading — without
+                    # NEE emit_w is 1.0 on every recorded lane, so this
+                    # is bitwise the old record
                     rec = miss & active
+                    mwr, mwg, mwb = wr * emit_w, wg * emit_w, wb * emit_w
                     for si in range(spp):
                         m = rec & (s == si)
                         sl = pl.ds(si * r, r)
                         for _eref, _val in (
                                 (edx_ref, dx), (edy_ref, dy), (edz_ref, dz),
-                                (ewr_ref, wr), (ewg_ref, wg), (ewb_ref, wb)):
+                                (ewr_ref, mwr), (ewg_ref, mwg),
+                                (ewb_ref, mwb)):
                             _eref[sl, :] = jnp.where(m, _val, _eref[sl, :])
 
                 if use_nee:
@@ -1713,11 +1735,11 @@ def make_bvh_regen_render_step(
                     rl2, seed = _rand_vec(seed)
                     rowp, colp, pdfflat = env_cdf_sample_rows(
                         encdf_ref[...], enrow_ref[...], r_sel,
-                        env_h, env_w,
+                        dist_h, dist_w,
                     )
-                    theta_l = (rowp + rl1) * np.float32(np.pi / env_h)
+                    theta_l = (rowp + rl1) * np.float32(np.pi / dist_h)
                     phi_l = (
-                        (colp + rl2) * np.float32(2.0 * np.pi / env_w)
+                        (colp + rl2) * np.float32(2.0 * np.pi / dist_w)
                         - np.float32(np.pi)
                     )
                     st_l = jnp.sin(theta_l)
@@ -1725,7 +1747,7 @@ def make_bvh_regen_render_step(
                     wly = jnp.cos(theta_l)
                     wlz = st_l * jnp.sin(phi_l)
                     inv_patch = np.float32(
-                        env_w * env_h / (2.0 * np.pi * np.pi))
+                        dist_w * dist_h / (2.0 * np.pi * np.pi))
                     pdf_sa = (pdfflat * inv_patch
                               / jnp.maximum(st_l, np.float32(1e-6)))
                     cos_s = (wlx * normal[0] + wly * normal[1]
@@ -1760,10 +1782,6 @@ def make_bvh_regen_render_step(
                     smax_env = t_max * np.float32(1.0 - 1e-3)
                     occ_f = shadow_occluded(
                         position, (wlx, wly, wlz), smax_env, shadow_q)
-                    from .imgfetch import env_fetch_rows as _env_fetch
-
-                    env_le = _env_fetch(
-                        env_ref[...], (wlx, wly, wlz), env_h, env_w)
                     g_w = cos_s / jnp.maximum(pdf_sa, np.float32(1e-12))
                     if use_mis:
                         if uniform:
@@ -1780,15 +1798,52 @@ def make_bvh_regen_render_step(
                             pdf_sa / jnp.maximum(pdf_sa + p_bsdf_l, 1e-30)
                         )
                     vis = shadow_q & (occ_f < 0.5)
-                    tr = tr + jnp.where(
-                        vis, wr * brdf_l[0] * env_le[0] * g_w, 0.0
-                    )
-                    tg = tg + jnp.where(
-                        vis, wg * brdf_l[1] * env_le[1] * g_w, 0.0
-                    )
-                    tb = tb + jnp.where(
-                        vis, wb * brdf_l[2] * env_le[2] * g_w, 0.0
-                    )
+                    if not defer_env_nee:
+                        from .imgfetch import env_fetch_rows as _env_fetch
+
+                        env_le = _env_fetch(
+                            env_ref[...], (wlx, wly, wlz), env_h, env_w)
+                        tr = tr + jnp.where(
+                            vis, wr * brdf_l[0] * env_le[0] * g_w, 0.0
+                        )
+                        tg = tg + jnp.where(
+                            vis, wg * brdf_l[1] * env_le[1] * g_w, 0.0
+                        )
+                        tb = tb + jnp.where(
+                            vis, wb * brdf_l[2] * env_le[2] * g_w, 0.0
+                        )
+                    else:
+                        # OVERSIZED map: the contribution is LINEAR in the
+                        # fetched radiance, so record (dir, w*vis*brdf*
+                        # cos*mis/pdf) into slab s*max_depth+bounce of the
+                        # per-bounce record planes; the step gathers
+                        # L(dir) once, post-kernel. The slab index is
+                        # per-lane (regeneration de-syncs samples), so
+                        # writes sweep only the dynamic [rc_min, rc_max]
+                        # slab range actually present in the block —
+                        # dynamic SUBLANE starts are Mosaic-legal.
+                        nw_r = jnp.where(vis, wr * brdf_l[0] * g_w, 0.0)
+                        nw_g = jnp.where(vis, wg * brdf_l[1] * g_w, 0.0)
+                        nw_b = jnp.where(vis, wb * brdf_l[2] * g_w, 0.0)
+                        rc = s * max_depth + bounce
+                        n_slab = spp * max_depth
+                        rc_min = jnp.min(
+                            jnp.where(vis, rc, jnp.int32(n_slab)))
+                        rc_max = jnp.max(jnp.where(vis, rc, jnp.int32(-1)))
+
+                        def _rec_write(k, carry):
+                            m = vis & (rc == k)
+                            sl = pl.ds(k * r, r)
+                            for _nref, _val in (
+                                    (ndx_ref, wlx), (ndy_ref, wly),
+                                    (ndz_ref, wlz), (nwr_ref, nw_r),
+                                    (nwg_ref, nw_g), (nwb_ref, nw_b)):
+                                _nref[sl, :] = jnp.where(
+                                    m, _val, _nref[sl, :])
+                            return carry
+
+                        jax.lax.fori_loop(
+                            rc_min, rc_max + 1, _rec_write, 0)
 
                 # ---- next direction (ref raygen.rgen:77-80) ----
                 r1, seed = _rand_vec(seed)
@@ -2017,6 +2072,15 @@ def make_bvh_regen_render_step(
             out_shapes += [
                 jax.ShapeDtypeStruct((grid * spp * rr, lanes), jnp.float32)
             ] * 6
+            if defer_env_nee:
+                nblk = pl.BlockSpec((spp * max_depth * rr, lanes),
+                                    lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+                out_specs += [nblk] * 6
+                out_shapes += [
+                    jax.ShapeDtypeStruct(
+                        (grid * spp * max_depth * rr, lanes), jnp.float32)
+                ] * 6
         colr, colg, colb, segs, *edefer = pl.pallas_call(
             kernel,
             grid=(grid,),
@@ -2045,17 +2109,29 @@ def make_bvh_regen_render_step(
             # 0 are finite, so the dead records contribute exact zeros).
             from ..scene.textures import sample_environment
 
-            def per_sample(o):
-                # block i rows [s*rr, (s+1)*rr) hold sample s -> (spp, npix)
-                o = o.reshape(grid, spp, rr, lanes).transpose(1, 0, 2, 3)
-                o = o.reshape(spp, rows_padded * lanes)[:, :npix]
+            def per_slab(o, n):
+                # block i rows [q*rr, (q+1)*rr) hold slab q -> (n, npix)
+                o = o.reshape(grid, n, rr, lanes).transpose(1, 0, 2, 3)
+                o = o.reshape(n, rows_padded * lanes)[:, :npix]
                 return o[:, inv] if swz else o
 
-            sdx, sdy, sdz, swr, swg, swb = (per_sample(o) for o in edefer)
+            sdx, sdy, sdz, swr, swg, swb = (
+                per_slab(o, spp) for o in edefer[:6])
             er, eg, eb = sample_environment(env, (sdx, sdy, sdz))
             colr = colr + jnp.sum(swr * er, axis=0)
             colg = colg + jnp.sum(swg * eg, axis=0)
             colb = colb + jnp.sum(swb * eb, axis=0)
+            if defer_env_nee:
+                # deferred env-NEE shading: same gather over the
+                # per-(sample, bounce) record planes; zero-weight slabs
+                # (dead bounces, occluded shadow rays) contribute exact
+                # zeros just like dead miss records
+                ndx, ndy, ndz, nwr, nwg, nwb = (
+                    per_slab(o, spp * max_depth) for o in edefer[6:12])
+                nr, ng, nb = sample_environment(env, (ndx, ndy, ndz))
+                colr = colr + jnp.sum(nwr * nr, axis=0)
+                colg = colg + jnp.sum(nwg * ng, axis=0)
+                colb = colb + jnp.sum(nwb * nb, axis=0)
         color = jnp.stack(
             [colr.reshape(h, w), colg.reshape(h, w), colb.reshape(h, w)],
             axis=-1,

@@ -155,14 +155,9 @@ def make_regen_render_step(
             # megakernel_bvh defer_env — a miss terminates its sample, so
             # the kernel records one (dir, weight) per (pixel, sample)
             # and the step shades them with ONE post-kernel XLA
-            # sample_environment gather). Env NEE cannot defer (the CDF
-            # inversion drives in-kernel control flow).
-            if cfg.use_nee:
-                raise ValueError(
-                    f"in-kernel env NEE supports maps up to "
-                    f"{ENV_VMEM_MAX_BYTES} bytes packed ({env_w}x{env_h} "
-                    f"is {et_np.nbytes}); use the wavefront integrator"
-                )
+            # sample_environment gather). Under NEE the same linearity
+            # defers the env-NEE radiance too: per-BOUNCE records
+            # (defer_env_nee below, megakernel_bvh layout).
             defer_env = True
         else:
             env_table = jnp.asarray(et_np)
@@ -176,13 +171,19 @@ def make_regen_render_step(
     # texel-CDF inversion runs as the separable exact-searchsorted of
     # kernels/imgfetch.py (row-end compare + one-hot MXU row select).
     use_env_nee = cfg.use_nee and use_env
+    defer_env_nee = use_env_nee and defer_env
     env_nee_cdfpdf = env_nee_rowend = None
+    dist_h = dist_w = 0
     if use_env_nee:
-        from ..integrate.lights import build_env_distribution
+        # shared proposal rule: exact texel CDF for resident maps, the
+        # pooled coarse proposal for oversized ones (its contribution is
+        # linear in the radiance, which defers — megakernel_bvh)
+        from ..integrate.lights import env_distribution_for
         from .imgfetch import pack_env_dist_transposed
 
-        cp_np, re_np = pack_env_dist_transposed(
-            build_env_distribution(env))
+        env_dist = env_distribution_for(env)
+        dist_h, dist_w = env_dist.height, env_dist.width
+        cp_np, re_np = pack_env_dist_transposed(env_dist)
         env_nee_cdfpdf = jnp.asarray(cp_np)
         env_nee_rowend = jnp.asarray(re_np)
     # AFTER the empty-table fallback: a lightless scene must not compile
@@ -271,11 +272,21 @@ def make_regen_render_step(
                 # deferred env-miss record planes: (dir xyz, weight rgb)
                 # x (spp, r) rows (megakernel_bvh defer_env layout)
                 (edx_ref, edy_ref, edz_ref,
-                 ewr_ref, ewg_ref, ewb_ref) = refs[4:]
+                 ewr_ref, ewg_ref, ewb_ref) = refs[4:10]
                 ez = jnp.zeros((spp * r, lanes), jnp.float32)
                 for _eref in (edx_ref, edy_ref, edz_ref,
                               ewr_ref, ewg_ref, ewb_ref):
                     _eref[...] = ez
+                if defer_env_nee:
+                    # per-(sample, bounce) env-NEE record planes: slab
+                    # s*max_depth+bounce (megakernel_bvh layout)
+                    (ndx_ref, ndy_ref, ndz_ref,
+                     nwr_ref, nwg_ref, nwb_ref) = refs[10:16]
+                    nz = jnp.zeros((spp * max_depth * r, lanes),
+                                   jnp.float32)
+                    for _nref in (ndx_ref, ndy_ref, ndz_ref,
+                                  nwr_ref, nwg_ref, nwb_ref):
+                        _nref[...] = nz
             pid = pl.program_id(0)
             frame = scal_ref[0]
             row0 = scal_ref[1]
@@ -544,7 +555,7 @@ def make_regen_render_step(
                         from .imgfetch import env_pdf_sa_rows
 
                         p_env_d = env_pdf_sa_rows(
-                            encdf_ref[...], (dx, dy, dz), env_h, env_w)
+                            encdf_ref[...], (dx, dy, dz), dist_h, dist_w)
                         w_env = pdf_prev / jnp.maximum(
                             pdf_prev + p_env_d, 1e-30)
                         cos_l_hit = jnp.abs(
@@ -582,7 +593,7 @@ def make_regen_render_step(
                         from .imgfetch import env_pdf_sa_rows
 
                         p_env_d = env_pdf_sa_rows(
-                            encdf_ref[...], (dx, dy, dz), env_h, env_w)
+                            encdf_ref[...], (dx, dy, dz), dist_h, dist_w)
                         w_env = pdf_prev / jnp.maximum(
                             pdf_prev + p_env_d, 1e-30)
                         emit_w = jnp.where(
@@ -621,14 +632,20 @@ def make_regen_render_step(
                 if defer_env:
                     # one record per (pixel, sample): a miss ends the
                     # sample, so a masked row write per sample slot is
-                    # exact (megakernel_bvh defer_env)
+                    # exact (megakernel_bvh defer_env). The recorded
+                    # weight carries emit_w: under NEE, non-camera sky
+                    # misses are gated (or MIS-weighted) exactly like
+                    # resident-map miss shading — without NEE emit_w is
+                    # 1.0 on every recorded lane (bitwise the old record)
                     rec = miss & active
+                    mwr, mwg, mwb = wr * emit_w, wg * emit_w, wb * emit_w
                     for si in range(spp):
                         m = rec & (s == si)
                         sl = pl.ds(si * r, r)
                         for _eref, _val in (
                                 (edx_ref, dx), (edy_ref, dy), (edz_ref, dz),
-                                (ewr_ref, wr), (ewg_ref, wg), (ewb_ref, wb)):
+                                (ewr_ref, mwr), (ewg_ref, mwg),
+                                (ewb_ref, mwb)):
                             _eref[sl, :] = jnp.where(m, _val, _eref[sl, :])
 
                 if use_nee:
@@ -792,11 +809,11 @@ def make_regen_render_step(
                     rl2, seed = _rand_vec(seed)
                     rowp, colp, pdfflat = env_cdf_sample_rows(
                         encdf_ref[...], enrow_ref[...], r_sel,
-                        env_h, env_w,
+                        dist_h, dist_w,
                     )
-                    theta_l = (rowp + rl1) * np.float32(np.pi / env_h)
+                    theta_l = (rowp + rl1) * np.float32(np.pi / dist_h)
                     phi_l = (
-                        (colp + rl2) * np.float32(2.0 * np.pi / env_w)
+                        (colp + rl2) * np.float32(2.0 * np.pi / dist_w)
                         - np.float32(np.pi)
                     )
                     st_l = jnp.sin(theta_l)
@@ -804,7 +821,7 @@ def make_regen_render_step(
                     wly = jnp.cos(theta_l)
                     wlz = st_l * jnp.sin(phi_l)
                     inv_patch = np.float32(
-                        env_w * env_h / (2.0 * np.pi * np.pi))
+                        dist_w * dist_h / (2.0 * np.pi * np.pi))
                     pdf_sa = (pdfflat * inv_patch
                               / jnp.maximum(st_l, np.float32(1e-6)))
                     cos_s = (wlx * normal[0] + wly * normal[1]
@@ -860,10 +877,6 @@ def make_regen_render_step(
                             & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                             & (t > t_min) & (t < smax)
                         )
-                    from .imgfetch import env_fetch_rows as _env_fetch
-
-                    env_le = _env_fetch(
-                        env_ref[...], (wlx, wly, wlz), env_h, env_w)
                     g_w = cos_s / jnp.maximum(pdf_sa, np.float32(1e-12))
                     if use_mis:
                         if uniform:
@@ -880,15 +893,49 @@ def make_regen_render_step(
                             pdf_sa / jnp.maximum(pdf_sa + p_bsdf_l, 1e-30)
                         )
                     vis = shadow_q & jnp.logical_not(occ)
-                    tr = tr + jnp.where(
-                        vis, wr * brdf_l[0] * env_le[0] * g_w, 0.0
-                    )
-                    tg = tg + jnp.where(
-                        vis, wg * brdf_l[1] * env_le[1] * g_w, 0.0
-                    )
-                    tb = tb + jnp.where(
-                        vis, wb * brdf_l[2] * env_le[2] * g_w, 0.0
-                    )
+                    if not defer_env_nee:
+                        from .imgfetch import env_fetch_rows as _env_fetch
+
+                        env_le = _env_fetch(
+                            env_ref[...], (wlx, wly, wlz), env_h, env_w)
+                        tr = tr + jnp.where(
+                            vis, wr * brdf_l[0] * env_le[0] * g_w, 0.0
+                        )
+                        tg = tg + jnp.where(
+                            vis, wg * brdf_l[1] * env_le[1] * g_w, 0.0
+                        )
+                        tb = tb + jnp.where(
+                            vis, wb * brdf_l[2] * env_le[2] * g_w, 0.0
+                        )
+                    else:
+                        # OVERSIZED map: record (dir, w*vis*brdf*cos*mis/
+                        # pdf) into slab s*max_depth+bounce; the step
+                        # gathers L(dir) post-kernel (megakernel_bvh
+                        # defer_env_nee). Writes sweep only the dynamic
+                        # [rc_min, rc_max] slab range present in the
+                        # block (dynamic SUBLANE starts are legal).
+                        nw_r = jnp.where(vis, wr * brdf_l[0] * g_w, 0.0)
+                        nw_g = jnp.where(vis, wg * brdf_l[1] * g_w, 0.0)
+                        nw_b = jnp.where(vis, wb * brdf_l[2] * g_w, 0.0)
+                        rc = s * max_depth + bounce
+                        n_slab = spp * max_depth
+                        rc_min = jnp.min(
+                            jnp.where(vis, rc, jnp.int32(n_slab)))
+                        rc_max = jnp.max(jnp.where(vis, rc, jnp.int32(-1)))
+
+                        def _rec_write(k, carry):
+                            m = vis & (rc == k)
+                            sl = pl.ds(k * r, r)
+                            for _nref, _val in (
+                                    (ndx_ref, wlx), (ndy_ref, wly),
+                                    (ndz_ref, wlz), (nwr_ref, nw_r),
+                                    (nwg_ref, nw_g), (nwb_ref, nw_b)):
+                                _nref[sl, :] = jnp.where(
+                                    m, _val, _nref[sl, :])
+                            return carry
+
+                        jax.lax.fori_loop(
+                            rc_min, rc_max + 1, _rec_write, 0)
 
                 # ---- next direction ----
                 r1, seed = _rand_vec(seed)
@@ -1078,6 +1125,15 @@ def make_regen_render_step(
             out_shapes += [
                 jax.ShapeDtypeStruct((grid * spp * r, lanes), jnp.float32)
             ] * 6
+            if defer_env_nee:
+                nblk = pl.BlockSpec((spp * max_depth * r, lanes),
+                                    lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+                out_specs += [nblk] * 6
+                out_shapes += [
+                    jax.ShapeDtypeStruct(
+                        (grid * spp * max_depth * r, lanes), jnp.float32)
+                ] * 6
         colr, colg, colb, segs, *edefer = pl.pallas_call(
             kernel,
             grid=(grid,),
@@ -1094,15 +1150,25 @@ def make_regen_render_step(
             # per-sample records (the wavefront loop's exact fetch)
             from ..scene.textures import sample_environment
 
-            def per_sample(o):
-                o = o.reshape(grid, spp, r, lanes).transpose(1, 0, 2, 3)
-                return o.reshape(spp, rows_padded * lanes)[:, :npix]
+            def per_slab(o, n):
+                o = o.reshape(grid, n, r, lanes).transpose(1, 0, 2, 3)
+                return o.reshape(n, rows_padded * lanes)[:, :npix]
 
-            sdx, sdy, sdz, swr, swg, swb = (per_sample(o) for o in edefer)
+            sdx, sdy, sdz, swr, swg, swb = (
+                per_slab(o, spp) for o in edefer[:6])
             er_, eg_, eb_ = sample_environment(env, (sdx, sdy, sdz))
             colr = colr + jnp.sum(swr * er_, axis=0)
             colg = colg + jnp.sum(swg * eg_, axis=0)
             colb = colb + jnp.sum(swb * eb_, axis=0)
+            if defer_env_nee:
+                # deferred env-NEE shading over the per-(sample, bounce)
+                # records; zero-weight slabs contribute exact zeros
+                ndx, ndy, ndz, nwr, nwg, nwb = (
+                    per_slab(o, spp * max_depth) for o in edefer[6:12])
+                nr_, ng_, nb_ = sample_environment(env, (ndx, ndy, ndz))
+                colr = colr + jnp.sum(nwr * nr_, axis=0)
+                colg = colg + jnp.sum(nwg * ng_, axis=0)
+                colb = colb + jnp.sum(nwb * nb_, axis=0)
         color = jnp.stack(
             [colr.reshape(h, w), colg.reshape(h, w),
              colb.reshape(h, w)], axis=-1

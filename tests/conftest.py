@@ -111,6 +111,12 @@ _SLOW_TESTS = {
     "test_glossy_nee_matches_bsdf_only",
     "test_packet_respects_tmax_and_active",
     "test_dispatch_env_fallbacks",
+    "test_deferred_env_nee_equivalence",
+    "test_deferred_env_nee_dispatch_debug",
+    "test_sharded_deferred_env_nee_matches_single",
+    "test_env_nee_unbiased_and_lower_variance",
+    "test_bvh_megakernel_deferred_env_equivalence",
+    "test_brute_megakernel_deferred_env_equivalence",
     "test_bvh_regen_equivalence_cosine_rr",
     "test_combined_area_and_env_nee",
     "test_rr_unbiased",

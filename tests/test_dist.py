@@ -266,3 +266,44 @@ def test_sharded_deferred_env_matches_single():
         np.asarray(st.accum), np.asarray(single.accum), rtol=1e-6,
         atol=1e-7,
     )
+
+
+def test_sharded_deferred_env_nee_matches_single():
+    """Deferred env NEE (round 5: per-bounce NEE records + resident
+    pooled proposal CDF on OVERSIZED maps) must stay pixel-identical
+    between a row-sharded and a single-device render — the per-(sample,
+    bounce) record planes and the post-kernel radiance gather run per
+    shard on local rows, exactly like the miss records."""
+    import jax.numpy as jnp
+
+    from sfvp_tpu.dist import default_mesh, make_sharded_render_step
+    from sfvp_tpu.dispatch import select_render_step
+    from sfvp_tpu.scene.procedural import sphere_mesh
+    from sfvp_tpu.scene.textures import TextureTable
+
+    big_h, big_w = 512, 1024
+    n = big_h * big_w
+    g = np.linspace(0.0, 1.0, n, dtype=np.float32)
+    big_env = TextureTable(
+        tr=jnp.asarray(g),
+        tg=jnp.asarray(np.ascontiguousarray(g[::-1])),
+        tb=jnp.asarray(np.mod(g * 7.0, 1.0)),
+        off=jnp.zeros((1,), jnp.int32),
+        width=jnp.full((1,), big_w, jnp.int32),
+        height=jnp.full((1,), big_h, jnp.int32),
+    )
+    buffers = upload(sphere_mesh(n_lat=16, n_lon=16, bump=0.3))._replace(
+        env=big_env)
+    cfg = RenderConfig(width=16, height=16, spp_per_step=2, max_depth=3,
+                       use_nee=True, use_mis=True,
+                       sampling="cosine", backend="pallas",
+                       traversal="bvh", packet_tile_size=8)
+    step, sinit = make_sharded_render_step(cfg, buffers, default_mesh())
+    st = step(sinit())
+
+    single = jax.jit(select_render_step(cfg, buffers))(
+        init_state(16, 16))
+    np.testing.assert_allclose(
+        np.asarray(st.accum), np.asarray(single.accum), rtol=1e-6,
+        atol=1e-7,
+    )

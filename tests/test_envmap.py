@@ -106,8 +106,9 @@ def test_dispatch_env_fallbacks(tmp_path):
     """Env NEE (env-only scene under use_nee) fuses on the regen
     megakernel since round 3 (in-kernel CDF inversion). Oversized env
     maps stay on BOTH fused regen kernels via deferred miss records
-    since round 4; only NEE + oversized (the CDF inversion needs the
-    map resident) still routes to the wavefront integrator."""
+    since round 4, and NEE + oversized fuses too since round 5
+    (deferred per-bounce NEE records + resident pooled proposal CDF) —
+    NO env configuration leaves the fused kernels anymore."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -143,7 +144,7 @@ def test_dispatch_env_fallbacks(tmp_path):
     assert step.__module__ == "sfvp_tpu.kernels.megakernel_regen"
     step = select_render_step(dataclasses.replace(cfg, use_nee=True),
                               big_buffers)
-    assert step.__module__ == "sfvp_tpu.integrate.wavefront"
+    assert step.__module__ == "sfvp_tpu.kernels.megakernel_regen"
 
 
 def _big_env_table(big_h=512, big_w=1024):
@@ -171,8 +172,8 @@ def test_bvh_megakernel_deferred_env_equivalence():
     output planes and the step shades them with the wavefront loop's
     exact sample_environment gather — dispatch routes there, and the
     image matches the wavefront integrator on identical sample streams.
-    Env NEE keeps the wavefront fallback (the CDF inversion drives
-    in-kernel control flow)."""
+    Since round 5 env NEE fuses too (deferred per-bounce NEE records +
+    resident pooled proposal CDF, defer_env_nee)."""
     import dataclasses
 
     from sfvp_tpu.dispatch import select_render_step, select_trace_fn
@@ -187,7 +188,7 @@ def test_bvh_megakernel_deferred_env_equivalence():
     assert step.__module__ == "sfvp_tpu.kernels.megakernel_bvh"
     step_nee = select_render_step(
         dataclasses.replace(cfg, use_nee=True), buffers)
-    assert step_nee.__module__ == "sfvp_tpu.integrate.wavefront"
+    assert step_nee.__module__ == "sfvp_tpu.kernels.megakernel_bvh"
 
     a = jax.jit(make_render_step(
         cfg, buffers, trace_fn=select_trace_fn(cfg, buffers)
@@ -502,6 +503,179 @@ def test_combined_area_and_env_nee(tmp_path):
     assert noise_nee < 0.5 * noise_bsdf, (noise_nee, noise_bsdf)
     assert noise_mis < 0.5 * noise_bsdf, (noise_mis, noise_bsdf)
     assert np.isfinite(img_nee).all() and np.isfinite(img_mis).all()
+
+
+def test_env_distribution_coarse_proposal():
+    """Oversized maps get a POOLED coarse proposal (round-5 deferred env
+    NEE): env_distribution_for caps the grid at (256, 512), keeps full
+    support (pdf > 0 everywhere, so deferring the full-res radiance
+    fetch stays unbiased), normalizes, and concentrates mass where the
+    fine map is bright. Resident-size maps keep the exact texel CDF."""
+    from sfvp_tpu.integrate.lights import (
+        ENV_DIST_MAX_H, build_env_distribution, env_distribution_for,
+    )
+    from sfvp_tpu.scene.textures import TextureTable
+
+    def table(h, w, img):
+        return TextureTable(
+            tr=jnp.asarray(img.reshape(-1)),
+            tg=jnp.asarray(img.reshape(-1)),
+            tb=jnp.asarray(img.reshape(-1)),
+            off=jnp.zeros((1,), jnp.int32),
+            width=jnp.full((1,), w, jnp.int32),
+            height=jnp.full((1,), h, jnp.int32),
+        )
+
+    # resident-size map: exact per-texel CDF (dims = map dims)
+    small = table(16, 32, np.random.default_rng(0).random(
+        (16, 32)).astype(np.float32))
+    ds = env_distribution_for(small)
+    assert (ds.height, ds.width) == (16, 32)
+
+    # oversized map with a bright sun block
+    h, w = 512, 1024
+    img = np.full((h, w), 0.01, np.float32)
+    img[100:108, 300:308] = 1000.0
+    big = table(h, w, img)
+    dc = env_distribution_for(big)
+    assert (dc.height, dc.width) == (ENV_DIST_MAX_H, 2 * ENV_DIST_MAX_H)
+    pdf = np.asarray(dc.pdf_flat)
+    assert (pdf > 0).all()                       # full support
+    np.testing.assert_allclose(pdf.sum(), 1.0, rtol=1e-5)
+    cdf = np.asarray(dc.cdf)
+    assert cdf[-1] > 1.0 - 1e-5 and (np.diff(cdf) >= 0).all()
+    # the sun's coarse region (rows/cols halve: 512->256, 1024->512; the
+    # fine + coarse dilates spread its mass over a ~6x6 coarse block)
+    sun = pdf.reshape(ENV_DIST_MAX_H, 2 * ENV_DIST_MAX_H)[47:58, 146:159]
+    assert sun.sum() > 0.5, sun.sum()            # mass concentrates there
+
+    # pooling conserves what it pools: coarse == fine weights summed into
+    # coarse cells (up to the dilate/floor), checked via the 4x4 case
+    d44 = build_env_distribution(table(8, 16, np.ones((8, 16), np.float32)),
+                                 max_h=4)
+    assert (d44.height, d44.width) == (4, 8)
+    np.testing.assert_allclose(np.asarray(d44.pdf_flat).sum(), 1.0,
+                               rtol=1e-5)
+
+
+def test_deferred_env_nee_equivalence(tmp_path):
+    """Round-5 VERDICT item 3: env NEE on an OVERSIZED map runs fused —
+    the kernel samples the resident pooled proposal CDF, traces the
+    shadow ray in-kernel, and records (dir, w*vis*brdf*cos*mis/pdf) per
+    (sample, bounce); the step gathers full-res radiance once,
+    post-kernel. Must match the wavefront oracle (which shares the same
+    coarse proposal via env_distribution_for) on identical streams —
+    both kernels, with and without MIS."""
+    from sfvp_tpu.dispatch import select_trace_fn
+    from sfvp_tpu.kernels.megakernel_bvh import make_bvh_regen_render_step
+    from sfvp_tpu.kernels.megakernel_regen import make_regen_render_step
+    from sfvp_tpu.integrate.wavefront import make_render_step as mk_wave
+    from sfvp_tpu.scene.buffers import from_arrays
+
+    g = np.random.default_rng(3)
+    env = _big_env_table()
+    tris = (g.uniform(-4, 4, (12, 1, 3))
+            + g.normal(0, 0.5, (12, 3, 3))).astype(np.float32)
+    kd = g.uniform(0.2, 0.9, (12, 3)).astype(np.float32)
+    ke = np.zeros((12, 3), np.float32)
+    ke[0] = 5.0  # one area light: combined area + env NEE, both deferred-
+    #              compatible (only the ENV radiance defers)
+    buffers = from_arrays(tris, kd, ke, env=env)
+
+    for mk, trav in ((make_bvh_regen_render_step, "bvh"),
+                     (make_regen_render_step, "brute")):
+        for mis in (False, True):
+            cfg = RenderConfig(width=16, height=16, spp_per_step=2,
+                               max_depth=3, use_nee=True, use_mis=mis,
+                               sampling="cosine", backend="pallas",
+                               traversal=trav)
+            wave = mk_wave(cfg, buffers,
+                           trace_fn=select_trace_fn(cfg, buffers),
+                           global_shape=(16, 16))
+            kern = mk(cfg, buffers, global_shape=(16, 16), interpret=True)
+            st = init_state(16, 16)
+            a = np.asarray(wave(st).accum)
+            b = np.asarray(kern(st).accum)
+            err = np.max(np.abs(a - b)) / max(1e-6, float(np.max(np.abs(a))))
+            assert err < 2e-3, (trav, mis, err)
+            assert float(np.max(a)) > 0
+
+
+def test_deferred_env_nee_dispatch_debug(tmp_path, capfd, monkeypatch):
+    """--nee with a 2048x1024-class sky ROUTES FUSED (no wavefront
+    fallback left for env configurations) and SFVP_DISPATCH_DEBUG shows
+    the decision with its gates."""
+    from sfvp_tpu.dispatch import select_render_step
+    from sfvp_tpu.scene.procedural import sphere_mesh
+
+    monkeypatch.setenv("SFVP_DISPATCH_DEBUG", "1")
+    scene = sphere_mesh(n_lat=16, n_lon=16, bump=0.3)
+    buffers = upload(scene)._replace(env=_big_env_table())
+    cfg = RenderConfig(width=16, height=8, spp_per_step=2, max_depth=3,
+                       use_nee=True, use_mis=True, sampling="cosine",
+                       backend="pallas", traversal="bvh")
+    step = select_render_step(cfg, buffers)
+    assert step.__module__ == "sfvp_tpu.kernels.megakernel_bvh"
+    err = capfd.readouterr().err
+    assert "megakernel_bvh" in err and "env_deferred=True" in err
+    out = jax.jit(lambda s: step(s, 0))(init_state(8, 16))
+    assert np.isfinite(np.asarray(out.accum)).all()
+
+
+def test_coarse_proposal_unbiased(tmp_path):
+    """The pooled coarse proposal changes only the SAMPLING density, not
+    the estimator's mean: wavefront env NEE with the coarse proposal
+    agrees with the exact-texel-CDF estimator and with BSDF-only in the
+    mean, and still collapses noise vs BSDF-only on a sun map (jnp
+    path, so this also pins sample_env over a coarse dist)."""
+    import dataclasses
+
+    from sfvp_tpu.config import CameraConfig
+    from sfvp_tpu.integrate import lights as L
+
+    scene = _floor_scene(_sun_env(tmp_path))
+    buffers = upload(scene)
+    cam = CameraConfig.look_at(origin=(0, 2.0, 4.0), target=(0, 0, 0),
+                               fov_y_deg=45)
+    base = RenderConfig(width=12, height=12, spp_per_step=512, max_depth=2,
+                        camera=cam, sampling="cosine")
+
+    def render(cfg, coarse):
+        if coarse:
+            # force the pooled proposal on this (resident-size) map
+            orig = L.env_distribution_for
+            L.env_distribution_for = (
+                lambda t: L.build_env_distribution(t, max_h=8))
+        try:
+            step = jax.jit(make_render_step(cfg, buffers))
+            return np.asarray(step(init_state(12, 12)).accum)
+        finally:
+            if coarse:
+                L.env_distribution_for = orig
+
+    img_bsdf = render(base, False)
+    img_exact = render(dataclasses.replace(base, use_nee=True), False)
+    img_coarse = render(dataclasses.replace(base, use_nee=True), True)
+
+    floor = slice(7, 12)
+    mb = img_bsdf[floor].mean()
+    me = img_exact[floor].mean()
+    mc = img_coarse[floor].mean()
+    assert mb > 0
+    assert abs(me - mb) / mb < 0.25, (me, mb)
+    assert abs(mc - mb) / mb < 0.25, (mc, mb)
+    assert abs(mc - me) / me < 0.2, (mc, me)
+
+    def rel_std(img):
+        v = img[floor, :, 0]
+        return float(v.std() / max(v.mean(), 1e-6))
+
+    # a 2x-pooled proposal is coarser than the exact CDF (the jitter
+    # covers 4 fine texels per draw) but must still beat BSDF sampling
+    # on a sun-dominated map
+    assert rel_std(img_coarse) < 0.8 * rel_std(img_bsdf), (
+        rel_std(img_coarse), rel_std(img_bsdf))
+    assert np.isfinite(img_coarse).all()
 
 
 def test_env_distribution_integrates():
