@@ -64,6 +64,11 @@ def make_bvh_regen_render_step(
     shadow_sort: int = 0,
     shadow_slab: int = 0,
     shadow_mt: int = 0,
+    shadow_push: int = 0,
+    shadow_code: int = 0,
+    shadow_iters: int = 0,
+    scratch_pay: bool = False,
+    pop_unroll: int = 1,
     tl=None,
     defer_inst_xform: Optional[bool] = None,
 ):
@@ -374,6 +379,12 @@ def make_bvh_regen_render_step(
 
     lanes = 128
     r = block_rows
+    # scratch_pay: hit-payload planes (verts/mat/uv [+ictx], bu, bv) live
+    # in persistent VMEM scratch instead of the traversal while_loop carry,
+    # shrinking the per-pop lax.cond joins to (sp, bt). Written only at
+    # leaf pops, read once post-loop; bitwise-identical values.
+    n_scr_pay = ((19 if use_tex else 16)
+                 + (1 if defer_xform else 0) + 2)  # +bu +bv
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -409,6 +420,12 @@ def make_bvh_regen_render_step(
             if smem_codes:
                 codes_ref = refs[0]
                 refs = refs[1:]
+                if shadow_code:
+                    # sensitivity knob: a SECOND copy of the code table
+                    # (separate ref, so the loads cannot CSE; values are
+                    # equal, so the max-merge is the identity)
+                    codes2_ref = refs[0]
+                    refs = refs[1:]
             if two_level:
                 inst_ref = refs[0]
                 refs = refs[1:]
@@ -458,6 +475,10 @@ def make_bvh_regen_render_step(
                 tbuf_ref, tsem, pf_ref = refs[:3]
                 if use_tex:
                     abuf_ref, asem = refs[3:5]
+                refs = refs[5 if use_tex else 3:]
+            if scratch_pay:
+                pay_ref = refs[0]
+                refs = refs[1:]
 
             def inst_scalars(i, lo, hi):
                 """Instance-row fields [lo:hi) for instance i (SMEM flat
@@ -708,11 +729,22 @@ def make_bvh_regen_render_step(
                     istack_ref[0] = jnp.int32(world_row)  # world = identity
                     prevctx_ref[0] = jnp.int32(-2)  # impossible: force fill
                 n_pay = (19 if use_tex else 16) + (1 if defer_xform else 0)
-                t_init = (
-                    jnp.int32(1),
-                    jnp.full((r, lanes), INF),   # bt
-                    zero, zero,                  # bu, bv
-                ) + (zero,) * n_pay              # payload planes
+                if scratch_pay:
+                    # payload planes + bu/bv in persistent VMEM scratch:
+                    # zeroed per bounce (same init values as the carry
+                    # version), carry shrinks to (sp, bt)
+                    for j in range(n_pay + 2):
+                        pay_ref[pl.ds(j * r, r), :] = zero
+                    t_init = (
+                        jnp.int32(1),
+                        jnp.full((r, lanes), INF),   # bt
+                    )
+                else:
+                    t_init = (
+                        jnp.int32(1),
+                        jnp.full((r, lanes), INF),   # bt
+                        zero, zero,                  # bu, bv
+                    ) + (zero,) * n_pay              # payload planes
 
                 def t_cond(tc):
                     return tc[0] > 0
@@ -763,8 +795,11 @@ def make_bvh_regen_render_step(
                 def t_body(tc):
                     sp = tc[0]
                     bt = tc[1]
-                    bu, bv = tc[2], tc[3]
-                    pay = tuple(tc[4:])
+                    if scratch_pay:
+                        bu = bv = pay = None  # live in pay_ref scratch
+                    else:
+                        bu, bv = tc[2], tc[3]
+                        pay = tuple(tc[4:])
                     code = stack_ref[sp - 1]
                     if two_level:
                         ictx = istack_ref[sp - 1]
@@ -795,16 +830,24 @@ def make_bvh_regen_render_step(
                         context (two-level only). iid/blas_root load HERE,
                         inside the branch, so node/leaf pops stop paying
                         the per-pop instance-row SMEM load."""
-                        bt, bu, bv, pay = args
+                        if scratch_pay:
+                            (bt,) = args
+                        else:
+                            bt, bu, bv, pay = args
                         iid = neg - _IB
                         blas_root = inst_scalars(iid, 24, 25)[0].astype(
                             jnp.int32)
                         stack_ref[sp] = blas_root + 1
                         istack_ref[sp] = iid
+                        if scratch_pay:
+                            return (sp + 1, bt)
                         return (sp + 1, bt, bu, bv) + pay
 
                     def node_fn(args):
-                        bt, bu, bv, pay = args
+                        if scratch_pay:
+                            (bt,) = args
+                        else:
+                            bt, bu, bv, pay = args
                         l_ox, l_oy, l_oz = (ray_plane(j) for j in (0, 1, 2))
                         l_ivx, l_ivy, l_ivz = (
                             ray_plane(j) for j in (6, 7, 8))
@@ -820,10 +863,28 @@ def make_bvh_regen_render_step(
                             sc = [nodes_ref[node_i * 48 + cc]
                                   for cc in range(48)]
                             ccodes = [codes_ref[node_i * 8 + ci] for ci in range(8)]
+                            for _ in range(shadow_code):
+                                # CSE-proof duplicate code loads (probe):
+                                # equal values, so max is the identity
+                                ccodes = [
+                                    jnp.maximum(
+                                        ccodes[ci],
+                                        codes2_ref[node_i * 8 + ci])
+                                    for ci in range(8)
+                                ]
                         elif smem_codes:
                             nrow = nodes_ref[pl.ds(node_i, 1), :]
                             sc = [nrow[0, cc] for cc in range(48)]
                             ccodes = [codes_ref[node_i * 8 + ci] for ci in range(8)]
+                            for _ in range(shadow_code):
+                                # CSE-proof duplicate code loads (probe):
+                                # equal values, so max is the identity
+                                ccodes = [
+                                    jnp.maximum(
+                                        ccodes[ci],
+                                        codes2_ref[node_i * 8 + ci])
+                                    for ci in range(8)
+                                ]
                         else:
                             nrow = nodes_ref[pl.ds(node_i, 1), :]
                             sc = [nrow[0, cc] for cc in range(64)]
@@ -993,13 +1054,38 @@ def make_bvh_regen_render_step(
                             if two_level:
                                 istack_ref[sp + ci] = ictx
                             cnt = cnt + (codes[ci] != 0).astype(jnp.int32)
+                        # shadow_push: sensitivity knob (probe only) —
+                        # repeat the 8 stack writes + the popcount chain
+                        # into a dead SHADOW region of the (enlarged)
+                        # stack scratch (never popped; a same-address
+                        # duplicate would invite dead-store elimination)
+                        for sh in range(shadow_push):
+                            off = (stack_n + 8) * (sh + 1)
+                            cnt2 = jnp.int32(0)
+                            for ci in range(8):
+                                stack_ref[off + sp + ci] = codes[ci]
+                                if two_level:
+                                    istack_ref[off + sp + ci] = ictx
+                                cnt2 = cnt2 + (
+                                    codes[ci] != 0).astype(jnp.int32)
+                            # keep the duplicate count chain live
+                            stack_ref[off] = cnt2
+                        if scratch_pay:
+                            return (sp + cnt, bt)
                         return (sp + cnt, bt, bu, bv) + pay
 
                     def leaf_fn(args):
-                        bt, bu, bv, pay = args
+                        if scratch_pay:
+                            (bt,) = args
+                            bu = pay_ref[pl.ds(n_pay * r, r), :]
+                            bv = pay_ref[pl.ds((n_pay + 1) * r, r), :]
+                            pay = [pay_ref[pl.ds(j * r, r), :]
+                                   for j in range(n_pay)]
+                        else:
+                            bt, bu, bv, pay = args
+                            pay = list(pay)
                         l_ox, l_oy, l_oz = (ray_plane(j) for j in (0, 1, 2))
                         l_dx, l_dy, l_dz = (ray_plane(j) for j in (3, 4, 5))
-                        pay = list(pay)
                         tsc, asc = load_leaf_rows(code, sp)
                         if use_tex:
                             if two_level:
@@ -1126,22 +1212,77 @@ def make_bvh_regen_render_step(
                                 jnp.where(ok, sv + zero, pv)
                                 for sv, pv in zip(vals, pay)
                             ]
+                        if scratch_pay:
+                            for j in range(n_pay):
+                                pay_ref[pl.ds(j * r, r), :] = pay[j]
+                            pay_ref[pl.ds(n_pay * r, r), :] = bu
+                            pay_ref[pl.ds((n_pay + 1) * r, r), :] = bv
+                            return (sp, bt)
                         return (sp, bt, bu, bv) + tuple(pay)
 
+                    br_args = (bt,) if scratch_pay else (bt, bu, bv, pay)
                     if two_level:
                         def not_inst(args):
                             return jax.lax.cond(is_leaf, leaf_fn, node_fn,
                                                 args)
 
                         return jax.lax.cond(is_inst, inst_fn, not_inst,
-                                            (bt, bu, bv, pay))
+                                            br_args)
                     return jax.lax.cond(is_leaf, leaf_fn, node_fn,
-                                        (bt, bu, bv, pay))
+                                        br_args)
 
-                t_final = jax.lax.while_loop(t_cond, t_body, t_init)
+                if shadow_iters:
+                    # sensitivity knob (probe only): multiply the
+                    # traversal while_loop's ITERATION count by
+                    # (1 + shadow_iters) with no-op filler iterations —
+                    # prices the loop's fixed per-iteration overhead
+                    # (cond eval, carry threading, branch setup).
+                    # Bitwise-identical: filler iterations return the
+                    # carry untouched.
+                    def t_cond_sh(tc):
+                        return t_cond(tc[:-1])
+
+                    def t_body_sh(tc):
+                        dm = tc[-1]
+
+                        def _filler(args):
+                            return args[:-1] + (args[-1] - 1,)
+
+                        def _real(args):
+                            return t_body(args[:-1]) + (
+                                jnp.int32(shadow_iters),)
+
+                        return jax.lax.cond(dm == 0, _real, _filler, tc)
+
+                    t_final = jax.lax.while_loop(
+                        t_cond_sh, t_body_sh,
+                        t_init + (jnp.int32(0),))[:-1]
+                elif pop_unroll > 1:
+                    # process up to pop_unroll stack pops per while_loop
+                    # iteration: amortizes the loop's fixed per-iteration
+                    # bookkeeping (18.7% of the GI step,
+                    # PROBE_POP_BUDGET_r05) over several pops.
+                    # Bitwise-identical: extra pops run iff sp > 0,
+                    # exactly as their own iterations would.
+                    def t_body_u(tc):
+                        out = t_body(tc)
+                        for _ in range(pop_unroll - 1):
+                            out = jax.lax.cond(
+                                out[0] > 0, t_body, lambda a: a, out)
+                        return out
+
+                    t_final = jax.lax.while_loop(t_cond, t_body_u, t_init)
+                else:
+                    t_final = jax.lax.while_loop(t_cond, t_body, t_init)
                 bt = t_final[1]
-                bu, bv = t_final[2], t_final[3]
-                pay = t_final[4:]
+                if scratch_pay:
+                    bu = pay_ref[pl.ds(n_pay * r, r), :]
+                    bv = pay_ref[pl.ds((n_pay + 1) * r, r), :]
+                    pay = tuple(pay_ref[pl.ds(j * r, r), :]
+                                for j in range(n_pay))
+                else:
+                    bu, bv = t_final[2], t_final[3]
+                    pay = t_final[4:]
                 b0 = (pay[0], pay[1], pay[2])
                 b1 = (pay[3], pay[4], pay[5])
                 b2 = (pay[6], pay[7], pay[8])
@@ -1480,7 +1621,21 @@ def make_bvh_regen_render_step(
                                                 occ)
                         return jax.lax.cond(is_leaf, leaf_fn, node_fn, occ)
 
-                    s_final = jax.lax.while_loop(s_cond, s_body, s_init)
+                    if pop_unroll > 1:
+                        # same unroll as the main traversal loop: up to
+                        # pop_unroll pops per iteration, bitwise-identical
+                        def s_body_u(sc_):
+                            out = s_body(sc_)
+                            for _ in range(pop_unroll - 1):
+                                out = jax.lax.cond(
+                                    out[0] > 0, s_body, lambda a: a, out)
+                            return out
+
+                        s_final = jax.lax.while_loop(
+                            s_cond, s_body_u, s_init)
+                    else:
+                        s_final = jax.lax.while_loop(
+                            s_cond, s_body, s_init)
                     if two_level:
                         # next traversal (shadow or bounce) uses new rays
                         prevctx_ref[0] = jnp.int32(-2)
@@ -2016,6 +2171,10 @@ def make_bvh_regen_render_step(
         if smem_codes:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             args.append(codes)
+            if shadow_code:
+                # second copy of the code table (probe; see shadow_code)
+                in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+                args.append(jnp.asarray(np.asarray(codes).copy()))
         if two_level:
             in_specs.append(pl.BlockSpec(
                 memory_space=pltpu.SMEM if smem_boxes else pltpu.VMEM))
@@ -2042,10 +2201,12 @@ def make_bvh_regen_render_step(
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             args.append(atlas_table)
         # +8: the prefix-push writes all 8 sorted children unconditionally
-        # at sp+ci before advancing sp by the push count
-        scratch = [pltpu.SMEM((stack_n + 8,), jnp.int32)]
+        # at sp+ci before advancing sp by the push count. shadow_push
+        # (probe) appends dead duplicate regions of the same size.
+        stack_words = (stack_n + 8) * (1 + shadow_push)
+        scratch = [pltpu.SMEM((stack_words,), jnp.int32)]
         if two_level:
-            scratch.append(pltpu.SMEM((stack_n + 8,), jnp.int32))  # istack
+            scratch.append(pltpu.SMEM((stack_words,), jnp.int32))  # istack
             # instance-space ray cache: 9 (r, 128) planes + prev context
             scratch.append(pltpu.VMEM((9 * rr, lanes), jnp.float32))
             scratch.append(pltpu.SMEM((1,), jnp.int32))
@@ -2061,6 +2222,9 @@ def make_bvh_regen_render_step(
                     ring_space((2, lanes), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,)),
                 ]
+        if scratch_pay:
+            # hit-payload planes + bu/bv (see n_scr_pay above)
+            scratch.append(pltpu.VMEM((n_scr_pay * rr, lanes), jnp.float32))
         out_specs = [blk] * 4
         out_shapes = [
             jax.ShapeDtypeStruct((rows_padded, lanes), jnp.float32)

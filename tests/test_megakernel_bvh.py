@@ -438,6 +438,25 @@ def test_bvh_regen_smem_leaf_matches(buffers):
         np.testing.assert_array_equal(outs[0], outs[1])
 
 
+def test_bvh_regen_scratch_pay_and_pop_unroll_match(buffers):
+    """scratch_pay (hit payload planes in persistent VMEM scratch instead
+    of the traversal while_loop carry) and pop_unroll (up to N stack pops
+    per while iteration) are execution-layout knobs: same values, same
+    pop order, same f32 ops — bitwise-identical output. NEE+MIS covers
+    the any-hit shadow loop that pop_unroll also rewrites."""
+    cfg = RenderConfig(width=16, height=8, spp_per_step=2, max_depth=3,
+                       sampling="cosine", use_nee=True, use_mis=True)
+    base = np.asarray(make_bvh_regen_render_step(
+        cfg, buffers, interpret=True, smem_leaf=True,
+    )(init_state(8, 16)).accum)
+    for kw in ({"scratch_pay": True}, {"pop_unroll": 2},
+               {"scratch_pay": True, "pop_unroll": 3}):
+        st = make_bvh_regen_render_step(
+            cfg, buffers, interpret=True, smem_leaf=True, **kw,
+        )(init_state(8, 16))
+        np.testing.assert_array_equal(base, np.asarray(st.accum))
+
+
 def test_bvh_regen_smem_boxes_matches(buffers):
     """smem_boxes on == off, bitwise: the flat SMEM box table holds the
     exact node-row scalars (nodes[:, :48]), so traversal order, culling
