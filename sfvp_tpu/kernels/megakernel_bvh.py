@@ -69,6 +69,8 @@ def make_bvh_regen_render_step(
     shadow_iters: int = 0,
     scratch_pay: bool = False,
     pop_unroll: int = 1,
+    push_pf: bool = False,
+    vmem_limit_bytes: Optional[int] = None,
     tl=None,
     defer_inst_xform: Optional[bool] = None,
 ):
@@ -208,6 +210,18 @@ def make_bvh_regen_render_step(
     # the 2-slot leaf DMA ring exists for streamed rows (HBM source) and
     # for smem_leaf (SMEM destination); same prefetch state machine.
     use_ring = stream_tris or smem_leaf
+    # push_pf (round-5 VERDICT item 7): a node pop that pushes a LEAF as
+    # its new stack top (nearest child = last real entry of the
+    # descending sort; last push in index order on the any-hit side)
+    # starts that leaf's ring DMA at PUSH time — the copy then overlaps
+    # the 8 stack writes, the loop backedge + branch dispatch (the
+    # measured 18.7% fixed iteration cost) and the leaf pop's own
+    # front-end, covering the leaf-after-node pops the pop-time peek
+    # cannot reach (leaf->leaf adjacency is 70-78%, so ~1 in 4 leaf pops
+    # still blocked). No spill handling is needed: the predicted code IS
+    # the new top, so it is consumed by the very next pop, preserving
+    # the ring's one-outstanding invariant.
+    push_pf = bool(push_pf) and use_ring
 
     gh, gw = global_shape if global_shape is not None else (cfg.height, cfg.width)
     spp = cfg.spp_per_step
@@ -1048,6 +1062,30 @@ def make_bvh_regen_render_step(
                         # below sp; stack_n carries +8 headroom).
                         # Bitwise-identical: live stack contents and pop
                         # order are unchanged.
+                        if push_pf:
+                            # push-time ring prefetch: the new stack top
+                            # is the LAST real entry of the descending
+                            # sort (non-push codes are 0 and sort last,
+                            # so the last non-zero code is it; cnt==0
+                            # leaves tc==0 which fails tc<0). Issued
+                            # BEFORE the stack writes so the DMA also
+                            # hides them.
+                            tc = codes[0]
+                            for ci in range(1, 8):
+                                tc = jnp.where(codes[ci] != 0,
+                                               codes[ci], tc)
+                            pf_ok = tc < 0
+                            if two_level:
+                                # instance records are not tri rows
+                                pf_ok = pf_ok & (-tc - 1 < _IB)
+                            s_new = 1 - pf_ref[1]
+
+                            @pl.when(pf_ok)
+                            def _():
+                                _leaf_dma(jnp.maximum(-tc - 1, 0), s_new)
+
+                            pf_ref[0] = jnp.where(pf_ok, tc, jnp.int32(0))
+                            pf_ref[1] = jnp.where(pf_ok, s_new, pf_ref[1])
                         cnt = jnp.int32(0)
                         for ci in range(8):
                             stack_ref[sp + ci] = codes[ci]
@@ -1552,6 +1590,13 @@ def make_bvh_regen_render_step(
                                 if two_level:
                                     istack_ref[spn] = ictx
                                 spn = spn + push.astype(jnp.int32)
+                                if push_pf:
+                                    # any-hit pushes are unsorted: the
+                                    # new top is the LAST pushed child
+                                    s_tc = (jnp.where(push, code_c, s_tc)
+                                            if ci else
+                                            jnp.where(push, code_c,
+                                                      jnp.int32(0)))
                             if fast_node:
                                 for ci in range(8):
                                     cnt = s_counts[ci // 2]
@@ -1561,6 +1606,29 @@ def make_bvh_regen_render_step(
                                     push = (code_c != 0) & (c_ci > 0)
                                     stack_ref[spn] = code_c
                                     spn = spn + push.astype(jnp.int32)
+                                    if push_pf:
+                                        s_tc = (jnp.where(push, code_c,
+                                                          s_tc)
+                                                if ci else
+                                                jnp.where(push, code_c,
+                                                          jnp.int32(0)))
+                            if push_pf:
+                                # push-time ring prefetch (same contract
+                                # as the ordered-push side)
+                                s_ok = s_tc < 0
+                                if two_level:
+                                    s_ok = s_ok & (-s_tc - 1 < _IB)
+                                s_sl = 1 - pf_ref[1]
+
+                                @pl.when(s_ok)
+                                def _():
+                                    _leaf_dma(
+                                        jnp.maximum(-s_tc - 1, 0), s_sl)
+
+                                pf_ref[0] = jnp.where(s_ok, s_tc,
+                                                      jnp.int32(0))
+                                pf_ref[1] = jnp.where(s_ok, s_sl,
+                                                      pf_ref[1])
                             return (spn, occ)
 
                         def leaf_fn(occ):
@@ -2245,6 +2313,16 @@ def make_bvh_regen_render_step(
                     jax.ShapeDtypeStruct(
                         (grid * spp * max_depth * rr, lanes), jnp.float32)
                 ] * 6
+        extra_call_kw = {}
+        if vmem_limit_bytes is not None and not interpret:
+            # raise Mosaic's scoped-VMEM cap (default ~16MB) for configs
+            # whose RESIDENT footprint is accounted and known to fit the
+            # chip's physical VMEM with margin — dispatch sets this for
+            # deferred-env-NEE scenes whose record planes would otherwise
+            # force triangle streaming (0.65 vs ~4 Mrays/s class,
+            # benchmarks/probe_envnee_rows.py)
+            extra_call_kw["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=int(vmem_limit_bytes))
         colr, colg, colb, segs, *edefer = pl.pallas_call(
             kernel,
             grid=(grid,),
@@ -2253,6 +2331,7 @@ def make_bvh_regen_render_step(
             out_shape=out_shapes,
             scratch_shapes=scratch,
             interpret=interpret,
+            **extra_call_kw,
         )(*args)
 
         # undo the tile swizzle: lane i held pixel (px, py) computed in the

@@ -438,6 +438,27 @@ def test_bvh_regen_smem_leaf_matches(buffers):
         np.testing.assert_array_equal(outs[0], outs[1])
 
 
+def test_bvh_regen_push_pf_matches(buffers):
+    """push_pf (push-time leaf-DMA prefetch: a node pop whose new stack
+    top is a leaf starts that leaf's ring DMA before its stack writes)
+    on == off, bitwise, for the VMEM (streamed) and SMEM rings. The
+    predicted code is the new top, so it is always consumed by the very
+    next pop — same rows, same scalars, same order. NEE+MIS covers the
+    any-hit shadow loop's unsorted-push variant."""
+    cfg = RenderConfig(width=16, height=8, spp_per_step=2, max_depth=3,
+                       sampling="cosine", use_nee=True, use_mis=True)
+    for ring_kw in ({"stream_tris": True},
+                    {"smem_leaf": True},
+                    {"stream_tris": True, "smem_leaf": True}):
+        outs = []
+        for pf in (False, True):
+            st = make_bvh_regen_render_step(
+                cfg, buffers, interpret=True, push_pf=pf, **ring_kw,
+            )(init_state(8, 16))
+            outs.append(np.asarray(st.accum))
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_bvh_regen_scratch_pay_and_pop_unroll_match(buffers):
     """scratch_pay (hit payload planes in persistent VMEM scratch instead
     of the traversal while_loop carry) and pop_unroll (up to N stack pops
