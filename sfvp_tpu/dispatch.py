@@ -192,7 +192,8 @@ def select_render_step(
         # coarse proposal, integrate/lights.py env_distribution_for) and
         # one post-kernel XLA gather shades them (megakernel_bvh
         # defer_env / defer_env_nee). No env configuration blocks fusion
-        # anymore.
+        # on this brute branch; the bvh branch routes oversized+NEE to
+        # the wavefront loop on measurement (see prefer_wavefront).
         env_oversized = not env_fits_in_kernel(env)
     else:
         env_oversized = False
@@ -299,7 +300,20 @@ def select_render_step(
         # kernel ignores spp_chunk (in-lane sample regeneration); sample
         # streams are chunk-layout invariant (test_spp_chunk_invariance)
         # so the routing flip is image-safe.
-        prefer_wavefront = (cfg.use_nee and many_lights) or fused_over_budget
+        # env NEE on OVERSIZED maps prefers the wavefront loop (round-5
+        # on-device measurement, benchmarks/probe_envnee_rows.py +
+        # PROBE_ENVNEE_ROWS_r05.json): the fused deferred-NEE route runs
+        # 0.65 (streamed) / 0.69 (resident, raised Mosaic cap) Mrays/s
+        # on the 100k/2048x1024 bench vs ~0.9 for the wavefront loop —
+        # the per-(sample, bounce) record planes multiply the post-kernel
+        # radiance gather by max_depth (16.7M bilinear fetches/step at
+        # 512^2 spp8 d8), where the wavefront loop gathers only live NEE
+        # directions per bounce. The fused machinery stays available via
+        # explicit knobs (megakernel_bvh defer_env_nee) for configs that
+        # need fusion; non-NEE deferred env misses stay fused (4.77).
+        prefer_wavefront = ((cfg.use_nee and many_lights)
+                            or (cfg.use_nee and env_deferred)
+                            or fused_over_budget)
         if (cfg.megakernel_regen and not prefer_wavefront
                 and not tex_blocks_fused):
             # env skies, env NEE and map_Kd textures fuse via the

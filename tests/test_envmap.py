@@ -602,9 +602,12 @@ def test_deferred_env_nee_equivalence(tmp_path):
 
 
 def test_deferred_env_nee_dispatch_debug(tmp_path, capfd, monkeypatch):
-    """--nee with a 2048x1024-class sky ROUTES FUSED (no wavefront
-    fallback left for env configurations) and SFVP_DISPATCH_DEBUG shows
-    the decision with its gates."""
+    """--nee with a 2048x1024-class sky routes to the measured-fastest
+    path (the wavefront loop since the round-5 on-device A/B —
+    test_oversized_env_nee_prefers_wavefront pins the decision), runs
+    finite, and SFVP_DISPATCH_DEBUG shows the gates. The fused
+    deferred-NEE machinery stays covered by the equivalence tests above
+    via explicit megakernel_bvh knobs."""
     from sfvp_tpu.dispatch import select_render_step
     from sfvp_tpu.scene.procedural import sphere_mesh
 
@@ -615,11 +618,39 @@ def test_deferred_env_nee_dispatch_debug(tmp_path, capfd, monkeypatch):
                        use_nee=True, use_mis=True, sampling="cosine",
                        backend="pallas", traversal="bvh")
     step = select_render_step(cfg, buffers)
-    assert step.__module__ == "sfvp_tpu.kernels.megakernel_bvh"
     err = capfd.readouterr().err
-    assert "megakernel_bvh" in err and "env_deferred=True" in err
+    assert "wavefront" in err
     out = jax.jit(lambda s: step(s, 0))(init_state(8, 16))
     assert np.isfinite(np.asarray(out.accum)).all()
+
+
+def test_oversized_env_nee_prefers_wavefront(capfd, monkeypatch):
+    """Env NEE on an OVERSIZED map routes to the WAVEFRONT loop on the
+    bvh branch — the round-5 on-device A/B measured the fused
+    deferred-NEE route at 0.65 (streamed) / 0.69 (resident, raised
+    Mosaic cap) Mrays/s vs ~0.9 wavefront on the 100k/2048x1024 bench
+    (PROBE_ENVNEE_ROWS_r05.json: the per-(sample, bounce) records
+    multiply the post-kernel radiance gather by max_depth). Non-NEE
+    oversized skies must STAY fused (deferred miss records, 4.77)."""
+    from sfvp_tpu.dispatch import select_render_step
+    from sfvp_tpu.scene.procedural import sphere_mesh
+
+    monkeypatch.setenv("SFVP_DISPATCH_DEBUG", "1")
+    buffers = upload(sphere_mesh(n_lat=16, n_lon=16, bump=0.3))._replace(
+        env=_big_env_table())
+    cfg = RenderConfig(width=16, height=8, spp_per_step=2, max_depth=3,
+                       use_nee=True, use_mis=True, sampling="cosine",
+                       backend="pallas", traversal="bvh")
+    select_render_step(cfg, buffers)
+    err = capfd.readouterr().err
+    assert "wavefront" in err
+    # without NEE the same sky stays fused via deferred miss records
+    import dataclasses
+
+    nonee = dataclasses.replace(cfg, use_nee=False, use_mis=False)
+    select_render_step(nonee, buffers)
+    err = capfd.readouterr().err
+    assert "megakernel_bvh" in err and "env_deferred=True" in err
 
 
 def test_coarse_proposal_unbiased(tmp_path):
